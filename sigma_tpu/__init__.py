@@ -1,0 +1,30 @@
+"""sigma_tpu — a TPU-native sparse linear-algebra framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of the SiGMA
+Fortran library (graphs as first-class sparsity objects; matrices = graph +
+values; operator algebra; Krylov solvers; Lanczos eigensolvers), built
+TPU-first: static-shape frozen topologies, whole-array kernels, jit-compiled
+``lax.while_loop`` solver iterations, and mesh-sharded distribution.
+
+This umbrella module re-exports the public API, mirroring
+``/root/reference/src/sigma.f90``.
+"""
+
+from sigma_tpu.graph import (
+    BSRGraph,
+    COOGraph,
+    CSCGraph,
+    CSRGraph,
+    ELLGraph,
+    Graph,
+    GraphBuilder,
+    breadth_first_search,
+    build_graph,
+    choose_graph_type,
+    convert_graph,
+    greedy_color_ordering,
+    greedy_coloring,
+    num_graph_types,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,508 @@
+"""Frozen, static-shape graph (sparsity topology) formats.
+
+SiGMA's central premise is that the connectivity of a sparse matrix is a
+first-class *graph* object and a matrix is "a graph + an array of values"
+(``/root/reference/README.md:6-7``, ``src/graph/graph_interfaces.f90``).  We
+keep that premise but replace the reference's mutable OOP formats + batch-64
+edge-cursor protocol (``graph_interfaces.f90:138-144,267``) with **immutable
+pytrees of static-shape arrays** — the thing XLA can actually compile —
+plus whole-array vectorized exports instead of cursors.
+
+Format lineage (reference file → this module):
+
+* ``cs_graphs.f90``       → :class:`CSRGraph` / :class:`CSCGraph`
+  (compressed sparse; two-pass counting-sort build happens in numpy)
+* ``ellpack_graphs.f90``  → :class:`ELLGraph`
+  (dense ``(n, max_d)`` index array; rows padded with *duplicates of real
+  neighbors* exactly like ``ellpack_graphs.f90:393-400`` so gathers never
+  read garbage; padded matrix values are zero so arithmetic is unaffected)
+* ``coo_graphs.f90``      → :class:`COOGraph`
+* (absent in reference; README.md:84 "There is as yet no block matrix
+  format") → :class:`BSRGraph`, block compressed rows for MXU-friendly
+  block-sparse kernels.
+
+Mutation (``add_edge``/``delete_edge``) is *not* on the frozen types: in the
+reference every compressed-format mutation is already a full rebuild
+(``cs_graphs.f90:400-494``); here rebuild goes through
+:class:`~sigma_tpu.graph.builder.GraphBuilder` explicitly.
+
+Permutation convention: ``permute_rows(p)`` relabels row ``i`` as ``p[i]``
+(scatter convention), matching the reference's ``left_permute``; the
+resulting dense mirror satisfies ``new[p[i], j] == old[i, j]``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import ClassVar, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sigma_tpu.utils.dtypes import index_dtype, np_index, round_up
+
+__all__ = [
+    "Graph",
+    "CSRGraph",
+    "CSCGraph",
+    "COOGraph",
+    "ELLGraph",
+    "BSRGraph",
+    "compress_coo",
+]
+
+# Padding granularity for flat nonzero arrays (keeps lane-dim friendly sizes).
+NNZ_PAD = 8
+
+
+def compress_coo(
+    rows, cols, n: int, m: int, dedup: bool = True
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Sort COO row-major and optionally deduplicate.
+
+    Returns (rows, cols, indptr) with indptr the CSR row pointer.  This is
+    the numpy equivalent of the reference's two-pass counting-sort build
+    (``cs_graphs.f90:109-197``).
+    """
+    rows = np.asarray(rows, dtype=np.int64).ravel()
+    cols = np.asarray(cols, dtype=np.int64).ravel()
+    keys = rows * m + cols
+    if dedup:
+        keys = np.unique(keys)
+    else:
+        keys = np.sort(keys)
+    rows, cols = keys // m, keys % m
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(rows, minlength=n), out=indptr[1:])
+    return rows, cols, indptr
+
+
+def _pad1d(arr: np.ndarray, total: int, fill) -> np.ndarray:
+    out = np.full(total, fill, dtype=arr.dtype)
+    out[: arr.size] = arr
+    return out
+
+
+class Graph:
+    """Common interface over frozen topology formats.
+
+    Mirrors the query surface of ``graph_interfaces.f90:21-133`` minus
+    mutation; all bulk operations are whole-array, not cursor batches.
+    """
+
+    # concrete classes define: shape (static), nnz (static), edges_numpy()
+    shape: Tuple[int, int]
+    nnz: int
+    format: ClassVar[str] = "abstract"
+
+    # -- static/meta queries ------------------------------------------------
+    @property
+    def num_edges(self) -> int:  # get_num_edges (graph_interfaces.f90)
+        return self.nnz
+
+    def edges_numpy(self) -> Tuple[np.ndarray, np.ndarray]:
+        raise NotImplementedError
+
+    def degrees_numpy(self) -> np.ndarray:
+        rows, _ = self.edges_numpy()
+        return np.bincount(rows, minlength=self.shape[0])
+
+    @property
+    def max_degree(self) -> int:  # get_max_degree
+        d = self.degrees_numpy()
+        return int(d.max()) if d.size else 0
+
+    def degree(self, i: int) -> int:  # get_degree
+        return int(self.degrees_numpy()[i])
+
+    def neighbors(self, i: int) -> np.ndarray:  # get_neighbors
+        rows, cols = self.edges_numpy()
+        return cols[rows == i]
+
+    def has_edge(self, i: int, j: int) -> bool:  # connected
+        return bool(self.edge_positions([i], [j])[0] >= 0)
+
+    def edge_positions(self, rows, cols) -> np.ndarray:
+        """Positions of edges (i, j) in this format's value array; -1 if
+        absent.  Replaces the reference's ``find_edge`` + per-entry value
+        mutators with one vectorized lookup (host-side)."""
+        raise NotImplementedError
+
+    def to_dense(self) -> np.ndarray:  # to_dense_graph (graph_interfaces.f90:368)
+        rows, cols = self.edges_numpy()
+        d = np.zeros(self.shape, dtype=np.int64)
+        d[rows, cols] = 1
+        return d
+
+    # -- structural transforms ---------------------------------------------
+    def transpose(self) -> "Graph":
+        rows, cols = self.edges_numpy()
+        return type(self).from_coo(self.shape[1], self.shape[0], cols, rows)
+
+    def permute_rows(self, p) -> "Graph":  # left_permute
+        p = np.asarray(p)
+        rows, cols = self.edges_numpy()
+        return type(self).from_coo(self.shape[0], self.shape[1], p[rows], cols)
+
+    def permute_cols(self, p) -> "Graph":  # right_permute
+        p = np.asarray(p)
+        rows, cols = self.edges_numpy()
+        return type(self).from_coo(self.shape[0], self.shape[1], rows, p[cols])
+
+    # -- constructors --------------------------------------------------------
+    @classmethod
+    def from_coo(cls, n: int, m: Optional[int], rows, cols) -> "Graph":
+        raise NotImplementedError
+
+    @classmethod
+    def from_builder(cls, b) -> "Graph":
+        rows, cols = b.edges()
+        return cls.from_coo(b.n, b.m, rows, cols)
+
+    @classmethod
+    def from_dense(cls, dense) -> "Graph":
+        dense = np.asarray(dense)
+        rows, cols = np.nonzero(dense)
+        return cls.from_coo(dense.shape[0], dense.shape[1], rows, cols)
+
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}(shape={self.shape}, nnz={self.nnz})"
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CSRGraph(Graph):
+    """Compressed sparse row topology (``cs_graphs.f90`` row orientation).
+
+    ``indices`` is padded to a multiple of ``NNZ_PAD``; padded slots carry
+    column 0 and ``row_ids`` sentinel ``n`` (dropped by segment reductions).
+    ``row_ids`` (the COO expansion of ``indptr``) is precomputed because the
+    XLA-native SpMV is a gather + ``segment_sum`` over it.
+    """
+
+    indptr: jax.Array  # (n+1,) int32
+    indices: jax.Array  # (nnz_pad,) int32, sorted within rows
+    row_ids: jax.Array  # (nnz_pad,) int32, pad = n
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+
+    format: ClassVar[str] = "csr"
+
+    @classmethod
+    def from_coo(cls, n, m, rows, cols) -> "CSRGraph":
+        n, m = int(n), int(m if m is not None else n)
+        rows, cols, indptr = compress_coo(rows, cols, n, m)
+        nnz = rows.size
+        pad = round_up(max(nnz, 1), NNZ_PAD)
+        return cls(
+            indptr=jnp.asarray(indptr, dtype=index_dtype),
+            indices=jnp.asarray(_pad1d(np_index(cols), pad, 0), dtype=index_dtype),
+            row_ids=jnp.asarray(_pad1d(np_index(rows), pad, n), dtype=index_dtype),
+            shape=(n, m),
+            nnz=int(nnz),
+        )
+
+    def edges_numpy(self):
+        return (
+            np.asarray(self.row_ids)[: self.nnz].astype(np.int64),
+            np.asarray(self.indices)[: self.nnz].astype(np.int64),
+        )
+
+    def degrees_numpy(self) -> np.ndarray:
+        ptr = np.asarray(self.indptr)
+        return ptr[1:] - ptr[:-1]
+
+    def neighbors(self, i: int) -> np.ndarray:
+        ptr = np.asarray(self.indptr)
+        return np.asarray(self.indices)[ptr[i] : ptr[i + 1]].astype(np.int64)
+
+    def edge_positions(self, rows, cols) -> np.ndarray:
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        r, c = self.edges_numpy()
+        keys = r * self.shape[1] + c  # sorted ascending by construction
+        q = rows * self.shape[1] + cols
+        pos = np.searchsorted(keys, q)
+        pos_c = np.clip(pos, 0, keys.size - 1)
+        hit = (keys.size > 0) & (keys[pos_c] == q)
+        return np.where(hit, pos_c, -1)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CSCGraph(Graph):
+    """Compressed sparse column topology (``cs_graphs.f90`` column
+    orientation).  Stored as the CSR compression of the transpose: values
+    attached to this graph are ordered column-major, so a CSC matvec is the
+    transpose-matvec of the stored arrays — the same kernel duality the
+    reference exploits (``cs_matrices.f90:148-149,192-193``)."""
+
+    indptr: jax.Array  # (m+1,) int32, per-column
+    indices: jax.Array  # (nnz_pad,) int32 row indices, sorted within columns
+    col_ids: jax.Array  # (nnz_pad,) int32, pad = m
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+
+    format: ClassVar[str] = "csc"
+
+    @classmethod
+    def from_coo(cls, n, m, rows, cols) -> "CSCGraph":
+        n, m = int(n), int(m if m is not None else n)
+        # compress by column: sort (col, row)
+        cols2, rows2, indptr = compress_coo(cols, rows, m, n)
+        nnz = rows2.size
+        pad = round_up(max(nnz, 1), NNZ_PAD)
+        return cls(
+            indptr=jnp.asarray(indptr, dtype=index_dtype),
+            indices=jnp.asarray(_pad1d(np_index(rows2), pad, 0), dtype=index_dtype),
+            col_ids=jnp.asarray(_pad1d(np_index(cols2), pad, m), dtype=index_dtype),
+            shape=(n, m),
+            nnz=int(nnz),
+        )
+
+    def edges_numpy(self):
+        return (
+            np.asarray(self.indices)[: self.nnz].astype(np.int64),
+            np.asarray(self.col_ids)[: self.nnz].astype(np.int64),
+        )
+
+    def edge_positions(self, rows, cols) -> np.ndarray:
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        r, c = self.edges_numpy()
+        keys = c * self.shape[0] + r  # column-major sorted
+        q = cols * self.shape[0] + rows
+        pos = np.searchsorted(keys, q)
+        pos_c = np.clip(pos, 0, keys.size - 1)
+        hit = (keys.size > 0) & (keys[pos_c] == q)
+        return np.where(hit, pos_c, -1)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class COOGraph(Graph):
+    """Coordinate topology (``coo_graphs.f90``), sorted row-major and
+    deduplicated at freeze time; padded slots carry the sentinel row ``n``."""
+
+    rows: jax.Array  # (nnz_pad,) int32, pad = n
+    cols: jax.Array  # (nnz_pad,) int32, pad = 0
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+
+    format: ClassVar[str] = "coo"
+
+    @classmethod
+    def from_coo(cls, n, m, rows, cols) -> "COOGraph":
+        n, m = int(n), int(m if m is not None else n)
+        rows, cols, _ = compress_coo(rows, cols, n, m)
+        nnz = rows.size
+        pad = round_up(max(nnz, 1), NNZ_PAD)
+        return cls(
+            rows=jnp.asarray(_pad1d(np_index(rows), pad, n), dtype=index_dtype),
+            cols=jnp.asarray(_pad1d(np_index(cols), pad, 0), dtype=index_dtype),
+            shape=(n, m),
+            nnz=int(nnz),
+        )
+
+    def edges_numpy(self):
+        return (
+            np.asarray(self.rows)[: self.nnz].astype(np.int64),
+            np.asarray(self.cols)[: self.nnz].astype(np.int64),
+        )
+
+    def edge_positions(self, rows, cols) -> np.ndarray:
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        r, c = self.edges_numpy()
+        keys = r * self.shape[1] + c
+        q = rows * self.shape[1] + cols
+        pos = np.searchsorted(keys, q)
+        pos_c = np.clip(pos, 0, keys.size - 1)
+        hit = (keys.size > 0) & (keys[pos_c] == q)
+        return np.where(hit, pos_c, -1)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ELLGraph(Graph):
+    """ELLPACK topology: dense ``(n, max_d)`` neighbor array.
+
+    The closest reference format to a TPU layout ("especially suited to SIMD
+    architectures", ``README.md:71-73``; ``ellpack_graphs.f90``).  Row ``i``'s
+    slots beyond ``degrees[i]`` duplicate its *first* real neighbor (or 0 for
+    empty rows) so gathers are branch-free, exactly the padding rule of
+    ``ellpack_graphs.f90:393-400``; matrices store value 0 there.
+    """
+
+    cols: jax.Array  # (n, width) int32
+    degrees: jax.Array  # (n,) int32
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+
+    format: ClassVar[str] = "ell"
+
+    @property
+    def width(self) -> int:
+        return self.cols.shape[1]
+
+    @classmethod
+    def from_coo(cls, n, m, rows, cols, min_width: int = 1) -> "ELLGraph":
+        n, m = int(n), int(m if m is not None else n)
+        rows, cols, indptr = compress_coo(rows, cols, n, m)
+        nnz = rows.size
+        deg = (indptr[1:] - indptr[:-1]).astype(np.int64)
+        width = max(int(deg.max()) if n else 0, min_width)
+        node = np.zeros((n, width), dtype=np.int64)
+        if nnz:
+            slot = np.arange(nnz) - indptr[rows]  # position within row
+            node[rows, slot] = cols
+            # duplicate-padding: copy each row's first neighbor into empty slots
+            first = np.zeros(n, dtype=np.int64)
+            first[deg > 0] = node[deg > 0, 0]
+            pad_mask = np.arange(width)[None, :] >= deg[:, None]
+            node = np.where(pad_mask, first[:, None], node)
+        return cls(
+            cols=jnp.asarray(node, dtype=index_dtype),
+            degrees=jnp.asarray(deg, dtype=index_dtype),
+            shape=(n, m),
+            nnz=int(nnz),
+        )
+
+    def degrees_numpy(self) -> np.ndarray:
+        return np.asarray(self.degrees).astype(np.int64)
+
+    def edges_numpy(self):
+        node = np.asarray(self.cols).astype(np.int64)
+        deg = self.degrees_numpy()
+        mask = np.arange(self.width)[None, :] < deg[:, None]
+        rows = np.broadcast_to(np.arange(self.shape[0])[:, None], node.shape)
+        return rows[mask], node[mask]
+
+    def neighbors(self, i: int) -> np.ndarray:
+        node = np.asarray(self.cols)
+        return node[i, : int(self.degrees_numpy()[i])].astype(np.int64)
+
+    def edge_positions(self, rows, cols) -> np.ndarray:
+        """Flat positions into the (n, width) value array (= i*width + slot)."""
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        node = np.asarray(self.cols).astype(np.int64)
+        deg = self.degrees_numpy()
+        out = np.full(rows.shape, -1, dtype=np.int64)
+        for k, (i, j) in enumerate(zip(rows, cols)):
+            row = node[i, : deg[i]]
+            hits = np.nonzero(row == j)[0]
+            if hits.size:
+                out[k] = i * self.width + hits[0]
+        return out
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BSRGraph(Graph):
+    """Block compressed sparse row topology — the block format the reference
+    names as missing (``README.md:84``).  Element edges are grouped into
+    dense ``(bh, bw)`` blocks (block-CSR over block rows); ``mask`` records
+    which slots are true edges so element-level graph semantics (degree,
+    neighbors, exact sparsity) survive blocking.  Matrices built on this
+    store explicit zeros at masked-off slots, making SpMV/SpMM dense
+    block-matmuls that map straight onto the MXU."""
+
+    indptr: jax.Array  # (nb_rows+1,) int32 over block rows
+    indices: jax.Array  # (nnzb_pad,) int32 block-column indices
+    block_rows: jax.Array  # (nnzb_pad,) int32 block-row ids, pad = nb_rows
+    mask: jax.Array  # (nnzb_pad, bh, bw) bool, true-edge slots
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    block_shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+    nnzb: int = dataclasses.field(metadata=dict(static=True))
+
+    format: ClassVar[str] = "bsr"
+
+    @property
+    def nb_rows(self) -> int:
+        return -(-self.shape[0] // self.block_shape[0])
+
+    @property
+    def nb_cols(self) -> int:
+        return -(-self.shape[1] // self.block_shape[1])
+
+    @classmethod
+    def from_coo(cls, n, m, rows, cols, block_shape: Tuple[int, int] = (8, 8)) -> "BSRGraph":
+        n, m = int(n), int(m if m is not None else n)
+        bh, bw = map(int, block_shape)
+        rows, cols, _ = compress_coo(rows, cols, n, m)
+        nnz = rows.size
+        nbr, nbc = -(-n // bh), -(-m // bw)
+        bi, bj = rows // bh, cols // bw
+        bkeys_all = bi * nbc + bj
+        bkeys = np.unique(bkeys_all)
+        nnzb = bkeys.size
+        pad = round_up(max(nnzb, 1), NNZ_PAD)
+        brows, bcols = bkeys // nbc, bkeys % nbc
+        indptr = np.zeros(nbr + 1, dtype=np.int64)
+        np.cumsum(np.bincount(brows, minlength=nbr), out=indptr[1:])
+        mask = np.zeros((pad, bh, bw), dtype=bool)
+        slot = np.searchsorted(bkeys, bkeys_all)
+        mask[slot, rows % bh, cols % bw] = True
+        return cls(
+            indptr=jnp.asarray(indptr, dtype=index_dtype),
+            indices=jnp.asarray(_pad1d(np_index(bcols), pad, 0), dtype=index_dtype),
+            block_rows=jnp.asarray(_pad1d(np_index(brows), pad, nbr), dtype=index_dtype),
+            mask=jnp.asarray(mask),
+            shape=(n, m),
+            block_shape=(bh, bw),
+            nnz=int(nnz),
+            nnzb=int(nnzb),
+        )
+
+    def edges_numpy(self):
+        mask = np.asarray(self.mask)[: self.nnzb]
+        brows = np.asarray(self.block_rows)[: self.nnzb].astype(np.int64)
+        bcols = np.asarray(self.indices)[: self.nnzb].astype(np.int64)
+        b, oi, oj = np.nonzero(mask)
+        rows = brows[b] * self.block_shape[0] + oi
+        cols = bcols[b] * self.block_shape[1] + oj
+        order = np.lexsort((cols, rows))
+        return rows[order], cols[order]
+
+    def transpose(self) -> "BSRGraph":
+        rows, cols = self.edges_numpy()
+        return BSRGraph.from_coo(
+            self.shape[1], self.shape[0], cols, rows,
+            block_shape=(self.block_shape[1], self.block_shape[0]),
+        )
+
+    def permute_rows(self, p) -> "BSRGraph":
+        p = np.asarray(p)
+        rows, cols = self.edges_numpy()
+        return BSRGraph.from_coo(
+            self.shape[0], self.shape[1], p[rows], cols, block_shape=self.block_shape
+        )
+
+    def permute_cols(self, p) -> "BSRGraph":
+        p = np.asarray(p)
+        rows, cols = self.edges_numpy()
+        return BSRGraph.from_coo(
+            self.shape[0], self.shape[1], rows, p[cols], block_shape=self.block_shape
+        )
+
+    def edge_positions(self, rows, cols) -> np.ndarray:
+        """Flat positions into the (nnzb_pad, bh, bw) value array."""
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        bh, bw = self.block_shape
+        brows = np.asarray(self.block_rows)[: self.nnzb].astype(np.int64)
+        bcols = np.asarray(self.indices)[: self.nnzb].astype(np.int64)
+        bkeys = brows * self.nb_cols + bcols  # sorted by construction
+        q = (rows // bh) * self.nb_cols + (cols // bw)
+        pos = np.searchsorted(bkeys, q)
+        pos_c = np.clip(pos, 0, max(bkeys.size - 1, 0))
+        hit = (bkeys.size > 0) & (bkeys[pos_c] == q)
+        flat = pos_c * (bh * bw) + (rows % bh) * bw + (cols % bw)
+        # only slots that are true edges count as present
+        mask = np.asarray(self.mask).reshape(-1)
+        present = hit & mask[np.clip(flat, 0, mask.size - 1)]
+        return np.where(present, flat, -1)

@@ -1,0 +1,32 @@
+"""Test configuration: force an 8-device virtual CPU platform + float64.
+
+The reference test suite asserts 1e-14 tolerances (double precision); we run
+tests on CPU with ``jax_enable_x64`` and 8 virtual devices so multi-chip
+sharding paths are exercised without TPU hardware, per the driver contract.
+"""
+
+import os
+
+# Must happen before the first jax backend initialization.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running test")
