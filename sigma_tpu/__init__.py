@@ -10,6 +10,31 @@ This umbrella module re-exports the public API, mirroring
 ``/root/reference/src/sigma.f90``.
 """
 
+from sigma_tpu.matrix import (
+    BSRMatrix,
+    COOMatrix,
+    CSCMatrix,
+    CSRMatrix,
+    ELLMatrix,
+    SparseMatrix,
+    choose_matrix_type,
+    convert_matrix,
+    num_matrix_types,
+)
+from sigma_tpu.operators import (
+    AdjointOperator,
+    DenseOperator,
+    DiagonalOperator,
+    IdentityOperator,
+    LinearOperator,
+    MatvecOperator,
+    OperatorWithSolver,
+    ProductOperator,
+    ScaledOperator,
+    SumOperator,
+    aslinearoperator,
+    attach_solver,
+)
 from sigma_tpu.graph import (
     BSRGraph,
     COOGraph,

@@ -172,7 +172,7 @@ class Graph:
 
 
 @jax.tree_util.register_dataclass
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, repr=False)
 class CSRGraph(Graph):
     """Compressed sparse row topology (``cs_graphs.f90`` row orientation).
 
@@ -231,7 +231,7 @@ class CSRGraph(Graph):
 
 
 @jax.tree_util.register_dataclass
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, repr=False)
 class CSCGraph(Graph):
     """Compressed sparse column topology (``cs_graphs.f90`` column
     orientation).  Stored as the CSR compression of the transpose: values
@@ -281,7 +281,7 @@ class CSCGraph(Graph):
 
 
 @jax.tree_util.register_dataclass
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, repr=False)
 class COOGraph(Graph):
     """Coordinate topology (``coo_graphs.f90``), sorted row-major and
     deduplicated at freeze time; padded slots carry the sentinel row ``n``."""
@@ -325,7 +325,7 @@ class COOGraph(Graph):
 
 
 @jax.tree_util.register_dataclass
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, repr=False)
 class ELLGraph(Graph):
     """ELLPACK topology: dense ``(n, max_d)`` neighbor array.
 
@@ -400,7 +400,7 @@ class ELLGraph(Graph):
 
 
 @jax.tree_util.register_dataclass
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, repr=False)
 class BSRGraph(Graph):
     """Block compressed sparse row topology — the block format the reference
     names as missing (``README.md:84``).  Element edges are grouped into

@@ -1,0 +1,330 @@
+"""Concrete sparse matrix formats with XLA-native compute kernels.
+
+Reference lineage:
+
+* ``cs_matrices.f90`` (CSR :112-151 / CSC :156-195; hot kernels
+  ``csr_matvec_add:600-622`` row dot-accumulate, ``csc_matvec_add:627-647``
+  column scatter; the CSR/CSC transpose-kernel duality at :148-149,192-193)
+  → :class:`CSRMatrix` / :class:`CSCMatrix`
+* ``ellpack_matrices.f90`` (fixed-trip-count matvec :640-665 — the
+  reference's closest analogue of a TPU kernel) → :class:`ELLMatrix`
+* ``coo`` value layout → :class:`COOMatrix`
+* block format (absent in reference, README.md:84) → :class:`BSRMatrix`,
+  dense (bh, bw) blocks whose SpMV/SpMM are batched small matmuls.
+
+All kernels here are whole-array XLA programs (gather + multiply +
+``segment_sum`` scatter) — no cursors, no per-edge control flow.  Pallas
+TPU kernels for the hot paths live in :mod:`sigma_tpu.ops` and are selected
+automatically when profitable; these jnp forms are the portable reference
+semantics and the CPU/testing path.
+
+Padding is always value-0 at structurally padded slots, so no masking is
+ever needed in arithmetic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import ClassVar, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sigma_tpu.graph.graph import (
+    BSRGraph,
+    COOGraph,
+    CSCGraph,
+    CSRGraph,
+    ELLGraph,
+)
+from sigma_tpu.matrix.base import SparseMatrix
+
+__all__ = ["CSRMatrix", "CSCMatrix", "COOMatrix", "ELLMatrix", "BSRMatrix"]
+
+
+def _segment_sum(vals, ids, n):
+    # ids out of range [0, n) are dropped — padding carries sentinel ids.
+    return jax.ops.segment_sum(vals, ids, num_segments=n)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True, repr=False)
+class CSRMatrix(SparseMatrix):
+    """Row-compressed matrix.  matvec: gather x at column indices, multiply,
+    segment-sum by row (the vectorized form of ``csr_matvec_add``)."""
+
+    graph: CSRGraph
+    data: jax.Array  # (nnz_pad,)
+
+    format: ClassVar[str] = "csr"
+    is_get_row_fast: ClassVar[bool] = True
+    is_get_column_fast: ClassVar[bool] = False
+
+    @classmethod
+    def _graph_class(cls):
+        return CSRGraph
+
+    @classmethod
+    def _data_shape(cls, graph):
+        return graph.indices.shape
+
+    def matvec(self, x):
+        g = self.graph
+        prod = self.data * x[g.indices]
+        return _segment_sum(prod, g.row_ids, g.shape[0])
+
+    def rmatvec(self, x):
+        g = self.graph
+        # gather by row (clamped at pad; data=0 there), scatter-add by column
+        prod = self.data * x[jnp.minimum(g.row_ids, g.shape[0] - 1)]
+        return jnp.zeros(g.shape[1], dtype=prod.dtype).at[g.indices].add(prod)
+
+    def matmat(self, X):
+        g = self.graph
+        prod = self.data[:, None] * X[g.indices, :]
+        return _segment_sum(prod, g.row_ids, g.shape[0])
+
+    def rmatmat(self, X):
+        g = self.graph
+        prod = self.data[:, None] * X[jnp.minimum(g.row_ids, g.shape[0] - 1), :]
+        return jnp.zeros((g.shape[1],) + X.shape[1:], dtype=prod.dtype).at[
+            g.indices
+        ].add(prod)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True, repr=False)
+class CSCMatrix(SparseMatrix):
+    """Column-compressed matrix: the stored arrays are the CSR compression of
+    A^T, so matvec/rmatvec are CSR's kernels swapped — the same duality the
+    reference wires up at ``cs_matrices.f90:148-149,192-193``."""
+
+    graph: CSCGraph
+    data: jax.Array  # (nnz_pad,) column-major order
+
+    format: ClassVar[str] = "csc"
+    is_get_row_fast: ClassVar[bool] = False
+    is_get_column_fast: ClassVar[bool] = True
+
+    @classmethod
+    def _graph_class(cls):
+        return CSCGraph
+
+    @classmethod
+    def _data_shape(cls, graph):
+        return graph.indices.shape
+
+    def matvec(self, x):
+        g = self.graph
+        prod = self.data * x[jnp.minimum(g.col_ids, g.shape[1] - 1)]
+        return jnp.zeros(g.shape[0], dtype=prod.dtype).at[g.indices].add(prod)
+
+    def rmatvec(self, x):
+        g = self.graph
+        prod = self.data * x[g.indices]
+        return _segment_sum(prod, g.col_ids, g.shape[1])
+
+    def matmat(self, X):
+        g = self.graph
+        prod = self.data[:, None] * X[jnp.minimum(g.col_ids, g.shape[1] - 1), :]
+        return jnp.zeros((g.shape[0],) + X.shape[1:], dtype=prod.dtype).at[
+            g.indices
+        ].add(prod)
+
+    def rmatmat(self, X):
+        g = self.graph
+        prod = self.data[:, None] * X[g.indices, :]
+        return _segment_sum(prod, g.col_ids, g.shape[1])
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True, repr=False)
+class COOMatrix(SparseMatrix):
+    """Coordinate matrix (sorted row-major at freeze time)."""
+
+    graph: COOGraph
+    data: jax.Array  # (nnz_pad,)
+
+    format: ClassVar[str] = "coo"
+    is_get_row_fast: ClassVar[bool] = False
+    is_get_column_fast: ClassVar[bool] = False
+
+    @classmethod
+    def _graph_class(cls):
+        return COOGraph
+
+    @classmethod
+    def _data_shape(cls, graph):
+        return graph.rows.shape
+
+    def matvec(self, x):
+        g = self.graph
+        prod = self.data * x[g.cols]
+        return _segment_sum(prod, g.rows, g.shape[0])
+
+    def rmatvec(self, x):
+        g = self.graph
+        prod = self.data * x[jnp.minimum(g.rows, g.shape[0] - 1)]
+        return jnp.zeros(g.shape[1], dtype=prod.dtype).at[g.cols].add(prod)
+
+    def matmat(self, X):
+        g = self.graph
+        prod = self.data[:, None] * X[g.cols, :]
+        return _segment_sum(prod, g.rows, g.shape[0])
+
+    def rmatmat(self, X):
+        g = self.graph
+        prod = self.data[:, None] * X[jnp.minimum(g.rows, g.shape[0] - 1), :]
+        return jnp.zeros((g.shape[1],) + X.shape[1:], dtype=prod.dtype).at[
+            g.cols
+        ].add(prod)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True, repr=False)
+class ELLMatrix(SparseMatrix):
+    """ELLPACK matrix: values in a dense (n, width) array mirroring the
+    topology layout.  matvec is a fixed-trip-count gather/multiply/row-sum —
+    the regular shape ``ellpack_matvec_add`` (``ellpack_matrices.f90:
+    640-665``) was built for, realized as one whole-array XLA program."""
+
+    graph: ELLGraph
+    data: jax.Array  # (n, width)
+
+    format: ClassVar[str] = "ell"
+    is_get_row_fast: ClassVar[bool] = True
+    is_get_column_fast: ClassVar[bool] = False
+
+    @classmethod
+    def _graph_class(cls):
+        return ELLGraph
+
+    @classmethod
+    def _data_shape(cls, graph):
+        return graph.cols.shape
+
+    def matvec(self, x):
+        g = self.graph
+        return (self.data * x[g.cols]).sum(axis=1)
+
+    def rmatvec(self, x):
+        g = self.graph
+        prod = self.data * x[:, None]
+        return jnp.zeros(g.shape[1], dtype=prod.dtype).at[g.cols].add(prod)
+
+    def matmat(self, X):
+        g = self.graph
+        # (n, w, k) gather; contiguous over k
+        return (self.data[:, :, None] * X[g.cols, :]).sum(axis=1)
+
+    def rmatmat(self, X):
+        g = self.graph
+        prod = self.data[:, :, None] * X[:, None, :]
+        return jnp.zeros((g.shape[1],) + X.shape[1:], dtype=prod.dtype).at[
+            g.cols
+        ].add(prod)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True, repr=False)
+class BSRMatrix(SparseMatrix):
+    """Block CSR matrix with dense (bh, bw) value blocks.
+
+    SpMV = batched block matmul + block-row segment sum; SpMM contracts each
+    block against a (bw, k) slab — MXU-shaped work.  This is the format the
+    reference lists as a missing critical optimization (``README.md:84``).
+    """
+
+    graph: BSRGraph
+    data: jax.Array  # (nnzb_pad, bh, bw)
+
+    format: ClassVar[str] = "bsr"
+    is_get_row_fast: ClassVar[bool] = True
+    is_get_column_fast: ClassVar[bool] = False
+
+    @classmethod
+    def _graph_class(cls):
+        return BSRGraph
+
+    @classmethod
+    def _data_shape(cls, graph):
+        return (graph.indices.shape[0],) + graph.block_shape
+
+    def _format_kwargs(self):
+        return dict(block_shape=self.graph.block_shape)
+
+    @classmethod
+    def _coerce_graph(cls, graph):
+        if isinstance(graph, BSRGraph):
+            return graph
+        rows, cols = graph.edges_numpy()
+        return BSRGraph.from_coo(graph.shape[0], graph.shape[1], rows, cols)
+
+    def _coerce_graph_from_builder(self, b):
+        rows, cols = b.edges()
+        return BSRGraph.from_coo(
+            b.n, b.m, rows, cols, block_shape=self.graph.block_shape
+        )
+
+    def _padded_x(self, x):
+        g = self.graph
+        bw = g.block_shape[1]
+        mp = g.nb_cols * bw
+        if x.shape[0] != mp:
+            x = jnp.pad(x, [(0, mp - x.shape[0])] + [(0, 0)] * (x.ndim - 1))
+        return x
+
+    def matvec(self, x):
+        g = self.graph
+        bh, bw = g.block_shape
+        xb = self._padded_x(x).reshape(g.nb_cols, bw)
+        gathered = xb[g.indices]  # (nnzb_pad, bw)
+        yb = jnp.einsum(
+            "bij,bj->bi", self.data, gathered.astype(self.dtype),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        y = _segment_sum(yb, g.block_rows, g.nb_rows)
+        return y.reshape(-1)[: g.shape[0]]
+
+    def rmatvec(self, x):
+        g = self.graph
+        bh, bw = g.block_shape
+        np_rows = g.nb_rows * bh
+        xp = jnp.pad(x, (0, np_rows - x.shape[0])).reshape(g.nb_rows, bh)
+        gathered = xp[jnp.minimum(g.block_rows, g.nb_rows - 1)]
+        yb = jnp.einsum(
+            "bij,bi->bj", self.data, gathered.astype(self.dtype),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        y = jnp.zeros((g.nb_cols, bw), dtype=yb.dtype).at[g.indices].add(yb)
+        return y.reshape(-1)[: g.shape[1]]
+
+    def matmat(self, X):
+        g = self.graph
+        bh, bw = g.block_shape
+        k = X.shape[1]
+        Xb = self._padded_x(X).reshape(g.nb_cols, bw, k)
+        gathered = Xb[g.indices]  # (nnzb_pad, bw, k)
+        Yb = jnp.einsum(
+            "bij,bjk->bik", self.data, gathered.astype(self.dtype),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        Y = _segment_sum(Yb, g.block_rows, g.nb_rows)
+        return Y.reshape(-1, k)[: g.shape[0]]
+
+    def rmatmat(self, X):
+        g = self.graph
+        bh, bw = g.block_shape
+        k = X.shape[1]
+        np_rows = g.nb_rows * bh
+        Xp = jnp.pad(X, ((0, np_rows - X.shape[0]), (0, 0))).reshape(
+            g.nb_rows, bh, k
+        )
+        gathered = Xp[jnp.minimum(g.block_rows, g.nb_rows - 1)]
+        Yb = jnp.einsum(
+            "bij,bik->bjk", self.data, gathered.astype(self.dtype),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        Y = jnp.zeros((g.nb_cols, bw, k), dtype=Yb.dtype).at[g.indices].add(Yb)
+        return Y.reshape(-1, k)[: g.shape[1]]
