@@ -1,0 +1,260 @@
+"""Incomplete LDU(0) / IC(0) factorization + level-scheduled triangular solves.
+
+Reference: ``/root/reference/src/solver/ldu_solvers.f90`` — zero-fill ILDU
+with unit-triangular L, U stored as *strict* CSR (holds L−I and U−I,
+:287-289), diagonal D; ``ldu_solve:160`` = forward sweep → D^{-1} → backward
+sweep; fill level > 0 aborts (:414-417); reduces to incomplete Cholesky for
+SPD A.  For SPD problems this solver *is* the reference's "incomplete
+Cholesky" (test/solver_test_incomplete_cholesky.f90).
+
+The reference's triangular sweeps are strictly sequential
+(``lower_triangular_solve:208``, ``upper_triangular_solve:243`` — the main
+parallelization obstacle named in SURVEY §3.3).  The TPU-native redesign is
+**level scheduling**: rows are grouped into dependency levels of the
+triangular DAG (for a multicolor-ordered matrix, levels = colors — the
+reference's own intended remedy, ``permutations.f90:6-8``); each level is one
+batched gather·multiply·scatter over static padded arrays, and the whole
+solve is a ``lax.fori_loop`` over levels living inside the jitted Krylov
+iteration.
+
+Factorization (numeric ILU(0) on the static pattern, mirroring
+``sparse_static_pattern_ldu_factorization:275``) runs on host at setup time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sigma_tpu.operators.linear_operator import LinearOperator
+from sigma_tpu.solvers.base import LinearSolver
+from sigma_tpu.solvers.krylov import SolveInfo
+from sigma_tpu.utils.dtypes import index_dtype
+
+__all__ = ["ildu0_factorize", "TriangularLevels", "ILDUPreconditioner", "LDUSolver", "ldu", "incomplete_cholesky"]
+
+
+def _csr_arrays(A) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(indptr, indices, data) numpy CSR of any SparseMatrix."""
+    rows, cols, vals = A.entries()
+    n = A.shape[0]
+    order = np.lexsort((cols, rows))
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(rows, minlength=n), out=indptr[1:])
+    return indptr, cols, np.asarray(vals, dtype=np.float64)
+
+
+def ildu0_factorize(A):
+    """Zero-fill LDU factorization A ≈ L·D·U (L, U unit triangular).
+
+    Returns (L_csr, d, U_csr) with L/U = (indptr, indices, data) holding the
+    *strict* parts only (the reference's L−I / U−I storage).  Classic
+    SPARSKIT-style ilu0 with a position-marker work array; the inner update
+    over row k's upper entries is vectorized.
+    """
+    n = A.shape[0]
+    if A.shape[0] != A.shape[1]:
+        raise ValueError("ILDU requires a square matrix")
+    indptr, indices, data = _csr_arrays(A)
+    lu = data.copy()
+    diag = np.zeros(n, dtype=np.float64)
+    ipos = np.full(n, -1, dtype=np.int64)  # column -> position in current row
+    diag_pos = np.full(n, -1, dtype=np.int64)
+
+    for i in range(n):
+        s, e = indptr[i], indptr[i + 1]
+        cols_i = indices[s:e]
+        ipos[cols_i] = np.arange(s, e)
+        for p in range(s, e):
+            k = indices[p]
+            if k >= i:
+                break
+            # l_ik = a_ik / u_kk
+            lik = lu[p] / diag[k]
+            lu[p] = lik
+            # a_ij -= l_ik * u_kj for j > k in row k's pattern ∩ row i's pattern
+            ks, ke = diag_pos[k] + 1, indptr[k + 1]
+            js = indices[ks:ke]
+            pos = ipos[js]
+            valid = pos >= 0
+            if valid.any():
+                lu[pos[valid]] -= lik * lu[ks:ke][valid]
+        dp = np.searchsorted(cols_i, i) + s
+        if dp >= e or indices[dp] != i or lu[dp] == 0.0:
+            raise ZeroDivisionError(
+                f"zero or missing pivot at row {i} in ILDU(0) factorization"
+            )
+        diag_pos[i] = dp
+        diag[i] = lu[dp]
+        ipos[cols_i] = -1
+
+    # split into strict L (unit) and strict unit-U (u_ij / d_i)
+    rows_all = np.repeat(np.arange(n), np.diff(indptr))
+    lower = indices < rows_all
+    upper = indices > rows_all
+    Lp = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(rows_all[lower], minlength=n), out=Lp[1:])
+    Up = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(rows_all[upper], minlength=n), out=Up[1:])
+    Uvals = lu[upper] / diag[rows_all[upper]]
+    return (
+        (Lp, indices[lower], lu[lower]),
+        diag,
+        (Up, indices[upper], Uvals),
+    )
+
+
+def _levels(indptr, indices, n, reverse: bool) -> np.ndarray:
+    """Dependency levels of a strict triangular system (host-side).
+
+    lower (reverse=False): row i depends on cols j < i.
+    upper (reverse=True):  row i depends on cols j > i — process n-1..0.
+    """
+    level = np.zeros(n, dtype=np.int64)
+    order = range(n - 1, -1, -1) if reverse else range(n)
+    for i in order:
+        js = indices[indptr[i] : indptr[i + 1]]
+        if js.size:
+            level[i] = level[js].max() + 1
+    return level
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True, repr=False)
+class TriangularLevels:
+    """A strict unit-triangular system packed by dependency level.
+
+    ``rows[l]`` are the rows solvable at level l (pad sentinel n → scatter
+    dropped); ``cols``/``vals`` are their strict entries (pad col 0, val 0).
+    ``solve(b)`` runs one batched update per level.
+    """
+
+    rows: jax.Array  # (nlev, max_rows) int32
+    cols: jax.Array  # (nlev, max_rows, width) int32
+    vals: jax.Array  # (nlev, max_rows, width)
+    n: int = dataclasses.field(metadata=dict(static=True))
+
+    @classmethod
+    def from_csr(cls, indptr, indices, data, n, reverse: bool, dtype):
+        level = _levels(indptr, indices, n, reverse)
+        nlev = int(level.max()) + 1 if n else 1
+        counts = np.bincount(level, minlength=nlev)
+        max_rows = max(int(counts.max()), 1)
+        deg = np.diff(indptr)
+        width = max(int(deg.max()) if n else 0, 1)
+        rows = np.full((nlev, max_rows), n, dtype=np.int64)
+        cols = np.zeros((nlev, max_rows, width), dtype=np.int64)
+        vals = np.zeros((nlev, max_rows, width), dtype=np.float64)
+        slot = np.zeros(nlev, dtype=np.int64)
+        for i in range(n):
+            l = level[i]
+            s_ = slot[l]
+            rows[l, s_] = i
+            d = deg[i]
+            cols[l, s_, :d] = indices[indptr[i] : indptr[i + 1]]
+            vals[l, s_, :d] = data[indptr[i] : indptr[i + 1]]
+            slot[l] += 1
+        return cls(
+            rows=jnp.asarray(rows, dtype=index_dtype),
+            cols=jnp.asarray(cols, dtype=index_dtype),
+            vals=jnp.asarray(vals, dtype=dtype),
+            n=int(n),
+        )
+
+    @property
+    def nlev(self) -> int:
+        return self.rows.shape[0]
+
+    def solve(self, b: jax.Array) -> jax.Array:
+        """x solving (I + T) x = b, batched per level."""
+        nm1 = max(self.n - 1, 0)
+
+        def body(l, x):
+            rows = self.rows[l]
+            acc = (self.vals[l] * x[self.cols[l]]).sum(axis=-1)
+            xi = b[jnp.minimum(rows, nm1)] - acc
+            return x.at[rows].set(xi)  # sentinel rows (= n) dropped
+
+        return jax.lax.fori_loop(0, self.nlev, body, jnp.zeros_like(b))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True, repr=False)
+class ILDUPreconditioner(LinearOperator):
+    """Applies z = (L D U)^{-1} r via two level-scheduled sweeps + a diagonal
+    scale — the jit-resident form of ``ldu_solve`` (ldu_solvers.f90:160)."""
+
+    lower: TriangularLevels
+    dinv: jax.Array
+    upper: TriangularLevels
+
+    @property
+    def shape(self):
+        return (self.dinv.shape[0], self.dinv.shape[0])
+
+    def matvec(self, r):
+        y = self.lower.solve(r)
+        return self.upper.solve(self.dinv * y)
+
+    def rmatvec(self, r):
+        raise NotImplementedError("transpose preconditioner application")
+
+
+@dataclasses.dataclass(frozen=True)
+class LDUSolver(LinearSolver):
+    """Factory object mirroring ``ldu(incomplete, level)``
+    (ldu_solvers.f90:73).  incomplete=True, level=0 → ILDU(0)/IC(0);
+    level > 0 is not implemented (the reference aborts as well,
+    :414-417); incomplete=False → dense LU fallback (the reference's
+    unimplemented TODO at :143-145)."""
+
+    incomplete: bool = True
+    level: int = 0
+
+    def setup(self, A) -> LinearOperator:
+        if not self.incomplete:
+            from sigma_tpu.operators.linear_operator import MatvecOperator
+            import jax.scipy.linalg as jsl
+
+            lu_and_piv = jsl.lu_factor(jnp.asarray(A.to_dense()))
+            return MatvecOperator(
+                params=lu_and_piv,
+                mv=lambda lu_piv, b: jsl.lu_solve(lu_piv, b),
+                rmv=None,
+                shape=A.shape,
+            )
+        if self.level != 0:
+            raise NotImplementedError(
+                "fill levels > 0 are not supported (reference aborts too: "
+                "ldu_solvers.f90:414-417)"
+            )
+        (Lp, Li, Lx), d, (Up, Ui, Ux) = ildu0_factorize(A)
+        n = A.shape[0]
+        dtype = A.data.dtype
+        return ILDUPreconditioner(
+            lower=TriangularLevels.from_csr(Lp, Li, Lx, n, reverse=False, dtype=dtype),
+            dinv=jnp.asarray(1.0 / d, dtype=dtype),
+            upper=TriangularLevels.from_csr(Up, Ui, Ux, n, reverse=True, dtype=dtype),
+        )
+
+    def solve_info(self, A, b, x0=None, M=None):
+        op = self.setup(A)
+        x = op.matvec(b)
+        r = b - A.matvec(x)
+        rn = jnp.linalg.norm(r)
+        return x, SolveInfo(jnp.asarray(1, jnp.int32), rn, rn <= rn)
+
+
+def ldu(incomplete: bool = True, level: int = 0) -> LDUSolver:
+    return LDUSolver(incomplete=incomplete, level=level)
+
+
+def incomplete_cholesky() -> LDUSolver:
+    """IC(0): the SPD specialization is the same zero-fill LDU factorization
+    (cf. test/solver_test_incomplete_cholesky.f90 driving ldu)."""
+    return LDUSolver(incomplete=True, level=0)

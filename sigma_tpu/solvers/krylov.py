@@ -1,0 +1,218 @@
+"""Functional Krylov solver kernels as jit-compiled ``lax.while_loop``s.
+
+Reference lineage: CG (``/root/reference/src/solver/cg_solvers.f90:116-194``,
+unpreconditioned + left-preconditioned), BiCG-stab
+(``bicgstab_solvers.f90:121-233`` incl. the NaN-omega breakdown guard
+at :163), and GMRES — which the reference does NOT have (named extension).
+
+TPU-first shape: the iteration is one ``lax.while_loop`` whose carried state
+is a pytree of device arrays; all dot products are ``jnp.vdot`` reductions
+(which GSPMD turns into ``psum`` when operands are sharded over a mesh), and
+the operator/preconditioner are pytrees closed over by the traced body — so
+one compiled program runs the entire solve on-device with zero host round
+trips per iteration (the reference pays a dynamic dispatch per matvec).
+
+All kernels take ``A`` and optional ``M`` as LinearOperators (``M`` applies
+the *inverse* preconditioner, z = M^{-1} r).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["SolveInfo", "cg_solve", "bicgstab_solve", "gmres_solve", "stationary_solve"]
+
+
+class SolveInfo(NamedTuple):
+    iterations: jax.Array  # int32
+    residual_norm: jax.Array
+    converged: jax.Array  # bool
+
+
+def _identity_apply(x):
+    return x
+
+
+def _apply(M):
+    return M.matvec if M is not None else _identity_apply
+
+
+def cg_solve(A, b, x0=None, *, tol=1e-15, rtol=0.0, maxiter=None, M=None):
+    """Preconditioned conjugate gradients (SPD A).
+
+    Mirrors ``cg_solve``/``cg_solve_pc`` (cg_solvers.f90:116-194): left
+    preconditioning with z = M^{-1} r, absolute residual-norm stopping rule
+    (reference default tol 1e-16), iteration counter in the returned info.
+    """
+    n = A.shape[0]
+    x0 = jnp.zeros(n, dtype=b.dtype) if x0 is None else x0
+    maxiter = 10 * n if maxiter is None else maxiter
+    apply_M = _apply(M)
+    matvec = A.matvec
+    tol_eff = jnp.maximum(jnp.asarray(tol, b.dtype), rtol * jnp.linalg.norm(b))
+
+    r0 = b - matvec(x0)
+    z0 = apply_M(r0)
+    rho0 = jnp.vdot(r0, z0)
+    res0 = jnp.vdot(r0, r0)
+
+    def cond(state):
+        _, _, _, _, _, res2, k = state
+        return (jnp.sqrt(res2) > tol_eff) & (k < maxiter)
+
+    def body(state):
+        x, r, z, p, rho, _, k = state
+        q = matvec(p)
+        alpha = rho / jnp.vdot(p, q)
+        x = x + alpha * p
+        r = r - alpha * q
+        z = apply_M(r)
+        rho_new = jnp.vdot(r, z)
+        beta = rho_new / rho
+        p = z + beta * p
+        return (x, r, z, p, rho_new, jnp.vdot(r, r), k + 1)
+
+    x, r, _, _, _, res2, k = lax.while_loop(
+        cond, body, (x0, r0, z0, z0, rho0, res0, jnp.asarray(0, jnp.int32))
+    )
+    resn = jnp.sqrt(res2)
+    return x, SolveInfo(k, resn, resn <= tol_eff)
+
+
+def bicgstab_solve(A, b, x0=None, *, tol=1e-12, rtol=0.0, maxiter=None, M=None):
+    """Preconditioned BiCG-stab for nonsymmetric A.
+
+    Mirrors ``bicgstab_solve``/``_pc`` (bicgstab_solvers.f90:121-233): the
+    8-vector working set becomes a while_loop carry; the reference's NaN
+    omega guard (:163, t = 0 breakdown) is the ``jnp.where`` on omega.
+    """
+    n = A.shape[0]
+    x0 = jnp.zeros(n, dtype=b.dtype) if x0 is None else x0
+    maxiter = 10 * n if maxiter is None else maxiter
+    apply_M = _apply(M)
+    matvec = A.matvec
+    tol_eff = jnp.maximum(jnp.asarray(tol, b.dtype), rtol * jnp.linalg.norm(b))
+
+    r0 = b - matvec(x0)
+    rhat = r0
+    one = jnp.asarray(1.0, b.dtype)
+    zeros = jnp.zeros_like(b)
+
+    def cond(state):
+        _, r, *_, k = state
+        return (jnp.linalg.norm(r) > tol_eff) & (k < maxiter)
+
+    def body(state):
+        x, r, p, v, rho, alpha, omega, k = state
+        rho_new = jnp.vdot(rhat, r)
+        beta = (rho_new / rho) * (alpha / omega)
+        p = r + beta * (p - omega * v)
+        phat = apply_M(p)
+        v = matvec(phat)
+        alpha = rho_new / jnp.vdot(rhat, v)
+        s = r - alpha * v
+        shat = apply_M(s)
+        t = matvec(shat)
+        tt = jnp.vdot(t, t)
+        omega_raw = jnp.vdot(t, s) / tt
+        # breakdown guard (bicgstab_solvers.f90:163): t≈0 → omega NaN → 0
+        omega = jnp.where(jnp.isfinite(omega_raw), omega_raw, jnp.zeros_like(omega_raw))
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        return (x, r, p, v, rho_new, alpha, omega, k + 1)
+
+    state0 = (x0, r0, zeros, zeros, one, one, one, jnp.asarray(0, jnp.int32))
+    x, r, *_, k = lax.while_loop(cond, body, state0)
+    resn = jnp.linalg.norm(r)
+    return x, SolveInfo(k, resn, resn <= tol_eff)
+
+
+def gmres_solve(
+    A, b, x0=None, *, tol=1e-12, rtol=0.0, restart=32, maxiter=None, M=None
+):
+    """Restarted GMRES(m) with right preconditioning.
+
+    Not present in the reference (``grep -ri gmres`` finds nothing) — a
+    named extension.  Arnoldi uses CGS2 (classical Gram-Schmidt with one
+    full reorthogonalization pass): two (m+1, n) matmuls per step instead
+    of a sequential MGS sweep — the MXU-friendly choice with MGS-grade
+    orthogonality.  The small (m+1, m) least-squares solve runs on-device
+    per cycle.
+    """
+    n = A.shape[0]
+    x0 = jnp.zeros(n, dtype=b.dtype) if x0 is None else x0
+    m = min(restart, n)
+    maxcycles = (10 * n) // m + 1 if maxiter is None else -(-maxiter // m)
+    apply_M = _apply(M)
+    matvec = A.matvec
+    tol_eff = jnp.maximum(jnp.asarray(tol, b.dtype), rtol * jnp.linalg.norm(b))
+    eps_break = jnp.asarray(jnp.finfo(b.dtype).eps, b.dtype)
+
+    def cycle(x):
+        r = b - matvec(x)
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n), dtype=b.dtype).at[0].set(
+            r / jnp.where(beta > 0, beta, 1.0)
+        )
+        H = jnp.zeros((m + 1, m), dtype=b.dtype)
+
+        def arnoldi(j, carry):
+            V, H = carry
+            w = matvec(apply_M(V[j]))
+            # CGS2: project out all current basis vectors twice
+            h1 = V @ w
+            valid = jnp.arange(m + 1) <= j
+            h1 = jnp.where(valid, h1, 0.0)
+            w = w - V.T @ h1
+            h2 = V @ w
+            h2 = jnp.where(valid, h2, 0.0)
+            w = w - V.T @ h2
+            h = h1 + h2
+            wn = jnp.linalg.norm(w)
+            ok = wn > eps_break * 10
+            V = V.at[j + 1].set(jnp.where(ok, w / jnp.where(ok, wn, 1.0), 0.0))
+            H = H.at[:, j].set(h.at[j + 1].set(jnp.where(ok, wn, 0.0))[:m + 1])
+            return (V, H)
+
+        V, H = lax.fori_loop(0, m, arnoldi, (V, H))
+        e1 = jnp.zeros(m + 1, dtype=b.dtype).at[0].set(beta)
+        y, *_ = jnp.linalg.lstsq(H, e1)
+        x = x + apply_M(V[:m].T @ y)
+        return x
+
+    def cond(state):
+        x, beta, c = state
+        return (beta > tol_eff) & (c < maxcycles)
+
+    def body(state):
+        x, _, c = state
+        x = cycle(x)
+        beta = jnp.linalg.norm(b - matvec(x))
+        return (x, beta, c + 1)
+
+    beta0 = jnp.linalg.norm(b - matvec(x0))
+    x, beta, c = lax.while_loop(
+        cond, body, (x0, beta0, jnp.asarray(0, jnp.int32))
+    )
+    return x, SolveInfo(c * m, beta, beta <= tol_eff)
+
+
+def stationary_solve(A, b, M, x0=None, *, steps: int):
+    """Fixed-count stationary (Richardson) iteration x += M^{-1}(b - A x) —
+    how the reference tests exercise Jacobi / IC(0) as standalone solvers
+    (solver_test_jacobi.f90: 10n steps)."""
+    n = A.shape[0]
+    x0 = jnp.zeros(n, dtype=b.dtype) if x0 is None else x0
+    apply_M = _apply(M)
+
+    def body(_, x):
+        return x + apply_M(b - A.matvec(x))
+
+    x = lax.fori_loop(0, steps, body, x0)
+    r = b - A.matvec(x)
+    resn = jnp.linalg.norm(r)
+    return x, SolveInfo(jnp.asarray(steps, jnp.int32), resn, resn <= resn)
