@@ -12,6 +12,17 @@ This umbrella module re-exports the public API, mirroring
 
 from sigma_tpu.matrix import (
     BSRMatrix,
+    PtAPPlan,
+    SparseSumPlan,
+    SpGEMMPlan,
+    plan_ptap,
+    plan_rart,
+    plan_sparse_add,
+    plan_sparse_matmul,
+    ptap,
+    rart,
+    sparse_add,
+    sparse_matmul,
     COOMatrix,
     CSCMatrix,
     CSRMatrix,

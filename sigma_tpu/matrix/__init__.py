@@ -1,3 +1,16 @@
+from sigma_tpu.matrix.algebra import (
+    PtAPPlan,
+    SparseSumPlan,
+    SpGEMMPlan,
+    plan_ptap,
+    plan_rart,
+    plan_sparse_add,
+    plan_sparse_matmul,
+    ptap,
+    rart,
+    sparse_add,
+    sparse_matmul,
+)
 from sigma_tpu.matrix.base import SparseMatrix
 from sigma_tpu.matrix.formats import (
     BSRMatrix,
@@ -24,4 +37,15 @@ __all__ = [
     "num_matrix_types",
     "choose_matrix_type",
     "convert_matrix",
+    "sparse_add",
+    "sparse_matmul",
+    "ptap",
+    "rart",
+    "plan_sparse_add",
+    "plan_sparse_matmul",
+    "plan_ptap",
+    "plan_rart",
+    "SparseSumPlan",
+    "SpGEMMPlan",
+    "PtAPPlan",
 ]
