@@ -12,6 +12,7 @@ This umbrella module re-exports the public API, mirroring
 
 from sigma_tpu.matrix import (
     BSRMatrix,
+    BlockMatrix,
     PtAPPlan,
     SparseSumPlan,
     SpGEMMPlan,

@@ -12,6 +12,7 @@ from sigma_tpu.matrix.algebra import (
     sparse_matmul,
 )
 from sigma_tpu.matrix.base import SparseMatrix
+from sigma_tpu.matrix.composite import BlockMatrix
 from sigma_tpu.matrix.formats import (
     BSRMatrix,
     COOMatrix,
@@ -28,6 +29,7 @@ from sigma_tpu.matrix.factory import (
 
 __all__ = [
     "SparseMatrix",
+    "BlockMatrix",
     "CSRMatrix",
     "CSCMatrix",
     "COOMatrix",
