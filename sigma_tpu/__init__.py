@@ -47,6 +47,13 @@ from sigma_tpu.operators import (
     aslinearoperator,
     attach_solver,
 )
+from sigma_tpu.eigen import (
+    LanczosResult,
+    eigensolve,
+    generalized_eigensolve,
+    generalized_lanczos,
+    lanczos,
+)
 from sigma_tpu.graph import (
     BSRGraph,
     COOGraph,

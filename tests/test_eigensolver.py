@@ -1,0 +1,168 @@
+"""Lanczos eigensolver tests.
+
+Mirrors ``/root/reference/test/eigensolver_test_lanczos.f90`` (random graph
+Laplacian; three-term recurrence residual < 1e-14 per column :130-141;
+||V^T V - I||_F < 1e-14 :148-170) and
+``eigensolver_test_generalized_lanczos.f90`` (P1 FEM stiffness A and mass B
+on a structured triangulated torus grid assembled via block adds :120-132;
+B carries a CG solver :150; generalized recurrence + B-orthogonality).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sigma_tpu import CSRMatrix, attach_solver
+from sigma_tpu.eigen import (
+    eigensolve,
+    generalized_eigensolve,
+    generalized_lanczos,
+    lanczos,
+)
+from sigma_tpu.solvers import cg
+
+TOL = 1e-14
+
+
+def graph_laplacian(rng, n, p=None):
+    p = p or np.log2(n) / n
+    adj = np.triu(rng.random((n, n)) < p, 1)
+    adj = adj | adj.T
+    return np.diag(adj.sum(1).astype(float)) - adj.astype(float)
+
+
+def test_lanczos_recurrence_and_orthogonality(rng):
+    n = 64
+    dA = graph_laplacian(rng, n)
+    A = CSRMatrix.from_dense(dA)
+    res = lanczos(A, n, v0=rng.standard_normal(n))
+    V = np.asarray(res.V)
+    T = np.asarray(res.tridiagonal())
+    # three-term recurrence: A V = V T + beta_last * v_next e_last^T
+    R = dA @ V - V @ T
+    R[:, -1] -= float(res.beta[-1]) * np.asarray(res.v_next)
+    scale = max(1.0, np.abs(dA).max())
+    assert np.max(np.abs(R)) / scale < TOL
+    # orthonormality (full reorthogonalization keeps this tight)
+    G = V.T @ V - np.eye(n)
+    assert np.linalg.norm(G, "fro") < n * TOL
+
+
+def test_lanczos_partial_k(rng):
+    n, k = 80, 25
+    dA = graph_laplacian(rng, n)
+    A = CSRMatrix.from_dense(dA)
+    res = lanczos(A, k, v0=rng.standard_normal(n))
+    V = np.asarray(res.V)
+    T = np.asarray(res.tridiagonal())
+    R = dA @ V - V @ T
+    R[:, -1] -= float(res.beta[-1]) * np.asarray(res.v_next)
+    assert np.max(np.abs(R)) < 1e-12
+    assert np.linalg.norm(V.T @ V - np.eye(k), "fro") < k * TOL
+
+
+def test_eigensolve_vs_dense(rng):
+    n = 48
+    dA = graph_laplacian(rng, n) + np.eye(n)
+    A = CSRMatrix.from_dense(dA)
+    lam, V = eigensolve(A, v0=rng.standard_normal(n))
+    lam = np.asarray(lam)
+    ref = np.linalg.eigvalsh(dA)
+    assert np.max(np.abs(np.sort(lam) - ref)) < 1e-10
+    # residuals ||A v - lam v||
+    V = np.asarray(V)
+    res = dA @ V - V * lam
+    assert np.max(np.abs(res)) < 1e-10
+
+
+def fem_torus(nx, ny):
+    """P1 FEM stiffness and mass on a uniformly triangulated periodic grid
+    (the generalized-Lanczos test geometry,
+    eigensolver_test_generalized_lanczos.f90)."""
+    n = nx * ny
+
+    def vid(i, j):
+        return (i % nx) * ny + (j % ny)
+
+    tris = []
+    for i in range(nx):
+        for j in range(ny):
+            tris.append((vid(i, j), vid(i + 1, j), vid(i, j + 1)))
+            tris.append((vid(i + 1, j + 1), vid(i, j + 1), vid(i + 1, j)))
+    tris = np.array(tris)
+    # unit right triangles, area 1/2: stiffness and mass element matrices
+    AE = 0.5 * np.array([[2.0, -1.0, -1.0], [-1.0, 1.0, 0.0], [-1.0, 0.0, 1.0]])
+    ME = (0.5 / 12.0) * np.array([[2.0, 1.0, 1.0], [1.0, 2.0, 1.0], [1.0, 1.0, 2.0]])
+
+    rows = np.repeat(tris, 3, axis=1).ravel()
+    cols = np.tile(tris, (1, 3)).ravel()
+    a_vals = np.tile(AE.ravel(), len(tris))
+    m_vals = np.tile(ME.ravel(), len(tris))
+    A = CSRMatrix.from_coo(n, n, rows, cols, a_vals)
+    B = CSRMatrix.from_coo(n, n, rows, cols, m_vals)
+    return A, B
+
+
+def test_fem_assembly_via_add_block(rng):
+    """Element-loop assembly through add_values with duplicate accumulation
+    equals the one-shot from_coo assembly (A%add(elem, elem, AE) idiom)."""
+    A1, _ = fem_torus(4, 4)
+    n = 16
+    tris = []
+    for i in range(4):
+        for j in range(4):
+            v = lambda a, b: (a % 4) * 4 + (b % 4)
+            tris.append((v(i, j), v(i + 1, j), v(i, j + 1)))
+            tris.append((v(i + 1, j + 1), v(i, j + 1), v(i + 1, j)))
+    AE = 0.5 * np.array([[2.0, -1.0, -1.0], [-1.0, 1.0, 0.0], [-1.0, 0.0, 1.0]])
+    A2 = CSRMatrix.from_graph(A1.graph)
+    for t in tris:
+        A2 = A2.add_block(np.array(t), np.array(t), AE)
+    assert np.max(np.abs(A1.to_dense() - A2.to_dense())) < TOL
+
+
+def test_generalized_lanczos_invariants(rng):
+    A, B = fem_torus(6, 6)
+    n = A.shape[0]
+    k = 20
+    Bs = attach_solver(B, cg(tolerance=1e-15))
+    res = generalized_lanczos(A, Bs, k, v0=rng.standard_normal(n))
+    V = np.asarray(res.V)
+    T = np.asarray(res.tridiagonal())
+    dA, dB = A.to_dense(), B.to_dense()
+    # generalized recurrence: A V = B V T + beta_last B v_next e_last^T
+    R = dA @ V - dB @ V @ T
+    R[:, -1] -= float(res.beta[-1]) * (dB @ np.asarray(res.v_next))
+    assert np.max(np.abs(R)) < 1e-11
+    # B-orthonormality
+    G = V.T @ dB @ V - np.eye(k)
+    assert np.linalg.norm(G, "fro") < 1e-11
+
+
+def test_generalized_eigensolve_vs_dense(rng):
+    A, B = fem_torus(4, 4)
+    n = A.shape[0]
+    Bs = attach_solver(B, cg(tolerance=1e-15))
+    lam, V = generalized_eigensolve(A, Bs, v0=rng.standard_normal(n))
+    lam = np.sort(np.asarray(lam))
+    import scipy.linalg
+
+    ref = scipy.linalg.eigh(A.to_dense(), B.to_dense(), eigvals_only=True)
+    assert np.max(np.abs(lam - ref)) < 1e-8
+
+
+def test_lanczos_shape_validation(rng):
+    A = CSRMatrix.from_dense(np.eye(5))
+    with pytest.raises(ValueError):
+        lanczos(A, 9)
+    with pytest.raises(ValueError):
+        generalized_lanczos(A, CSRMatrix.from_dense(np.eye(4)), 3)
+
+
+def test_generalized_default_solver(rng):
+    """A bare B operand uses the default CG solve facade."""
+    A, B = fem_torus(3, 3)
+    res = generalized_lanczos(A, B, 5, v0=rng.standard_normal(9))
+    V = np.asarray(res.V)
+    G = V.T @ B.to_dense() @ V - np.eye(5)
+    assert np.linalg.norm(G, "fro") < 1e-10
