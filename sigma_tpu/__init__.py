@@ -54,6 +54,13 @@ from sigma_tpu.eigen import (
     generalized_lanczos,
     lanczos,
 )
+from sigma_tpu.parallel import (
+    DistributedMatrix,
+    distribute_matrix,
+    distribute_vector,
+    make_mesh,
+    undistribute_vector,
+)
 from sigma_tpu.graph import (
     BSRGraph,
     COOGraph,

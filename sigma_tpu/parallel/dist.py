@@ -1,0 +1,300 @@
+"""Mesh-distributed sparse matrices: row partition + cyclic halo exchange.
+
+The reference's composite block matrix is its designated distribution seam —
+"the primary means by which parallelism is enabled in SiGMA"
+(``/root/reference/src/matrix/sparse_matrix_composites.f90:21-22``), with the
+per-block matvec over vector slices at :1076-1129 annotated "This loop can be
+parallelized".  Here that block loop *is* parallelized, the TPU way:
+
+* The matrix is **row-partitioned** over a 1-D device mesh axis; each shard
+  owns a contiguous block of rows and the matching block of x / y.
+* Within a shard, each row block is split by the **cyclic block offset**
+  ``k = (col_block - row_block) mod D``: offset 0 is the diagonal (local)
+  block, offset k couples to the shard k steps around the ring.  This is
+  the composite matrix's ``sub_mats(:,:)`` grid reorganized so that every
+  off-diagonal block's x-segment arrives by a single ``lax.ppermute`` ring
+  shift — a neighbor hop on the ICI torus for |k| = 1, which is the whole
+  communication pattern of banded/Laplacian matrices.
+* Only *structurally present* offsets are stored or communicated
+  (``offsets`` is static metadata): a tridiagonal Laplacian on D shards
+  does 2 neighbor shifts, not an all-gather.  A dense-coupling matrix
+  degrades gracefully to D-1 shifts (= ring all-gather), never worse.
+* Each offset block is stored in **ELL layout** (``node``/``val`` of shape
+  ``(rows_local, width_k)`` per shard) — static shapes, fixed trip count,
+  fully vectorized gather-multiply-reduce on the VPU; the direct heir of
+  the reference's SIMD-friendly ellpack format
+  (``ellpack_matrices.f90:640-665``).
+* ``matvec`` runs under ``shard_map``; the *local* (offset 0) product is
+  issued before any communication so XLA overlaps ring shifts with local
+  compute (the overlap requirement of the scaling target).
+* Dot products in CG/BiCG/GMRES need no changes: solver vectors carry
+  ``NamedSharding`` so XLA inserts ``psum`` reductions automatically — the
+  unchanged :func:`sigma_tpu.solvers.cg_solve` *is* the distributed CG.
+
+Column indices inside each block are owner-local; padding slots carry
+column 0 / value 0 (harmless in arithmetic, exactly the ellpack
+duplicate-padding trick of ``ellpack_graphs.f90:393-400``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from sigma_tpu.matrix.base import SparseMatrix
+from sigma_tpu.operators.linear_operator import LinearOperator
+
+__all__ = [
+    "DistributedMatrix",
+    "distribute_matrix",
+    "distribute_vector",
+    "undistribute_vector",
+    "make_mesh",
+]
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "rows") -> Mesh:
+    """1-D device mesh over the first ``n_devices`` visible devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True, repr=False)
+class DistributedMatrix(LinearOperator):
+    """Row-partitioned sparse matrix over a 1-D mesh axis.
+
+    ``nodes[i]`` / ``vals[i]``: ELL block for cyclic offset ``offsets[i]``,
+    global shape ``(n_pad, width_i)`` sharded along rows; column entries are
+    local to the owning shard's block of size ``block``.
+    """
+
+    nodes: Tuple[jax.Array, ...]
+    vals: Tuple[jax.Array, ...]
+    offsets: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    mesh: Mesh = dataclasses.field(metadata=dict(static=True))
+    axis: str = dataclasses.field(metadata=dict(static=True))
+    n: int = dataclasses.field(metadata=dict(static=True))
+    m: int = dataclasses.field(metadata=dict(static=True))
+    block: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n, self.m)
+
+    @property
+    def n_shards(self) -> int:
+        return self.mesh.shape[self.axis]
+
+    @property
+    def n_pad(self) -> int:
+        return self.block * self.n_shards
+
+    @property
+    def dtype(self):
+        return self.vals[0].dtype if self.vals else jnp.float64
+
+    @property
+    def nnz(self) -> int:
+        return sum(int(np.count_nonzero(np.asarray(v))) for v in self.vals)
+
+    # -- matvec under shard_map -------------------------------------------------
+    def _local_matvec(self, x_local, nodes, vals):
+        """Per-shard kernel: local block first, then one ring shift per
+        present off-diagonal offset (overlappable by XLA)."""
+        D = self.n_shards
+        y = jnp.zeros_like(x_local)
+        # issue local (offset 0) product first for compute/comm overlap
+        order = sorted(range(len(self.offsets)), key=lambda i: self.offsets[i] != 0)
+        for i in order:
+            k = self.offsets[i]
+            if k == 0 or D == 1:
+                xk = x_local
+            else:
+                # shard s owns x-block s; row-block d needs x-block (d+k)%D:
+                # owner s sends to shard (s-k) mod D
+                perm = [(s, (s - k) % D) for s in range(D)]
+                xk = lax.ppermute(x_local, self.axis, perm)
+            y = y + (vals[i] * xk[nodes[i]]).sum(axis=1)
+        return y
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        f = shard_map(
+            self._local_matvec,
+            mesh=self.mesh,
+            in_specs=(
+                P(self.axis),
+                tuple(P(self.axis, None) for _ in self.nodes),
+                tuple(P(self.axis, None) for _ in self.vals),
+            ),
+            out_specs=P(self.axis),
+        )
+        return f(x, self.nodes, self.vals)
+
+    def matmat(self, X: jax.Array) -> jax.Array:
+        """Multi-vector product: same ring, gather whole (block, nrhs)
+        panels — the multi-vector SpMM the reference lacks (README.md:83)."""
+
+        def local(X_local, nodes, vals):
+            D = self.n_shards
+            Y = jnp.zeros_like(X_local)
+            order = sorted(
+                range(len(self.offsets)), key=lambda i: self.offsets[i] != 0
+            )
+            for i in order:
+                k = self.offsets[i]
+                if k == 0 or D == 1:
+                    Xk = X_local
+                else:
+                    perm = [(s, (s - k) % D) for s in range(D)]
+                    Xk = lax.ppermute(X_local, self.axis, perm)
+                # (rows, w, nrhs) gather then reduce over w
+                Y = Y + jnp.einsum("rw,rwn->rn", vals[i], Xk[nodes[i]])
+            return Y
+
+        f = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(
+                P(self.axis, None),
+                tuple(P(self.axis, None) for _ in self.nodes),
+                tuple(P(self.axis, None) for _ in self.vals),
+            ),
+            out_specs=P(self.axis, None),
+        )
+        return f(X, self.nodes, self.vals)
+
+    def rmatvec(self, x: jax.Array) -> jax.Array:
+        """Transpose matvec = reversed communication pattern (the CSR<->CSC
+        kernel duality, ``cs_matrices.f90:148-149``): scatter local products
+        to owner blocks by reversing each ring shift."""
+
+        def local(x_local, nodes, vals):
+            D = self.n_shards
+            y = jnp.zeros_like(x_local)
+            for i, k in enumerate(self.offsets):
+                # contribution of this shard's rows to x-block (d+k)%D:
+                # scatter-add locally then ship to the owner (reverse perm)
+                contrib = jax.ops.segment_sum(
+                    (vals[i] * x_local[:, None]).reshape(-1),
+                    nodes[i].reshape(-1),
+                    num_segments=self.block,
+                )
+                if k != 0 and D > 1:
+                    perm = [((s - k) % D, s) for s in range(D)]
+                    contrib = lax.ppermute(contrib, self.axis, perm)
+                y = y + contrib
+            return y
+
+        f = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(
+                P(self.axis),
+                tuple(P(self.axis, None) for _ in self.nodes),
+                tuple(P(self.axis, None) for _ in self.vals),
+            ),
+            out_specs=P(self.axis),
+        )
+        return f(x, self.nodes, self.vals)
+
+    # -- vector plumbing --------------------------------------------------------
+    def shard_vector(self, x) -> jax.Array:
+        return distribute_vector(x, self.mesh, self.axis, self.n_pad)
+
+    def unshard_vector(self, x: jax.Array) -> np.ndarray:
+        return undistribute_vector(x, self.n)
+
+    def to_dense(self) -> np.ndarray:
+        d = np.zeros((self.n_pad, self.n_pad))
+        nb = self.block
+        for i, k in enumerate(self.offsets):
+            node = np.asarray(self.nodes[i])
+            val = np.asarray(self.vals[i])
+            D = self.n_shards
+            for d_blk in range(D):
+                sl = slice(d_blk * nb, (d_blk + 1) * nb)
+                cols = node[sl] + ((d_blk + k) % D) * nb
+                np.add.at(d, (np.repeat(np.arange(d_blk * nb, (d_blk + 1) * nb), node.shape[1]), cols.ravel()), val[sl].ravel())
+        return d[: self.n, : self.m]
+
+    def __repr__(self) -> str:
+        return (
+            f"DistributedMatrix(shape={self.shape}, shards={self.n_shards}, "
+            f"offsets={self.offsets}, widths={tuple(v.shape[1] for v in self.vals)})"
+        )
+
+
+def distribute_vector(x, mesh: Mesh, axis: str, n_pad: int) -> jax.Array:
+    """Pad to the sharded length and place with NamedSharding."""
+    x = np.asarray(x)
+    xp = np.zeros((n_pad,) + x.shape[1:], dtype=x.dtype)
+    xp[: x.shape[0]] = x
+    spec = P(axis) if x.ndim == 1 else P(axis, None)
+    return jax.device_put(xp, NamedSharding(mesh, spec))
+
+
+def undistribute_vector(x: jax.Array, n: int) -> np.ndarray:
+    return np.asarray(x)[:n]
+
+
+def distribute_matrix(
+    A: SparseMatrix, mesh: Mesh, axis: str = "rows"
+) -> DistributedMatrix:
+    """Partition a (square-ish) sparse matrix by rows over the mesh axis.
+
+    Host-side symbolic step: pad n to a multiple of D, bucket entries by
+    cyclic block offset, and build one ELL block per present offset with
+    owner-local column indices.
+    """
+    if A.shape[0] != A.shape[1]:
+        raise ValueError("distribute_matrix expects a square matrix")
+    D = mesh.shape[axis]
+    n = A.shape[0]
+    nb = -(-n // D)  # rows per shard
+    n_pad = nb * D
+
+    rows, cols, vals = A.entries()
+    rb, cb = rows // nb, cols // nb
+    k_all = (cb - rb) % D
+    offsets = tuple(int(k) for k in np.unique(k_all))
+
+    nodes, vblocks = [], []
+    for k in offsets:
+        sel = k_all == k
+        r, c, v = rows[sel], cols[sel], vals[sel]
+        c_local = c - (c // nb) * nb
+        # ELL widths per offset: max entries of any row in this offset block
+        cnt = np.zeros(n_pad, dtype=np.int64)
+        np.add.at(cnt, r, 1)
+        w = max(int(cnt.max()), 1)
+        node = np.zeros((n_pad, w), dtype=np.int32)
+        val = np.zeros((n_pad, w), dtype=np.asarray(A.data).dtype)
+        order = np.lexsort((c_local, r))
+        r, c_local, v = r[order], c_local[order], v[order]
+        slot = np.arange(r.size) - np.concatenate([[0], np.cumsum(cnt)[:-1]])[r]
+        node[r, slot] = c_local
+        val[r, slot] = v
+        sh = NamedSharding(mesh, P(axis, None))
+        nodes.append(jax.device_put(node, sh))
+        vblocks.append(jax.device_put(val, sh))
+
+    return DistributedMatrix(
+        nodes=tuple(nodes),
+        vals=tuple(vblocks),
+        offsets=offsets,
+        mesh=mesh,
+        axis=axis,
+        n=n,
+        m=A.shape[1],
+        block=nb,
+    )

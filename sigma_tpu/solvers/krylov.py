@@ -49,7 +49,7 @@ def cg_solve(A, b, x0=None, *, tol=1e-15, rtol=0.0, maxiter=None, M=None):
     (reference default tol 1e-16), iteration counter in the returned info.
     """
     n = A.shape[0]
-    x0 = jnp.zeros(n, dtype=b.dtype) if x0 is None else x0
+    x0 = jnp.zeros_like(b) if x0 is None else x0
     maxiter = 10 * n if maxiter is None else maxiter
     apply_M = _apply(M)
     matvec = A.matvec
@@ -91,7 +91,7 @@ def bicgstab_solve(A, b, x0=None, *, tol=1e-12, rtol=0.0, maxiter=None, M=None):
     omega guard (:163, t = 0 breakdown) is the ``jnp.where`` on omega.
     """
     n = A.shape[0]
-    x0 = jnp.zeros(n, dtype=b.dtype) if x0 is None else x0
+    x0 = jnp.zeros_like(b) if x0 is None else x0
     maxiter = 10 * n if maxiter is None else maxiter
     apply_M = _apply(M)
     matvec = A.matvec
@@ -144,7 +144,7 @@ def gmres_solve(
     per cycle.
     """
     n = A.shape[0]
-    x0 = jnp.zeros(n, dtype=b.dtype) if x0 is None else x0
+    x0 = jnp.zeros_like(b) if x0 is None else x0
     m = min(restart, n)
     maxcycles = (10 * n) // m + 1 if maxiter is None else -(-maxiter // m)
     apply_M = _apply(M)
@@ -206,7 +206,7 @@ def stationary_solve(A, b, M, x0=None, *, steps: int):
     how the reference tests exercise Jacobi / IC(0) as standalone solvers
     (solver_test_jacobi.f90: 10n steps)."""
     n = A.shape[0]
-    x0 = jnp.zeros(n, dtype=b.dtype) if x0 is None else x0
+    x0 = jnp.zeros_like(b) if x0 is None else x0
     apply_M = _apply(M)
 
     def body(_, x):
