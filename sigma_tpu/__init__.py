@@ -12,6 +12,7 @@ This umbrella module re-exports the public API, mirroring
 
 from sigma_tpu.matrix import (
     BSRMatrix,
+    DIAMatrix,
     BlockMatrix,
     PtAPPlan,
     SparseSumPlan,
@@ -54,6 +55,9 @@ from sigma_tpu.eigen import (
     generalized_lanczos,
     lanczos,
 )
+from sigma_tpu.vectors import BlockVector
+from sigma_tpu.utils.util import determinant, init_seed, order
+from sigma_tpu import io
 from sigma_tpu.parallel import (
     DistributedMatrix,
     distribute_matrix,
@@ -63,6 +67,7 @@ from sigma_tpu.parallel import (
 )
 from sigma_tpu.graph import (
     BSRGraph,
+    DIAGraph,
     COOGraph,
     CSCGraph,
     CSRGraph,

@@ -1,6 +1,7 @@
 from sigma_tpu.graph.builder import GraphBuilder
 from sigma_tpu.graph.graph import (
     BSRGraph,
+    DIAGraph,
     COOGraph,
     CSCGraph,
     CSRGraph,
@@ -25,6 +26,7 @@ __all__ = [
     "GraphBuilder",
     "Graph",
     "CSRGraph",
+    "DIAGraph",
     "CSCGraph",
     "COOGraph",
     "ELLGraph",

@@ -16,6 +16,7 @@ from sigma_tpu.graph.graph import (
     COOGraph,
     CSCGraph,
     CSRGraph,
+    DIAGraph,
     ELLGraph,
     Graph,
 )
@@ -39,6 +40,7 @@ GRAPH_FORMATS: dict[str, Type[Graph]] = {
     "ellpack": ELLGraph,
     "cs": CSRGraph,
     "bsr": BSRGraph,
+    "dia": DIAGraph,
 }
 
 num_graph_types = 5  # coo, csr, csc, ell, bsr (test sweeps iterate this)

@@ -506,3 +506,95 @@ class BSRGraph(Graph):
         mask = np.asarray(self.mask).reshape(-1)
         present = hit & mask[np.clip(flat, 0, mask.size - 1)]
         return np.where(present, flat, -1)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True, repr=False)
+class DIAGraph(Graph):
+    """Diagonal (DIA) topology: the sparsity is a set of matrix diagonals.
+
+    Purpose-built for TPU: stencil operators (the reference's solver-test
+    Laplacians, the 3-D north-star operator) have a handful of constant
+    offsets, and a diagonal layout makes SpMV completely **gather-free** —
+    each diagonal contributes ``val_d * x[i + offset_d]``, a statically
+    shifted window, so the kernel is pure multiply-add over contiguous
+    vectors (VPU speed-of-light) with zero index traffic.  No reference
+    analogue (closest: the banded structures of
+    ``test/solver_test_diffusion_1d.f90``); absent formats named in
+    ``README.md:81-87`` motivated adding it.
+
+    Entry (i, j) is present iff ``j - i`` is in ``offsets`` and in-range.
+    Value layout: ``(n_diags, n)``; slot ``(d, i)`` holds A[i, i+offset_d],
+    zero where i+offset_d is out of range.
+    """
+
+    offsets: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+
+    format: ClassVar[str] = "dia"
+
+    @property
+    def n_diags(self) -> int:
+        return len(self.offsets)
+
+    @property
+    def stride(self) -> int:
+        """Row stride of the value layout: n rounded up to a whole number of
+        128-lane vectors, so each diagonal is a clean (stride/128, 128) tile
+        grid on TPU."""
+        return -(-self.shape[0] // 128) * 128
+
+    @classmethod
+    def from_coo(cls, n, m, rows, cols) -> "DIAGraph":
+        n, m = int(n), int(m if m is not None else n)
+        rows = np.asarray(rows, dtype=np.int64).ravel()
+        cols = np.asarray(cols, dtype=np.int64).ravel()
+        offsets = tuple(int(o) for o in np.unique(cols - rows))
+        nnz = sum(
+            max(0, min(n, m - o) - max(0, -o)) for o in offsets
+        )
+        return cls(offsets=offsets, shape=(n, m), nnz=int(nnz))
+
+    def _valid_range(self, o: int) -> Tuple[int, int]:
+        n, m = self.shape
+        return max(0, -o), min(n, m - o)
+
+    def edges_numpy(self):
+        rr, cc = [], []
+        for o in self.offsets:
+            lo, hi = self._valid_range(o)
+            r = np.arange(lo, hi, dtype=np.int64)
+            rr.append(r)
+            cc.append(r + o)
+        if not rr:
+            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+        rows = np.concatenate(rr)
+        cols = np.concatenate(cc)
+        order = np.lexsort((cols, rows))
+        return rows[order], cols[order]
+
+    def degrees_numpy(self) -> np.ndarray:
+        deg = np.zeros(self.shape[0], dtype=np.int64)
+        for o in self.offsets:
+            lo, hi = self._valid_range(o)
+            deg[lo:hi] += 1
+        return deg
+
+    def transpose(self) -> "DIAGraph":
+        return DIAGraph(
+            offsets=tuple(sorted(-o for o in self.offsets)),
+            shape=(self.shape[1], self.shape[0]),
+            nnz=self.nnz,
+        )
+
+    def edge_positions(self, rows, cols) -> np.ndarray:
+        rows = np.asarray(rows, dtype=np.int64).ravel()
+        cols = np.asarray(cols, dtype=np.int64).ravel()
+        offs = np.asarray(self.offsets, dtype=np.int64)
+        n, m = self.shape
+        diff = cols - rows
+        d = np.searchsorted(offs, diff)
+        d_ok = (d < offs.size) & (offs[np.clip(d, 0, offs.size - 1)] == diff)
+        in_range = (rows >= 0) & (rows < n) & (cols >= 0) & (cols < m)
+        return np.where(d_ok & in_range, d * self.stride + rows, -1)

@@ -1,0 +1,127 @@
+"""Persistence: graph/matrix save-load (text + npz) and solver checkpoints.
+
+Reference persistence primitives (write-only, no readers!):
+``write_graph_to_file`` (``/root/reference/src/graph/graph_interfaces.f90:
+406-435``: text "n m ne" header + edge list) and ``sparse_matrix_to_file``
+(``sparse_matrix_interfaces.f90:601-653``: "nrow ncol nnz" + i j v triples).
+Here both directions exist, in two encodings:
+
+* the reference's whitespace text format (round-trips with Fortran output);
+* npz (fast binary, exact dtypes) — the checkpoint/resume subsystem the
+  reference lacks (SURVEY §5): matrices, graphs, and solver state (x vector
+  + iteration metadata) restore bit-exactly.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional, Type, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from sigma_tpu.graph.graph import Graph
+from sigma_tpu.matrix.base import SparseMatrix
+from sigma_tpu.matrix.factory import MATRIX_FORMATS, choose_matrix_type
+
+__all__ = [
+    "write_graph",
+    "read_graph",
+    "write_matrix",
+    "read_matrix",
+    "save_matrix_npz",
+    "load_matrix_npz",
+    "save_checkpoint",
+    "load_checkpoint",
+]
+
+
+def write_graph(g: Graph, path) -> None:
+    """Text "n m ne" + 0-based edge list (``write_graph_to_file``)."""
+    rows, cols = g.edges_numpy()
+    with open(path, "w") as f:
+        f.write(f"{g.shape[0]} {g.shape[1]} {rows.size}\n")
+        for i, j in zip(rows, cols):
+            f.write(f"{i} {j}\n")
+
+
+def read_graph(path, frmt: Union[str, int] = "csr") -> Graph:
+    from sigma_tpu.graph.factory import choose_graph_type
+
+    with open(path) as f:
+        n, m, ne = map(int, f.readline().split())
+        data = np.loadtxt(f, dtype=np.int64, ndmin=2) if ne else np.empty((0, 2), np.int64)
+    if data.shape[0] != ne:
+        raise ValueError(f"expected {ne} edges, read {data.shape[0]}")
+    return choose_graph_type(frmt).from_coo(n, m, data[:, 0], data[:, 1])
+
+
+def write_matrix(A: SparseMatrix, path) -> None:
+    """Text "nrow ncol nnz" + 0-based (i, j, v) triples
+    (``sparse_matrix_to_file``, Matrix-Market-like)."""
+    rows, cols, vals = A.entries()
+    with open(path, "w") as f:
+        f.write(f"{A.shape[0]} {A.shape[1]} {rows.size}\n")
+        for i, j, v in zip(rows, cols, vals):
+            f.write(f"{i} {j} {float(v):.17g}\n")
+
+
+def read_matrix(A_or_path, frmt: Union[str, int] = "csr", dtype=None) -> SparseMatrix:
+    cls = choose_matrix_type(frmt)
+    with open(A_or_path) as f:
+        n, m, ne = map(int, f.readline().split())
+        if ne:
+            data = np.loadtxt(f, ndmin=2)
+        else:
+            data = np.empty((0, 3))
+    if data.shape[0] != ne:
+        raise ValueError(f"expected {ne} entries, read {data.shape[0]}")
+    return cls.from_coo(
+        n, m, data[:, 0].astype(np.int64), data[:, 1].astype(np.int64),
+        data[:, 2], dtype=dtype,
+    )
+
+
+def save_matrix_npz(A: SparseMatrix, path) -> None:
+    """Binary save: COO triples + format tag + dtype; exact round-trip."""
+    rows, cols, vals = A.entries()
+    np.savez_compressed(
+        path,
+        format=np.array(A.format),
+        nrow=np.array(A.shape[0]),
+        ncol=np.array(A.shape[1]),
+        rows=rows,
+        cols=cols,
+        vals=vals,
+    )
+
+
+def load_matrix_npz(path, frmt: Optional[str] = None, dtype=None) -> SparseMatrix:
+    z = np.load(path, allow_pickle=False)
+    name = frmt or str(z["format"])
+    cls = MATRIX_FORMATS[name]
+    return cls.from_coo(
+        int(z["nrow"]), int(z["ncol"]), z["rows"], z["cols"], z["vals"], dtype=dtype
+    )
+
+
+def save_checkpoint(path, x, *, iteration: int = 0, residual: float = 0.0, **extra):
+    """Solver-state checkpoint: iterate + metadata (+ any extra arrays)."""
+    meta = {"iteration": int(iteration), "residual": float(residual)}
+    np.savez_compressed(
+        path,
+        x=np.asarray(x),
+        meta=np.array(json.dumps(meta)),
+        **{k: np.asarray(v) for k, v in extra.items()},
+    )
+
+
+def load_checkpoint(path):
+    """Returns (x, meta_dict, extras_dict)."""
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(str(z["meta"]))
+    extras = {
+        k: z[k] for k in z.files if k not in ("x", "meta")
+    }
+    return jnp.asarray(z["x"]), meta, extras

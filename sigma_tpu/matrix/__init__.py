@@ -15,6 +15,7 @@ from sigma_tpu.matrix.base import SparseMatrix
 from sigma_tpu.matrix.composite import BlockMatrix
 from sigma_tpu.matrix.formats import (
     BSRMatrix,
+    DIAMatrix,
     COOMatrix,
     CSCMatrix,
     CSRMatrix,
@@ -35,6 +36,7 @@ __all__ = [
     "COOMatrix",
     "ELLMatrix",
     "BSRMatrix",
+    "DIAMatrix",
     "MATRIX_FORMATS",
     "num_matrix_types",
     "choose_matrix_type",

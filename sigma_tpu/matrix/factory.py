@@ -14,6 +14,7 @@ from sigma_tpu.matrix.formats import (
     COOMatrix,
     CSCMatrix,
     CSRMatrix,
+    DIAMatrix,
     ELLMatrix,
 )
 
@@ -31,6 +32,7 @@ MATRIX_FORMATS: dict[str, Type[SparseMatrix]] = {
     "ell": ELLMatrix,
     "ellpack": ELLMatrix,
     "bsr": BSRMatrix,
+    "dia": DIAMatrix,
 }
 
 num_matrix_types = 5

@@ -29,10 +29,12 @@ from typing import ClassVar, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import numpy as np
 
 from sigma_tpu.graph.graph import (
     BSRGraph,
+    DIAGraph,
     COOGraph,
     CSCGraph,
     CSRGraph,
@@ -40,7 +42,7 @@ from sigma_tpu.graph.graph import (
 )
 from sigma_tpu.matrix.base import SparseMatrix
 
-__all__ = ["CSRMatrix", "CSCMatrix", "COOMatrix", "ELLMatrix", "BSRMatrix"]
+__all__ = ["CSRMatrix", "CSCMatrix", "COOMatrix", "ELLMatrix", "BSRMatrix", "DIAMatrix"]
 
 
 def _segment_sum(vals, ids, n):
@@ -328,3 +330,117 @@ class BSRMatrix(SparseMatrix):
         )
         Y = jnp.zeros((g.nb_cols, bw, k), dtype=Yb.dtype).at[g.indices].add(Yb)
         return Y.reshape(-1, k)[: g.shape[1]]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True, repr=False)
+class DIAMatrix(SparseMatrix):
+    """Diagonal-format matrix: ``data[d, i]`` = A[i, i + offset_d].
+
+    The TPU-native stencil format (no reference analogue; see
+    :class:`sigma_tpu.graph.graph.DIAGraph`).  SpMV is **gather-free**:
+    pad x once, then one statically-shifted contiguous window
+    multiply-add per diagonal — no index array is even stored, so the
+    HBM traffic per nonzero is value + x-read only, below what any
+    indexed format can reach.  Out-of-range slots hold value 0.
+    """
+
+    graph: "DIAGraph"
+    data: jax.Array  # (n_diags, stride), stride = n rounded up to 128
+
+    format: ClassVar[str] = "dia"
+    is_get_row_fast: ClassVar[bool] = True
+    is_get_column_fast: ClassVar[bool] = True
+
+    @classmethod
+    def _graph_class(cls):
+        from sigma_tpu.graph.graph import DIAGraph
+
+        return DIAGraph
+
+    @classmethod
+    def _data_shape(cls, graph):
+        return (graph.n_diags, graph.stride)
+
+    def _window(self, x, o: int, length: int, total: int):
+        """Zero-padded window x[o : o + length] padded to ``total`` — built
+        by concatenation (not one shared padded buffer): XLA fuses the
+        concats into the consuming FMA, whereas a shared materialized pad
+        becomes an extra full pass over HBM (measured 3x slower)."""
+        m = x.shape[0]
+        lo, hi = max(0, o), min(m, length + o)
+        parts = []
+        if hi <= lo:
+            return jnp.zeros((total,) + x.shape[1:], dtype=x.dtype)
+        left = lo - o
+        right = total - (left + hi - lo)
+        if left:
+            parts.append(jnp.zeros((left,) + x.shape[1:], dtype=x.dtype))
+        parts.append(x[lo:hi])
+        if right:
+            parts.append(jnp.zeros((right,) + x.shape[1:], dtype=x.dtype))
+        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    def matvec(self, x):
+        """Gather-free SpMV at HBM speed-of-light: per diagonal, a shifted
+        contiguous window FMA in (stride/128, 128) tile layout (measured
+        ~92% of v5e HBM bandwidth; see bench.py)."""
+        n, m = self.shape
+        offs = self.graph.offsets
+        if not offs:
+            return jnp.zeros((n,), dtype=x.dtype)
+        s = self.graph.stride
+        y2 = jnp.zeros((s // 128, 128), dtype=x.dtype)
+        for d, o in enumerate(offs):
+            w = self._window(x, o, n, s).reshape(s // 128, 128)
+            y2 = y2 + self.data[d].reshape(s // 128, 128).astype(x.dtype) * w
+        return y2.reshape(-1)[:n]
+
+    def rmatvec(self, x):
+        """Transpose: y[i+o] += data[d, i] * x[i] — same windows, with the
+        product shifted by -o into the output frame."""
+        n, m = self.shape
+        offs = self.graph.offsets
+        if not offs:
+            return jnp.zeros((m,), dtype=x.dtype)
+        s = -(-m // 128) * 128
+        y2 = jnp.zeros((s // 128, 128), dtype=x.dtype)
+        for d, o in enumerate(offs):
+            z = self.data[d, :n].astype(x.dtype) * x
+            w = self._window(z, -o, m, s).reshape(s // 128, 128)
+            y2 = y2 + w
+        return y2.reshape(-1)[:m]
+
+    def matmat(self, X):
+        n, m = self.shape
+        offs = self.graph.offsets
+        k = X.shape[1]
+        if not offs:
+            return jnp.zeros((n, k), dtype=X.dtype)
+        Y = jnp.zeros((n, k), dtype=X.dtype)
+        for d, o in enumerate(offs):
+            W = self._window(X, o, n, n)
+            Y = Y + self.data[d, :n, None].astype(X.dtype) * W
+        return Y
+
+    def rmatmat(self, X):
+        n, m = self.shape
+        offs = self.graph.offsets
+        k = X.shape[1]
+        if not offs:
+            return jnp.zeros((m, k), dtype=X.dtype)
+        Y = jnp.zeros((m, k), dtype=X.dtype)
+        for d, o in enumerate(offs):
+            Z = self.data[d, :n, None].astype(X.dtype) * X
+            Y = Y + self._window(Z, -o, m, m)
+        return Y
+
+    @property
+    def offsets(self):
+        return self.graph.offsets
+
+    def diagonal(self) -> jax.Array:
+        if 0 in self.graph.offsets:
+            d = self.graph.offsets.index(0)
+            return self.data[d, : min(self.shape)]
+        return jnp.zeros((min(self.shape),), dtype=self.dtype)

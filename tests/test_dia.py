@@ -1,0 +1,145 @@
+"""DIA (diagonal) format tests — the TPU-native gather-free stencil layout.
+
+No reference analogue (README.md:81-87 lists missing formats); correctness
+is pinned the reference way: dense-mirror oracles over random shapes plus
+solver integration.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sigma_tpu import CSRMatrix, DIAMatrix, convert_matrix
+from sigma_tpu.graph import DIAGraph
+from sigma_tpu.solvers import cg_solve
+
+TOL = 1e-13
+
+
+def random_banded(rng, n, m, offsets):
+    d = np.zeros((n, m))
+    for o in offsets:
+        i = np.arange(max(0, -o), min(n, m - o))
+        d[i, i + o] = rng.standard_normal(i.size)
+    return d
+
+
+@pytest.mark.parametrize("shape", [(40, 40), (5, 9), (9, 5), (130, 130), (257, 64)])
+def test_dense_mirror_ops(rng, shape):
+    n, m = shape
+    dA = np.where(rng.random((n, m)) < 0.25, rng.standard_normal((n, m)), 0.0)
+    A = DIAMatrix.from_dense(dA)
+    assert np.max(np.abs(A.to_dense() - dA)) < TOL
+    x = rng.standard_normal(m)
+    xt = rng.standard_normal(n)
+    assert np.max(np.abs(np.asarray(A.matvec(jnp.asarray(x))) - dA @ x)) < TOL
+    assert np.max(np.abs(np.asarray(A.rmatvec(jnp.asarray(xt))) - dA.T @ xt)) < TOL
+    X = rng.standard_normal((m, 3))
+    Xt = rng.standard_normal((n, 3))
+    assert np.max(np.abs(np.asarray(A.matmat(jnp.asarray(X))) - dA @ X)) < TOL
+    assert np.max(np.abs(np.asarray(A.rmatmat(jnp.asarray(Xt))) - dA.T @ Xt)) < TOL
+
+
+def test_graph_semantics(rng):
+    """DIA stores whole diagonals: presence = offset membership + range."""
+    g = DIAGraph.from_coo(6, 6, [0, 3], [1, 4])  # single offset +1
+    assert g.offsets == (1,)
+    assert g.nnz == 5  # the full superdiagonal
+    assert g.has_edge(2, 3) and not g.has_edge(0, 0)
+    rows, cols = g.edges_numpy()
+    assert (cols - rows == 1).all()
+    assert g.stride == 128
+
+
+def test_stride_layout(rng):
+    """Value layout is (n_diags, stride) with stride = ceil(n/128)*128 and
+    positions d*stride + i."""
+    n = 200
+    dA = random_banded(rng, n, n, [-1, 0, 2])
+    A = DIAMatrix.from_dense(dA)
+    assert A.graph.stride == 256
+    assert A.data.shape == (3, 256)
+    i, j = 57, 59  # offset +2
+    pos = A.graph.edge_positions([i], [j])[0]
+    d = A.graph.offsets.index(2)
+    assert pos == d * 256 + i
+    assert abs(A.get_value(i, j) - dA[i, j]) < TOL
+
+
+def test_set_add_values(rng):
+    n = 50
+    dA = random_banded(rng, n, n, [-2, 0, 1])
+    A = DIAMatrix.from_dense(dA)
+    ii = np.array([3, 10, 20])
+    jj = np.array([1, 10, 21])  # on offsets -2, 0, +1
+    A2 = A.set_values(ii, jj, [5.0, 6.0, 7.0])
+    assert np.allclose(A2.get_values(ii, jj), [5.0, 6.0, 7.0])
+    A3 = A2.add_values(ii, jj, [1.0, 1.0, 1.0])
+    assert np.allclose(A3.get_values(ii, jj), [6.0, 7.0, 8.0])
+
+
+def test_fill_in_new_diagonal(rng):
+    """Setting an entry off the stored offsets rebuilds with a new diagonal
+    (the structural fill-in path)."""
+    n = 30
+    A = DIAMatrix.from_dense(np.eye(n))
+    assert A.graph.offsets == (0,)
+    A2 = A.set_values([4], [7], [2.5])
+    assert 3 in A2.graph.offsets
+    assert abs(A2.get_value(4, 7) - 2.5) < TOL
+    assert abs(A2.get_value(9, 9) - 1.0) < TOL
+
+
+def test_transpose_and_permute(rng):
+    n = 64
+    dA = random_banded(rng, n, n, [-3, 0, 5])
+    A = DIAMatrix.from_dense(dA)
+    assert np.max(np.abs(A.transpose_matrix().to_dense() - dA.T)) < TOL
+    assert A.graph.transpose().offsets == (-5, 0, 3)
+
+
+def test_conversion_roundtrip(rng):
+    n = 48
+    dA = random_banded(rng, n, n, [-1, 0, 1, 8])
+    A = CSRMatrix.from_dense(dA)
+    D = convert_matrix(A, "dia")
+    assert isinstance(D, DIAMatrix)
+    assert np.max(np.abs(D.to_dense() - dA)) < TOL
+    back = convert_matrix(D, "csr")
+    assert np.max(np.abs(back.to_dense() - dA)) < TOL
+
+
+def test_tridiagonal_cg(rng):
+    """solver_test_diffusion_1d in DIA: n=127 tridiagonal Laplacian, CG,
+    exact parabola oracle, err < 1e-14 (the reference's tolerance)."""
+    n = 127
+    h = 1.0 / (n + 1)
+    dA = (2 * np.eye(n) - np.eye(n, k=1) - np.eye(n, k=-1)) / h
+    A = DIAMatrix.from_dense(dA)
+    xg = np.linspace(h, 1 - h, n)
+    b = np.full(n, 2.0 * h)
+    u_exact = xg * (1 - xg)
+    x, info = cg_solve(A, jnp.asarray(b), tol=1e-16)
+    assert np.max(np.abs(np.asarray(x) - u_exact)) < 1e-14
+
+
+def test_jit_and_grad(rng):
+    n = 64
+    dA = random_banded(rng, n, n, [-1, 0, 1])
+    A = DIAMatrix.from_dense(dA)
+    x = jnp.asarray(rng.standard_normal(n))
+    y = jax.jit(lambda M, v: M.matvec(v))(A, x)
+    assert np.max(np.abs(np.asarray(y) - dA @ np.asarray(x))) < TOL
+    # matvec is differentiable through the pytree
+    g = jax.grad(lambda d: jnp.sum(A.with_data(d).matvec(x)))(A.data)
+    assert g.shape == A.data.shape
+
+
+def test_diagonal_extraction(rng):
+    n = 33
+    dA = random_banded(rng, n, n, [-1, 0, 4])
+    A = DIAMatrix.from_dense(dA)
+    assert np.max(np.abs(np.asarray(A.diagonal()) - np.diag(dA))) < TOL
+    B = DIAMatrix.from_dense(np.diag(np.ones(n - 1), 1))  # no main diagonal
+    assert np.max(np.abs(np.asarray(B.diagonal()))) == 0.0
