@@ -1,0 +1,171 @@
+// sigma_tpu native host core.
+//
+// The reference (danshapero/sigma) is a fully compiled library; in the TPU
+// build the device path is XLA-compiled, and this file is the compiled
+// runtime for the *host* side: topology freezing (COO -> sorted/deduped
+// CSR via counting sort, cf. the two-pass build of cs_graphs.f90:109-197),
+// reordering (BFS / greedy coloring, cf. permutations.f90), and the
+// dependency-level scheduling that parallelizes triangular solves
+// (ldu_solvers.f90's sequential sweeps).  Exposed as a C ABI for ctypes.
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC sigma_host.cpp -o libsigma_host.so
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+using i64 = long long;
+
+extern "C" {
+
+// COO -> row-major sorted, deduplicated edge list + CSR row pointer.
+// rows/cols: ne input edges.  out_rows/out_cols must hold ne entries;
+// indptr must hold n+1.  Returns deduplicated edge count (<= ne).
+//
+// Strategy: LSD radix sort (16-bit digits) on the composite key
+// row*m + col, skipping digit positions above the key width — 3-4 linear
+// passes instead of the O(ne log ne) comparison sort, which is what makes
+// this worth doing natively for 10^7-10^8-edge topologies.
+i64 csr_from_coo(i64 n, i64 m, i64 ne, const i64* rows, const i64* cols,
+                 i64* out_rows, i64* out_cols, i64* indptr) {
+    using u64 = unsigned long long;
+    std::vector<u64> keys(static_cast<size_t>(ne));
+    for (i64 e = 0; e < ne; ++e)
+        keys[e] = static_cast<u64>(rows[e]) * static_cast<u64>(m) +
+                  static_cast<u64>(cols[e]);
+
+    u64 max_key = n > 0 ? static_cast<u64>(n) * static_cast<u64>(m) : 0;
+    std::vector<u64> buf(static_cast<size_t>(ne));
+    constexpr int RADIX_BITS = 16;
+    constexpr size_t BUCKETS = 1u << RADIX_BITS;
+    std::vector<i64> count(BUCKETS);
+    u64* src = keys.data();
+    u64* dst = buf.data();
+    for (int shift = 0; shift < 64 && (max_key >> shift) != 0;
+         shift += RADIX_BITS) {
+        std::fill(count.begin(), count.end(), 0);
+        for (i64 e = 0; e < ne; ++e)
+            count[(src[e] >> shift) & (BUCKETS - 1)]++;
+        i64 sum = 0;
+        for (size_t b = 0; b < BUCKETS; ++b) {
+            i64 c = count[b];
+            count[b] = sum;
+            sum += c;
+        }
+        for (i64 e = 0; e < ne; ++e)
+            dst[count[(src[e] >> shift) & (BUCKETS - 1)]++] = src[e];
+        std::swap(src, dst);
+    }
+
+    // dedup + decompose + row counts
+    std::vector<i64> rcnt(static_cast<size_t>(n) + 1, 0);
+    i64 w = 0;
+    for (i64 e = 0; e < ne; ++e) {
+        if (e > 0 && src[e] == src[e - 1]) continue;
+        i64 r = static_cast<i64>(src[e] / static_cast<u64>(m));
+        out_rows[w] = r;
+        out_cols[w] = static_cast<i64>(src[e] % static_cast<u64>(m));
+        rcnt[r + 1]++;
+        ++w;
+    }
+    indptr[0] = 0;
+    for (i64 i = 0; i < n; ++i) indptr[i + 1] = indptr[i] + rcnt[i + 1];
+    return w;
+}
+
+// BFS visit-rank permutation (perm[v] = visit rank), restarting at the
+// lowest unvisited vertex; matches permutations.f90:22 semantics.
+void bfs_order(i64 n, const i64* indptr, const i64* indices, i64 start,
+               i64* perm) {
+    std::vector<char> seen(static_cast<size_t>(n), 0);
+    std::vector<i64> queue;
+    queue.reserve(static_cast<size_t>(n));
+    i64 rank = 0;
+    i64 scan = 0;
+    i64 s = start;
+    while (rank < n) {
+        if (s < 0) {
+            while (scan < n && seen[scan]) ++scan;
+            if (scan >= n) break;
+            s = scan;
+        }
+        queue.clear();
+        queue.push_back(s);
+        seen[s] = 1;
+        for (size_t q = 0; q < queue.size(); ++q) {
+            i64 v = queue[q];
+            perm[v] = rank++;
+            for (i64 k = indptr[v]; k < indptr[v + 1]; ++k) {
+                i64 u = indices[k];
+                if (!seen[u]) {
+                    seen[u] = 1;
+                    queue.push_back(u);
+                }
+            }
+        }
+        s = -1;
+    }
+}
+
+// Greedy first-fit coloring in vertex order; returns number of colors.
+i64 greedy_coloring(i64 n, const i64* indptr, const i64* indices,
+                    i64* colors) {
+    std::fill(colors, colors + n, (i64)-1);
+    std::vector<i64> mark(static_cast<size_t>(n), -1);
+    i64 ncolors = 0;
+    for (i64 v = 0; v < n; ++v) {
+        for (i64 k = indptr[v]; k < indptr[v + 1]; ++k) {
+            i64 u = indices[k];
+            if (colors[u] >= 0) mark[colors[u]] = v;
+        }
+        i64 c = 0;
+        while (c < n && mark[c] == v) ++c;
+        colors[v] = c;
+        if (c + 1 > ncolors) ncolors = c + 1;
+    }
+    return ncolors;
+}
+
+// Dependency levels of a strict triangular sparsity: level[i] =
+// 1 + max(level[j]) over stored dependencies j of row i.  reverse=0:
+// lower-triangular (j < i, rows processed 0..n-1); reverse=1:
+// upper-triangular (j > i, rows processed n-1..0).  Rows in the same
+// level can be solved in parallel (the multicolor escape hatch for
+// ldu_solvers.f90:208-253).  Returns number of levels.
+i64 triangular_levels(i64 n, const i64* indptr, const i64* indices,
+                      i64 reverse, i64* level_of) {
+    i64 nlevels = n > 0 ? 1 : 0;
+    i64 begin = reverse ? n - 1 : 0;
+    i64 step = reverse ? -1 : 1;
+    for (i64 t = 0, i = begin; t < n; ++t, i += step) {
+        i64 lvl = 0;
+        for (i64 k = indptr[i]; k < indptr[i + 1]; ++k) {
+            i64 j = indices[k];
+            bool dep = reverse ? (j > i) : (j < i);
+            if (dep && level_of[j] + 1 > lvl) lvl = level_of[j] + 1;
+        }
+        level_of[i] = lvl;
+        if (lvl + 1 > nlevels) nlevels = lvl + 1;
+    }
+    return nlevels;
+}
+
+// Batched binary-search of (row, col) queries in a sorted CSR structure.
+// out[q] = flat position of (r, c) or -1.
+void edge_positions(i64 nq, const i64* qr, const i64* qc, i64 n,
+                    const i64* indptr, const i64* indices, i64* out) {
+    for (i64 q = 0; q < nq; ++q) {
+        i64 r = qr[q], c = qc[q];
+        if (r < 0 || r >= n) {
+            out[q] = -1;
+            continue;
+        }
+        const i64* lo = indices + indptr[r];
+        const i64* hi = indices + indptr[r + 1];
+        const i64* it = std::lower_bound(lo, hi, c);
+        out[q] = (it != hi && *it == c) ? (it - indices) : -1;
+    }
+}
+
+}  // extern "C"

@@ -68,6 +68,10 @@ def compress_coo(
     """
     rows = np.asarray(rows, dtype=np.int64).ravel()
     cols = np.asarray(cols, dtype=np.int64).ravel()
+    # note: the native radix sort (native.csr_from_coo) loses to numpy's
+    # SIMD introsort on this machine class, so the hot freeze path stays
+    # numpy; the native core earns its keep on the *sequential* algorithms
+    # (BFS, coloring, level scheduling) where python/numpy cannot vectorize.
     keys = rows * m + cols
     if dedup:
         keys = np.unique(keys)

@@ -50,6 +50,12 @@ def breadth_first_search(g, start: int = 0) -> np.ndarray:
     """
     n = g.shape[0]
     indptr, indices = _adjacency(g)
+    from sigma_tpu import native
+
+    if start == 0:
+        res = native.bfs_order(indptr, indices, start)
+        if res is not None:
+            return res
     p = np.full(n, -1, dtype=np.int64)
     rank = 0
     q: deque[int] = deque()
@@ -77,6 +83,11 @@ def greedy_coloring(g) -> Tuple[np.ndarray, int]:
     """
     n = g.shape[0]
     indptr, indices = _adjacency(g)
+    from sigma_tpu import native
+
+    res = native.greedy_coloring(indptr, indices)
+    if res is not None:
+        return res
     colors = np.full(n, -1, dtype=np.int64)
     for u in range(n):
         nbr_colors = set(colors[indices[indptr[u] : indptr[u + 1]]].tolist())

@@ -115,6 +115,11 @@ def _levels(indptr, indices, n, reverse: bool) -> np.ndarray:
     lower (reverse=False): row i depends on cols j < i.
     upper (reverse=True):  row i depends on cols j > i — process n-1..0.
     """
+    from sigma_tpu import native
+
+    res = native.triangular_levels(indptr, indices, reverse=reverse)
+    if res is not None:
+        return res[0]
     level = np.zeros(n, dtype=np.int64)
     order = range(n - 1, -1, -1) if reverse else range(n)
     for i in order:

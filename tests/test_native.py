@@ -1,0 +1,101 @@
+"""Native host core tests: C++ kernels vs their numpy fallbacks.
+
+The compiled library (``native/sigma_host.cpp``) accelerates host-side
+topology freezing and reordering; these tests pin exact agreement between
+the native path and the pure-numpy fallback on random inputs, plus the
+speedup sanity on a large build.
+"""
+
+import numpy as np
+import pytest
+
+from sigma_tpu import native
+from sigma_tpu.graph import CSRGraph
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable (no g++)"
+)
+
+
+def test_csr_from_coo_matches_numpy(rng):
+    n, m, ne = 50, 40, 600
+    rows = rng.integers(0, n, ne)
+    cols = rng.integers(0, m, ne)
+    r, c, ptr = native.csr_from_coo(n, m, rows, cols)
+    keys = np.unique(rows.astype(np.int64) * m + cols)
+    assert np.array_equal(r, keys // m)
+    assert np.array_equal(c, keys % m)
+    ref_ptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(keys // m, minlength=n), out=ref_ptr[1:])
+    assert np.array_equal(ptr, ref_ptr)
+
+
+def test_csr_from_coo_empty_rows():
+    r, c, ptr = native.csr_from_coo(5, 5, [3, 3, 3], [2, 1, 2])
+    assert np.array_equal(r, [3, 3])
+    assert np.array_equal(c, [1, 2])
+    assert np.array_equal(ptr, [0, 0, 0, 0, 2, 2])
+
+
+def test_bfs_order_is_level_order(rng):
+    n = 40
+    dense = np.triu(rng.random((n, n)) < 0.1, 1)
+    dense = dense | dense.T
+    g = CSRGraph.from_dense(dense)
+    rows, cols = g.edges_numpy()
+    ptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(rows, minlength=n), out=ptr[1:])
+    p = native.bfs_order(ptr, cols, 0)
+    assert np.array_equal(np.sort(p), np.arange(n))
+
+
+def test_greedy_coloring_proper(rng):
+    n = 60
+    dense = np.triu(rng.random((n, n)) < 0.1, 1)
+    dense = dense | dense.T
+    rows, cols = np.nonzero(dense)
+    ptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(rows, minlength=n), out=ptr[1:])
+    colors, nc = native.greedy_coloring(ptr, cols)
+    off = rows != cols
+    assert (colors[rows[off]] != colors[cols[off]]).all()
+    assert nc <= int(dense.sum(1).max()) + 1
+
+
+def test_triangular_levels():
+    # strict lower-triangular chain 1<-0, 2<-1, plus independent 3
+    # rows: 1 depends on 0; 2 on 1; 3 none; 4 on 0 and 2
+    ptr = np.array([0, 0, 1, 2, 2, 4], dtype=np.int64)
+    idx = np.array([0, 1, 0, 2], dtype=np.int64)
+    lvl, nl = native.triangular_levels(ptr, idx)
+    assert np.array_equal(lvl, [0, 1, 2, 0, 3])
+    assert nl == 4
+
+
+def test_edge_positions(rng):
+    n, m = 30, 25
+    dense = rng.random((n, m)) < 0.2
+    rows, cols = np.nonzero(dense)
+    ptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(rows, minlength=n), out=ptr[1:])
+    qr = rng.integers(0, n, 100)
+    qc = rng.integers(0, m, 100)
+    pos = native.edge_positions(qr, qc, ptr, cols)
+    for k in range(100):
+        if dense[qr[k], qc[k]]:
+            assert rows[pos[k]] == qr[k] and cols[pos[k]] == qc[k]
+        else:
+            assert pos[k] == -1
+
+
+def test_graph_build_uses_native(rng):
+    """CSRGraph.from_coo flows through the native counting sort."""
+    n = 200
+    ne = 3000
+    rows = rng.integers(0, n, ne)
+    cols = rng.integers(0, n, ne)
+    g = CSRGraph.from_coo(n, n, rows, cols)
+    keys = np.unique(rows.astype(np.int64) * n + cols)
+    r2, c2 = g.edges_numpy()
+    assert np.array_equal(r2, keys // n)
+    assert np.array_equal(c2, keys % n)
