@@ -1,0 +1,155 @@
+"""Graph generators (the media for the Ising / walk apps).
+
+Mirrors ``/root/reference/apps/regular_graphs.f90`` (``torus:12``,
+``petersen:41``, ``flower_snark:70``, ``hypercube:133``) and
+``random_graphs.f90`` (``erdos_renyi:16``, ``watts_strogatz:49``,
+``barabasi_albert:127``) — re-expressed as vectorized numpy edge-list
+constructions (0-based) that freeze directly into any topology format.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from sigma_tpu.graph.factory import build_graph
+
+__all__ = [
+    "torus",
+    "petersen",
+    "flower_snark",
+    "hypercube",
+    "erdos_renyi",
+    "watts_strogatz",
+    "barabasi_albert",
+    "named_graph",
+]
+
+
+def _freeze(n, rows, cols, frmt):
+    sym_rows = np.concatenate([rows, cols])  # symmetrize
+    sym_cols = np.concatenate([cols, rows])
+    from sigma_tpu.graph.factory import choose_graph_type
+
+    return choose_graph_type(frmt).from_coo(n, n, sym_rows, sym_cols)
+
+
+def torus(nx: int, ny: int, frmt="csr"):
+    """2-torus grid: each (x, y) joined to (x, y+1) and (x+1, y) mod sizes."""
+    x, y = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+    i = (x * ny + y).ravel()
+    right = (x * ny + (y + 1) % ny).ravel()
+    down = (((x + 1) % nx) * ny + y).ravel()
+    rows = np.concatenate([i, i])
+    cols = np.concatenate([right, down])
+    return _freeze(nx * ny, rows, cols, frmt)
+
+
+def petersen(n: int, k: int, frmt="csr"):
+    """Generalized Petersen graph GP(n, k): outer cycle, spokes, inner
+    k-step cycle."""
+    i = np.arange(n)
+    rows = np.concatenate([i, i, i + n])
+    cols = np.concatenate([(i + 1) % n, i + n, (i + k) % n + n])
+    return _freeze(2 * n, rows, cols, frmt)
+
+
+def flower_snark(n: int, frmt="csr"):
+    """Flower snark J_n on 4n vertices: n stars (A_k center; B, C, D leaves),
+    B-cycle, C-path and D-path cross-linked at the ends."""
+    k = np.arange(n)
+    A, B, C, D = 4 * k, 4 * k + 1, 4 * k + 2, 4 * k + 3
+    rows = [A, A, A]  # star edges
+    cols = [B, C, D]
+    rows.append(B)  # B cycle
+    cols.append(np.roll(B, -1))
+    rows.append(C[:-1])  # C path
+    cols.append(C[1:])
+    rows.append(D[:-1])  # D path
+    cols.append(D[1:])
+    rows.append(np.array([C[-1], D[-1]]))  # cross links C_n-D_1, D_n-C_1
+    cols.append(np.array([D[0], C[0]]))
+    return _freeze(4 * n, np.concatenate(rows), np.concatenate(cols), frmt)
+
+
+def hypercube(k: int, frmt="csr"):
+    """k-dimensional hypercube on 2^k vertices: i ~ i xor 2^b."""
+    n = 2**k
+    i = np.repeat(np.arange(n), k)
+    b = np.tile(np.arange(k), n)
+    j = i ^ (1 << b)
+    return _freeze(n, i, j, frmt)
+
+
+def erdos_renyi(n: int, p: float, rng=None, frmt="csr"):
+    """G(n, p): each unordered pair independently with probability p."""
+    rng = rng or np.random.default_rng()
+    mask = np.triu(rng.random((n, n)) < p, 1)
+    rows, cols = np.nonzero(mask)
+    return _freeze(n, rows, cols, frmt)
+
+
+def watts_strogatz(n: int, k: int, p: float, rng=None, frmt="csr"):
+    """Small-world: ring with k forward neighbors, each edge rewired with
+    probability p to a uniform non-duplicate endpoint."""
+    rng = rng or np.random.default_rng()
+    i = np.repeat(np.arange(n), k)
+    j = (i + np.tile(np.arange(1, k + 1), n)) % n
+    edges = set(zip(i.tolist(), j.tolist())) | set(zip(j.tolist(), i.tolist()))
+    rewire = rng.random(i.size) < p
+    for e in np.nonzero(rewire)[0]:
+        a, b = int(i[e]), int(j[e])
+        edges.discard((a, b))
+        edges.discard((b, a))
+        l = b
+        while l == b or l == a or (a, l) in edges:
+            l = int(rng.integers(n))
+        edges.add((a, l))
+        edges.add((l, a))
+    arr = np.array(sorted(edges), dtype=np.int64).reshape(-1, 2)
+    from sigma_tpu.graph.factory import choose_graph_type
+
+    return choose_graph_type(frmt).from_coo(n, n, arr[:, 0], arr[:, 1])
+
+
+def barabasi_albert(n: int, k: int, rng=None, frmt="csr"):
+    """Scale-free preferential attachment: new vertices attach k edges with
+    probability proportional to current degree."""
+    rng = rng or np.random.default_rng()
+    deg = np.zeros(n, dtype=np.int64)
+    rows, cols = [], []
+    for i in range(k - 1):  # seed path
+        rows.append(i)
+        cols.append(i + 1)
+        deg[i] += 1
+        deg[i + 1] += 1
+    for i in range(k, n):
+        w = deg[:i].astype(float)
+        tot = w.sum()
+        probs = np.full(i, 1.0 / i) if tot == 0 else w / tot
+        targets = rng.choice(i, size=min(k, i), replace=False, p=probs)
+        for j in targets:
+            rows.append(i)
+            cols.append(int(j))
+            deg[i] += 1
+            deg[j] += 1
+    return _freeze(n, np.array(rows), np.array(cols), frmt)
+
+
+def named_graph(name: str, n: int, k: int, p: float = 0.25, rng=None, frmt="csr"):
+    """Dispatch by the reference apps' ``--graph`` names (``ising.f90:68-110``)."""
+    name = name.lower().replace("_", "-")
+    if name == "torus":
+        return torus(n, k, frmt)
+    if name == "petersen":
+        return petersen(n, k, frmt)
+    if name in ("snark", "flower-snark", "flowersnark"):
+        return flower_snark(n, frmt)
+    if name == "hypercube":
+        return hypercube(min(n, 10), frmt)
+    if name in ("erdos-renyi", "erdosrenyi", "er"):
+        return erdos_renyi(n, k / n, rng, frmt)
+    if name in ("watts-strogatz", "wattsstrogatz", "ws", "small-world", "smallworld"):
+        return watts_strogatz(n, k, p, rng, frmt)
+    if name in ("barabasi-albert", "barabasialbert", "ba", "scale-free", "scalefree"):
+        return barabasi_albert(n, k, rng, frmt)
+    raise ValueError(f"unknown graph family {name!r}")
