@@ -57,7 +57,7 @@ from sigma_tpu.eigen import (
 )
 from sigma_tpu.vectors import BlockVector
 from sigma_tpu.utils.util import determinant, init_seed, order
-from sigma_tpu import io
+from sigma_tpu import fem, io
 from sigma_tpu.parallel import (
     DistributedMatrix,
     distribute_matrix,
