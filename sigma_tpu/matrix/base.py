@@ -140,6 +140,26 @@ class SparseMatrix(LinearOperator):
     def get_value(self, i: int, j: int) -> float:
         return float(self.get_values([i], [j])[0])
 
+    def get_row(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(column indices, values) of row i — the ``get_row`` slice
+        accessor (``sparse_matrix_interfaces.f90`` deferred accessors;
+        O(deg) for row-fast formats, O(nnz) otherwise)."""
+        rows, cols, vals = self.entries()
+        sel = rows == i
+        return cols[sel], vals[sel]
+
+    def get_column(self, j: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(row indices, values) of column j (``get_column`` accessor)."""
+        rows, cols, vals = self.entries()
+        sel = cols == j
+        return rows[sel], vals[sel]
+
+    def row_degree(self, i: int) -> int:
+        """Stored entries in row i (``get_row_degree``)."""
+        return int(self.graph.degree(i)) if hasattr(self.graph, "degree") else len(
+            self.get_row(i)[0]
+        )
+
     def diagonal(self) -> jax.Array:
         k = min(self.shape)
         idx = np.arange(k)

@@ -31,6 +31,10 @@ class SolveInfo(NamedTuple):
     iterations: jax.Array  # int32
     residual_norm: jax.Array
     converged: jax.Array  # bool
+    history: Optional[jax.Array] = None  # (maxiter,) per-iteration residual
+    # norms when the solve was called with history=True (NaN beyond the
+    # final iteration); None otherwise.  The observability surface the
+    # reference lacks (SURVEY §5).
 
 
 def _identity_apply(x):
@@ -41,12 +45,16 @@ def _apply(M):
     return M.matvec if M is not None else _identity_apply
 
 
-def cg_solve(A, b, x0=None, *, tol=1e-15, rtol=0.0, maxiter=None, M=None):
+def cg_solve(
+    A, b, x0=None, *, tol=1e-15, rtol=0.0, maxiter=None, M=None, history=False
+):
     """Preconditioned conjugate gradients (SPD A).
 
     Mirrors ``cg_solve``/``cg_solve_pc`` (cg_solvers.f90:116-194): left
     preconditioning with z = M^{-1} r, absolute residual-norm stopping rule
     (reference default tol 1e-16), iteration counter in the returned info.
+    ``history=True`` additionally records the residual norm after every
+    iteration into ``info.history``.
     """
     n = A.shape[0]
     x0 = jnp.zeros_like(b) if x0 is None else x0
@@ -59,13 +67,16 @@ def cg_solve(A, b, x0=None, *, tol=1e-15, rtol=0.0, maxiter=None, M=None):
     z0 = apply_M(r0)
     rho0 = jnp.vdot(r0, z0)
     res0 = jnp.vdot(r0, r0)
+    hist0 = (
+        jnp.full((int(maxiter),), jnp.nan, dtype=b.dtype) if history else None
+    )
 
     def cond(state):
-        _, _, _, _, _, res2, k = state
+        _, _, _, _, _, res2, k, _ = state
         return (jnp.sqrt(res2) > tol_eff) & (k < maxiter)
 
     def body(state):
-        x, r, z, p, rho, _, k = state
+        x, r, z, p, rho, _, k, hist = state
         q = matvec(p)
         alpha = rho / jnp.vdot(p, q)
         x = x + alpha * p
@@ -74,16 +85,23 @@ def cg_solve(A, b, x0=None, *, tol=1e-15, rtol=0.0, maxiter=None, M=None):
         rho_new = jnp.vdot(r, z)
         beta = rho_new / rho
         p = z + beta * p
-        return (x, r, z, p, rho_new, jnp.vdot(r, r), k + 1)
+        res2 = jnp.vdot(r, r)
+        if hist is not None:
+            hist = hist.at[k].set(jnp.sqrt(res2))
+        return (x, r, z, p, rho_new, res2, k + 1, hist)
 
-    x, r, _, _, _, res2, k = lax.while_loop(
-        cond, body, (x0, r0, z0, z0, rho0, res0, jnp.asarray(0, jnp.int32))
+    x, r, _, _, _, res2, k, hist = lax.while_loop(
+        cond,
+        body,
+        (x0, r0, z0, z0, rho0, res0, jnp.asarray(0, jnp.int32), hist0),
     )
     resn = jnp.sqrt(res2)
-    return x, SolveInfo(k, resn, resn <= tol_eff)
+    return x, SolveInfo(k, resn, resn <= tol_eff, hist)
 
 
-def bicgstab_solve(A, b, x0=None, *, tol=1e-12, rtol=0.0, maxiter=None, M=None):
+def bicgstab_solve(
+    A, b, x0=None, *, tol=1e-12, rtol=0.0, maxiter=None, M=None, history=False
+):
     """Preconditioned BiCG-stab for nonsymmetric A.
 
     Mirrors ``bicgstab_solve``/``_pc`` (bicgstab_solvers.f90:121-233): the
@@ -102,12 +120,17 @@ def bicgstab_solve(A, b, x0=None, *, tol=1e-12, rtol=0.0, maxiter=None, M=None):
     one = jnp.asarray(1.0, b.dtype)
     zeros = jnp.zeros_like(b)
 
+    hist0 = (
+        jnp.full((int(maxiter),), jnp.nan, dtype=b.dtype) if history else None
+    )
+
     def cond(state):
-        _, r, *_, k = state
+        _, r, *_ = state
+        k = state[7]
         return (jnp.linalg.norm(r) > tol_eff) & (k < maxiter)
 
     def body(state):
-        x, r, p, v, rho, alpha, omega, k = state
+        x, r, p, v, rho, alpha, omega, k, hist = state
         rho_new = jnp.vdot(rhat, r)
         beta = (rho_new / rho) * (alpha / omega)
         p = r + beta * (p - omega * v)
@@ -123,12 +146,17 @@ def bicgstab_solve(A, b, x0=None, *, tol=1e-12, rtol=0.0, maxiter=None, M=None):
         omega = jnp.where(jnp.isfinite(omega_raw), omega_raw, jnp.zeros_like(omega_raw))
         x = x + alpha * phat + omega * shat
         r = s - omega * t
-        return (x, r, p, v, rho_new, alpha, omega, k + 1)
+        if hist is not None:
+            hist = hist.at[k].set(jnp.linalg.norm(r))
+        return (x, r, p, v, rho_new, alpha, omega, k + 1, hist)
 
-    state0 = (x0, r0, zeros, zeros, one, one, one, jnp.asarray(0, jnp.int32))
-    x, r, *_, k = lax.while_loop(cond, body, state0)
+    state0 = (
+        x0, r0, zeros, zeros, one, one, one, jnp.asarray(0, jnp.int32), hist0
+    )
+    out = lax.while_loop(cond, body, state0)
+    x, r, k, hist = out[0], out[1], out[7], out[8]
     resn = jnp.linalg.norm(r)
-    return x, SolveInfo(k, resn, resn <= tol_eff)
+    return x, SolveInfo(k, resn, resn <= tol_eff, hist)
 
 
 def gmres_solve(

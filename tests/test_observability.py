@@ -1,0 +1,70 @@
+"""Observability tests: residual histories, slice accessors, profiling."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from sigma_tpu import CSRMatrix
+from sigma_tpu.solvers import bicgstab_solve, cg_solve
+from sigma_tpu.utils.profiling import SolverLog, spmv_throughput
+
+
+def spd(rng, n):
+    d = 2 * np.eye(n) - np.eye(n, k=1) - np.eye(n, k=-1) + np.eye(n)
+    return d
+
+
+def test_cg_history(rng):
+    n = 60
+    dA = spd(rng, n)
+    A = CSRMatrix.from_dense(dA)
+    b = jnp.asarray(dA @ np.ones(n))
+    x, info = cg_solve(A, b, tol=1e-13, history=True)
+    h = np.asarray(info.history)
+    k = int(info.iterations)
+    assert np.isfinite(h[:k]).all() and np.isnan(h[k:]).all()
+    # monotone-ish decrease overall: final << initial
+    assert h[k - 1] < h[0]
+    assert abs(h[k - 1] - float(info.residual_norm)) < 1e-12
+    log = SolverLog(info)
+    assert log.residuals().size == k
+    assert "iterations" in log.report()
+
+
+def test_cg_no_history_default(rng):
+    n = 40
+    dA = spd(rng, n)
+    A = CSRMatrix.from_dense(dA)
+    b = jnp.asarray(dA @ np.ones(n))
+    x, info = cg_solve(A, b, tol=1e-13)
+    assert info.history is None
+
+
+def test_bicgstab_history(rng):
+    n = 50
+    dA = spd(rng, n) + 0.2 * (np.eye(n, k=1) - np.eye(n, k=-1))
+    A = CSRMatrix.from_dense(dA)
+    b = jnp.asarray(dA @ np.ones(n))
+    x, info = bicgstab_solve(A, b, tol=1e-12, history=True)
+    h = np.asarray(info.history)
+    k = int(info.iterations)
+    assert np.isfinite(h[:k]).all()
+    assert np.max(np.abs(np.asarray(x) - 1.0)) < 1e-8
+
+
+def test_row_col_accessors(rng):
+    d = np.where(rng.random((12, 9)) < 0.3, rng.standard_normal((12, 9)), 0.0)
+    d[4, 7] = 2.5
+    A = CSRMatrix.from_dense(d)
+    cols, vals = A.get_row(4)
+    assert np.allclose(d[4, cols], vals)
+    assert (d[4, np.setdiff1d(np.arange(9), cols)] == 0).all()
+    rows, vals = A.get_column(7)
+    assert np.allclose(d[rows, 7], vals)
+    assert A.row_degree(4) == len(cols)
+
+
+def test_spmv_throughput_positive(rng):
+    d = spd(rng, 256)
+    A = CSRMatrix.from_dense(d)
+    rate = spmv_throughput(A, k1=2, k2=10)
+    assert rate > 0
