@@ -1,0 +1,138 @@
+"""Pallas TPU SpMV kernel for the DIA (diagonal/stencil) format.
+
+Measured on a v5e chip, 2.1M-row 7-point 3-D Laplacian (14.6M nnz, f32):
+
+=====================  ============  =========================================
+path                   Gnnz/s        notes
+=====================  ============  =========================================
+XLA DIA matvec         110-144       shifted-window FMAs in (n/128, 128) tile
+                                     layout (`DIAMatrix.matvec`); XLA fuses
+                                     the windows into a near-minimal-traffic
+                                     sweep — ~70-90% of HBM speed-of-light
+pallas DIA (this)      ~117          x resident in VMEM across the grid, one
+                                     HBM read of x per SpMV by construction
+XLA ELL matvec         0.1           per-element HBM gather: the XLA TPU
+                                     lowering of `x[cols]` — 1000x off
+=====================  ============  =========================================
+
+Conclusion encoded here: the pallas kernel *guarantees* minimal x traffic
+but measures at parity with the XLA window formulation (which already
+approaches speed-of-light), so the XLA path stays the default and this
+kernel is an opt-in alternate (`DIAMatrix` stays pallas-free).
+
+A pallas ELL gather kernel was attempted and is NOT here: Mosaic's
+`tpu.dynamic_gather` only lowers same-shape ``take_along_axis`` (per-lane
+sublane gather or per-sublane lane gather) — an arbitrary per-element
+``x[cols]`` cannot be expressed, which is exactly why the general-sparsity
+answer on TPU is *structural*: reorder + re-freeze into DIA (stencil), BSR
+(dense MXU tiles), or the distributed cyclic-offset layout — not a faster
+gather.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["dia_spmv_pallas", "pallas_supported"]
+
+_LANES = 128
+# padded x must fit in VMEM alongside double-buffered data tiles
+_MAX_X_ELEMS = 3 * 1024 * 1024
+
+
+def pallas_supported(n: int, m: int | None = None) -> bool:
+    """True when the pallas fast path applies: TPU backend + VMEM-resident x."""
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        return False
+    if backend != "tpu":
+        return False
+    return (m if m is not None else n) <= _MAX_X_ELEMS
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "n", "m", "tile_rows", "interpret")
+)
+def dia_spmv_pallas(data, x, offsets, n, m, tile_rows=256, interpret=False):
+    """y = A x for a DIA matrix: data (D, stride), static ``offsets``.
+
+    Grid over row tiles of ``tile_rows`` sublane-rows (tile_rows*128
+    elements).  The padded x is a full-array VMEM operand — fetched from
+    HBM once, reused by every grid step.  Each diagonal's window is a
+    dynamic sublane slice plus a static lane rotation
+    (``pltpu.roll`` + sublane select), so no gather is ever issued:
+
+        win[r, l] = base[r + (l + laneoff) // 128, (l + laneoff) % 128]
+
+    ``interpret=True`` runs the kernel in the pallas interpreter (for
+    CPU-only test environments).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    D = len(offsets)
+    stride = data.shape[1]
+    S = stride // _LANES  # sublane-rows of y
+    o_min = min(min(offsets), 0)
+    o_max = max(max(offsets), 0)
+    span = o_max - o_min
+
+    T = min(tile_rows, S)
+    while S % T:
+        T //= 2
+    grid = S // T
+
+    # padded x: xp[t] = x[t + o_min] for t + o_min in [0, m)
+    extra_rows = span // _LANES + 2
+    Sp = S + extra_rows
+    left = -o_min
+    right = Sp * _LANES - left - m
+    xp = jnp.concatenate(
+        [
+            jnp.zeros((left,), x.dtype),
+            x,
+            jnp.zeros((right,), x.dtype),
+        ]
+    ).reshape(Sp, _LANES)
+
+    data2 = data.reshape(D, S, _LANES)
+
+    def kernel(xp_ref, data_ref, y_ref):
+        i = pl.program_id(0)
+        acc = jnp.zeros((T, _LANES), dtype=y_ref.dtype)
+        for d, o in enumerate(offsets):
+            q = o - o_min
+            rowoff = q // _LANES
+            laneoff = q % _LANES
+            base = xp_ref[pl.ds(i * T + rowoff, T + 1), :]
+            if laneoff == 0:
+                win = base[:T, :]
+            else:
+                rolled = pltpu.roll(base, shift=_LANES - laneoff, axis=1)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (T, _LANES), 1)
+                win = jnp.where(
+                    lane < _LANES - laneoff, rolled[:T, :], rolled[1 : T + 1, :]
+                )
+            acc = acc + data_ref[d] * win
+        y_ref[:, :] = acc
+
+    y2 = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # xp: full array, resident
+            pl.BlockSpec(
+                (D, T, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (T, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((S, _LANES), x.dtype),
+        interpret=interpret,
+    )(xp, data2)
+    return y2.reshape(-1)[:n]
