@@ -30,6 +30,8 @@ __all__ = [
     "read_graph",
     "write_matrix",
     "read_matrix",
+    "write_matrix_market",
+    "read_matrix_market",
     "save_matrix_npz",
     "load_matrix_npz",
     "save_checkpoint",
@@ -81,6 +83,51 @@ def read_matrix(A_or_path, frmt: Union[str, int] = "csr", dtype=None) -> SparseM
         n, m, data[:, 0].astype(np.int64), data[:, 1].astype(np.int64),
         data[:, 2], dtype=dtype,
     )
+
+
+def write_matrix_market(A: SparseMatrix, path, comment: str = "") -> None:
+    """Standard MatrixMarket coordinate file (1-based, ``%%MatrixMarket``
+    header) — interchange with the wider sparse ecosystem; the reference's
+    ``sparse_matrix_to_file`` emits a headerless variant of this."""
+    rows, cols, vals = A.entries()
+    with open(path, "w") as f:
+        f.write("%%MatrixMarket matrix coordinate real general\n")
+        if comment:
+            f.write(f"% {comment}\n")
+        f.write(f"{A.shape[0]} {A.shape[1]} {rows.size}\n")
+        for i, j, v in zip(rows, cols, vals):
+            f.write(f"{i + 1} {j + 1} {float(v):.17g}\n")
+
+
+def read_matrix_market(path, frmt: Union[str, int] = "csr", dtype=None) -> SparseMatrix:
+    """Read a MatrixMarket coordinate file (general or symmetric)."""
+    cls = choose_matrix_type(frmt)
+    with open(path) as f:
+        header = f.readline().strip().lower()
+        if not header.startswith("%%matrixmarket"):
+            raise ValueError(f"not a MatrixMarket file: {header!r}")
+        if "coordinate" not in header:
+            raise ValueError("only coordinate (sparse) MatrixMarket supported")
+        symmetric = "symmetric" in header
+        pattern = "pattern" in header
+        line = f.readline()
+        while line.lstrip().startswith("%"):
+            line = f.readline()
+        n, m, ne = map(int, line.split())
+        data = np.loadtxt(f, ndmin=2) if ne else np.empty((0, 3))
+    if data.shape[0] != ne:
+        raise ValueError(f"expected {ne} entries, read {data.shape[0]}")
+    rows = data[:, 0].astype(np.int64) - 1
+    cols = data[:, 1].astype(np.int64) - 1
+    vals = np.ones(ne) if pattern or data.shape[1] < 3 else data[:, 2]
+    if symmetric:
+        off = rows != cols
+        rows, cols = (
+            np.concatenate([rows, cols[off]]),
+            np.concatenate([cols, rows[off]]),
+        )
+        vals = np.concatenate([vals, vals[off]])
+    return cls.from_coo(n, m, rows, cols, vals, dtype=dtype)
 
 
 def save_matrix_npz(A: SparseMatrix, path) -> None:

@@ -44,7 +44,11 @@ _MAX_X_ELEMS = 3 * 1024 * 1024
 
 
 def pallas_supported(n: int, m: int | None = None) -> bool:
-    """True when the pallas fast path applies: TPU backend + VMEM-resident x."""
+    """True when the hardware-validated pallas path applies: TPU backend
+    and VMEM-resident x.  (A windowed-DMA variant for larger x exists and
+    is interpreter-validated, but manual-DMA kernels fault the TPU worker
+    on the axon runtime stack this repo is developed against — opt in via
+    ``dia_spmv_pallas(..., allow_dma_path=True)`` on a standard stack.)"""
     try:
         backend = jax.default_backend()
     except RuntimeError:
@@ -55,9 +59,12 @@ def pallas_supported(n: int, m: int | None = None) -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("offsets", "n", "m", "tile_rows", "interpret")
+    jax.jit,
+    static_argnames=("offsets", "n", "m", "tile_rows", "interpret", "allow_dma_path"),
 )
-def dia_spmv_pallas(data, x, offsets, n, m, tile_rows=256, interpret=False):
+def dia_spmv_pallas(
+    data, x, offsets, n, m, tile_rows=256, interpret=False, allow_dma_path=False
+):
     """y = A x for a DIA matrix: data (D, stride), static ``offsets``.
 
     Grid over row tiles of ``tile_rows`` sublane-rows (tile_rows*128
@@ -101,14 +108,14 @@ def dia_spmv_pallas(data, x, offsets, n, m, tile_rows=256, interpret=False):
 
     data2 = data.reshape(D, S, _LANES)
 
-    def kernel(xp_ref, data_ref, y_ref):
-        i = pl.program_id(0)
-        acc = jnp.zeros((T, _LANES), dtype=y_ref.dtype)
+    def compute(window_at, data_ref, acc_dtype):
+        """Shared FMA body; ``window_at(rowoff)`` yields (T+1, lanes) rows."""
+        acc = jnp.zeros((T, _LANES), dtype=acc_dtype)
         for d, o in enumerate(offsets):
             q = o - o_min
             rowoff = q // _LANES
             laneoff = q % _LANES
-            base = xp_ref[pl.ds(i * T + rowoff, T + 1), :]
+            base = window_at(rowoff)
             if laneoff == 0:
                 win = base[:T, :]
             else:
@@ -118,13 +125,66 @@ def dia_spmv_pallas(data, x, offsets, n, m, tile_rows=256, interpret=False):
                     lane < _LANES - laneoff, rolled[:T, :], rolled[1 : T + 1, :]
                 )
             acc = acc + data_ref[d] * win
-        y_ref[:, :] = acc
+        return acc
+
+    vmem_resident = Sp * _LANES <= _MAX_X_ELEMS
+
+    if vmem_resident:
+        # small-x path: whole padded x lives in VMEM across the grid
+        def kernel(xp_ref, data_ref, y_ref):
+            i = pl.program_id(0)
+            y_ref[:, :] = compute(
+                lambda rowoff: xp_ref[pl.ds(i * T + rowoff, T + 1), :],
+                data_ref,
+                y_ref.dtype,
+            )
+
+        y2 = pl.pallas_call(
+            kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (D, T, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (T, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((S, _LANES), x.dtype),
+            interpret=interpret,
+        )(xp, data2)
+        return y2.reshape(-1)[:n]
+
+    # large-x path: x stays in HBM; each tile DMAs just its window into a
+    # VMEM scratch, so x is read from HBM ~once per SpMV regardless of n
+    # (XLA's window formulation re-reads x once per diagonal past VMEM size).
+    # Interpreter-validated; faults the TPU worker on the axon runtime
+    # stack (even a minimal make_async_copy kernel does), hence opt-in.
+    if not interpret and not allow_dma_path:
+        raise ValueError(
+            f"x of {Sp * _LANES} elements exceeds the VMEM-resident pallas "
+            "path; pass allow_dma_path=True on a runtime stack that "
+            "supports manual-DMA kernels, or use DIAMatrix.matvec (XLA)"
+        )
+    win_rows = T + extra_rows
+
+    def kernel_hbm(xp_ref, data_ref, y_ref, xwin, sem):
+        i = pl.program_id(0)
+        dma = pltpu.make_async_copy(
+            xp_ref.at[pl.ds(i * T, win_rows), :], xwin, sem
+        )
+        dma.start()
+        dma.wait()
+        y_ref[:, :] = compute(
+            lambda rowoff: xwin[pl.ds(rowoff, T + 1), :], data_ref, y_ref.dtype
+        )
 
     y2 = pl.pallas_call(
-        kernel,
+        kernel_hbm,
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # xp: full array, resident
+            pl.BlockSpec(memory_space=pltpu.HBM),  # xp stays in HBM
             pl.BlockSpec(
                 (D, T, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
             ),
@@ -133,6 +193,10 @@ def dia_spmv_pallas(data, x, offsets, n, m, tile_rows=256, interpret=False):
             (T, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((S, _LANES), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((win_rows, _LANES), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
         interpret=interpret,
     )(xp, data2)
     return y2.reshape(-1)[:n]

@@ -207,6 +207,26 @@ class DistributedMatrix(LinearOperator):
         )
         return f(x, self.nodes, self.vals)
 
+    def diagonal(self) -> jax.Array:
+        """Main diagonal as a sharded vector (offset-0 block, local column
+        == own row) — feeds the distributed Jacobi preconditioner."""
+        if 0 not in self.offsets:
+            return jnp.zeros((self.n_pad,), dtype=self.dtype)
+        i = self.offsets.index(0)
+
+        def local(node, val):
+            rows = jnp.arange(node.shape[0]) % self.block
+            hit = node == rows[:, None]
+            return (val * hit).sum(axis=1)
+
+        f = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(self.axis, None), P(self.axis, None)),
+            out_specs=P(self.axis),
+        )
+        return f(self.nodes[i], self.vals[i])
+
     # -- vector plumbing --------------------------------------------------------
     def shard_vector(self, x) -> jax.Array:
         return distribute_vector(x, self.mesh, self.axis, self.n_pad)

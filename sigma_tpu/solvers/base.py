@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from sigma_tpu.operators.linear_operator import DiagonalOperator, LinearOperator
@@ -70,9 +71,33 @@ class LinearSolver:
         raise NotImplementedError
 
     def setup(self, A) -> LinearOperator:
-        """Default: usable as a preconditioner by nested solve (expensive;
-        concrete preconditioners override with cheap applications)."""
-        raise NotImplementedError(f"{type(self).__name__} is not a preconditioner")
+        """Any solver can serve as a preconditioner — the reference's core
+        design decision ("There is no distinction in the class hierarchy
+        between solvers and preconditioners", src/solver/README.md), which
+        is what enables nested multilevel / domain-decomposition methods.
+        The returned operator applies z = (approximate A^{-1}) r by running
+        this solver; the inner solve is jit-traceable, so it nests inside
+        an outer Krylov loop as a flexible preconditioner."""
+        return _SolverApply(op=A, config=self)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class _SolverApply(LinearOperator):
+    """z = M^{-1} r implemented as an inner solve (nested-Krylov pc)."""
+
+    op: LinearOperator
+    config: "LinearSolver" = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def shape(self):
+        return self.op.shape
+
+    def matvec(self, r):
+        return self.config.solve(self.op, r)
+
+    def rmatvec(self, r):
+        return self.config.solve(self.op, r)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -139,7 +164,10 @@ class JacobiSolver(LinearSolver):
         d = A.diagonal() if hasattr(A, "diagonal") else jnp.asarray(
             [A.get_value(i, i) for i in range(A.shape[0])]
         )
-        return DiagonalOperator(1.0 / d)
+        # zero diagonals (e.g. padded rows of a distributed matrix) pass
+        # through unscaled instead of poisoning the solve with inf/NaN
+        safe = jnp.where(d != 0, d, 1.0)
+        return DiagonalOperator(1.0 / safe)
 
     def solve_info(self, A, b, x0=None, M=None):
         x = self.setup(A).matvec(b)

@@ -57,3 +57,27 @@ def test_pallas_supported_gate():
     if jax.default_backend() != "tpu":
         assert not pallas_supported(1000)
     assert not pallas_supported(10**8)
+
+
+def test_large_x_dma_path_interpret(monkeypatch):
+    """The windowed-DMA variant (x in HBM, per-tile window DMA) is
+    semantically validated in the interpreter; on-hardware it is opt-in
+    (manual-DMA kernels fault the axon runtime stack)."""
+    import sigma_tpu.ops.spmv_pallas as sp
+
+    monkeypatch.setattr(sp, "_MAX_X_ELEMS", 1)  # force the DMA path
+    n = 1500
+    rng = np.random.default_rng(5)
+    dA = (
+        np.diag(rng.standard_normal(n))
+        + np.diag(rng.standard_normal(n - 1), 1)
+        + np.diag(rng.standard_normal(n - 300), -300)
+    )
+    A = DIAMatrix.from_dense(dA)
+    x = rng.standard_normal(n).astype(np.float32)
+    y = sp.dia_spmv_pallas(
+        A.data.astype(jnp.float32), jnp.asarray(x), A.graph.offsets, n, n,
+        interpret=True,
+    )
+    ref = dA @ x
+    assert np.max(np.abs(np.asarray(y) - ref)) / np.max(np.abs(ref)) < 1e-6

@@ -230,3 +230,24 @@ def test_gmres_matches_dense_solve(rng):
     b = rng.standard_normal(n)
     x, info = gmres(1e-12, restart=48).solve_info(A, jnp.asarray(b))
     np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), atol=1e-9)
+
+
+def test_solver_as_preconditioner_nested(rng):
+    """The reference's solver/pc unification: a coarse-tolerance CG solver
+    preconditions an outer CG (flexible/nested Krylov)."""
+    from sigma_tpu.solvers import CGSolver
+
+    n = 120
+    d = 2 * np.eye(n) - np.eye(n, k=1) - np.eye(n, k=-1) + np.eye(n)
+    A = CSRMatrix.from_dense(d)
+    # fixed inner iteration count: an absolute inner tolerance would return
+    # z = 0 once the outer residual shrinks below it (rho breakdown)
+    inner = CGSolver(tolerance=0.0, maxiter=8)
+    M = inner.setup(A)
+    xstar = rng.standard_normal(n)
+    b = jnp.asarray(d @ xstar)
+    x, info = cg_solve(A, b, tol=1e-12, M=M)
+    assert np.max(np.abs(np.asarray(x) - xstar)) < 1e-8
+    # the nested pc cuts the outer iteration count vs plain CG
+    _, plain = cg_solve(A, b, tol=1e-12)
+    assert int(info.iterations) < int(plain.iterations)

@@ -163,3 +163,47 @@ def test_checkpoint_resume_solve(tmp_path, rng):
     assert meta["iteration"] == 10
     x_final, _ = cg_solve(A, b, x0=x0, tol=1e-14)
     assert np.max(np.abs(np.asarray(x_final) - xstar)) < 1e-9
+
+
+def test_matrix_market_roundtrip(tmp_path, rng):
+    from sigma_tpu.io import read_matrix_market, write_matrix_market
+
+    d = np.where(rng.random((14, 10)) < 0.3, rng.standard_normal((14, 10)), 0.0)
+    A = CSRMatrix.from_dense(d)
+    p = tmp_path / "A.mtx"
+    write_matrix_market(A, p, comment="test matrix")
+    B = read_matrix_market(p)
+    assert np.max(np.abs(B.to_dense() - d)) < 1e-14
+
+
+def test_matrix_market_symmetric(tmp_path):
+    from sigma_tpu.io import read_matrix_market
+
+    p = tmp_path / "S.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real symmetric\n"
+        "3 3 4\n"
+        "1 1 2.0\n"
+        "2 1 -1.0\n"
+        "2 2 2.0\n"
+        "3 3 2.0\n"
+    )
+    A = read_matrix_market(p)
+    d = A.to_dense()
+    assert d[0, 1] == -1.0 and d[1, 0] == -1.0
+    assert np.max(np.abs(d - d.T)) == 0.0
+
+
+def test_matrix_market_pattern(tmp_path):
+    from sigma_tpu.io import read_matrix_market
+
+    p = tmp_path / "P.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate pattern general\n"
+        "% a comment line\n"
+        "2 2 2\n"
+        "1 2\n"
+        "2 1\n"
+    )
+    A = read_matrix_market(p)
+    assert A.get_value(0, 1) == 1.0 and A.get_value(1, 0) == 1.0
