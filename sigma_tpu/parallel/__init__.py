@@ -1,5 +1,7 @@
 from sigma_tpu.parallel.dist import (
+    DistributedDIAMatrix,
     DistributedMatrix,
+    distribute_matrix_dia,
     distribute_matrix,
     distribute_vector,
     make_mesh,
@@ -8,6 +10,8 @@ from sigma_tpu.parallel.dist import (
 
 __all__ = [
     "DistributedMatrix",
+    "DistributedDIAMatrix",
+    "distribute_matrix_dia",
     "distribute_matrix",
     "distribute_vector",
     "undistribute_vector",

@@ -53,6 +53,8 @@ from sigma_tpu.operators.linear_operator import LinearOperator
 
 __all__ = [
     "DistributedMatrix",
+    "DistributedDIAMatrix",
+    "distribute_matrix_dia",
     "distribute_matrix",
     "distribute_vector",
     "undistribute_vector",
@@ -316,5 +318,146 @@ def distribute_matrix(
         axis=axis,
         n=n,
         m=A.shape[1],
+        block=nb,
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True, repr=False)
+class DistributedDIAMatrix(LinearOperator):
+    """Row-partitioned matrix with **gather-free DIA local blocks**.
+
+    The production layout for distributed stencil operators: each global
+    diagonal offset ``o`` decomposes per shard into a ring offset
+    ``k = (col_block - row_block) mod D`` plus a *local* offset
+    ``lo = o - q*block`` (q the signed block difference), so the local
+    compute is exactly :class:`sigma_tpu.matrix.formats.DIAMatrix`'s
+    shifted-window FMA — zero index traffic — and the communication is one
+    ``ppermute`` ring shift per distinct ring offset (ICI neighbor hops for
+    banded matrices).  ``terms`` is the static tuple of (ring k, local lo);
+    ``vals[i]`` is the (n_pad,) diagonal data, sharded by rows; slots whose
+    column falls outside the owner block carry 0.
+    """
+
+    vals: Tuple[jax.Array, ...]
+    terms: Tuple[Tuple[int, int], ...] = dataclasses.field(
+        metadata=dict(static=True)
+    )
+    mesh: Mesh = dataclasses.field(metadata=dict(static=True))
+    axis: str = dataclasses.field(metadata=dict(static=True))
+    n: int = dataclasses.field(metadata=dict(static=True))
+    block: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n, self.n)
+
+    @property
+    def n_shards(self) -> int:
+        return self.mesh.shape[self.axis]
+
+    @property
+    def n_pad(self) -> int:
+        return self.block * self.n_shards
+
+    @property
+    def dtype(self):
+        return self.vals[0].dtype
+
+    @property
+    def nnz(self) -> int:
+        return sum(int(np.count_nonzero(np.asarray(v))) for v in self.vals)
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        D = self.n_shards
+        nb = self.block
+        ring_offsets = sorted({k for k, _ in self.terms}, key=lambda k: k != 0)
+
+        def local(x_local, vals):
+            y = jnp.zeros_like(x_local)
+            for k in ring_offsets:
+                if k == 0 or D == 1:
+                    xk = x_local
+                else:
+                    perm = [(s, (s - k) % D) for s in range(D)]
+                    xk = lax.ppermute(x_local, self.axis, perm)
+                for i, (ki, lo) in enumerate(self.terms):
+                    if ki != k:
+                        continue
+                    # shifted window of the received block (static slices)
+                    lo_c = max(0, lo)
+                    hi_c = min(nb, nb + lo)
+                    if hi_c <= lo_c:
+                        continue
+                    left = lo_c - lo
+                    parts = []
+                    if left:
+                        parts.append(jnp.zeros((left,), x_local.dtype))
+                    parts.append(xk[lo_c:hi_c])
+                    right = nb - left - (hi_c - lo_c)
+                    if right:
+                        parts.append(jnp.zeros((right,), x_local.dtype))
+                    w = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+                    y = y + vals[i] * w
+            return y
+
+        f = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(self.axis), tuple(P(self.axis) for _ in self.vals)),
+            out_specs=P(self.axis),
+        )
+        return f(x, self.vals)
+
+    def diagonal(self) -> jax.Array:
+        for i, (k, lo) in enumerate(self.terms):
+            if k == 0 and lo == 0:
+                return self.vals[i]
+        return jnp.zeros((self.n_pad,), dtype=self.dtype)
+
+    def shard_vector(self, x) -> jax.Array:
+        return distribute_vector(x, self.mesh, self.axis, self.n_pad)
+
+    def unshard_vector(self, x: jax.Array) -> np.ndarray:
+        return undistribute_vector(x, self.n)
+
+    def __repr__(self) -> str:
+        return (
+            f"DistributedDIAMatrix(n={self.n}, shards={self.n_shards}, "
+            f"terms={self.terms})"
+        )
+
+
+def distribute_matrix_dia(
+    A: SparseMatrix, mesh: Mesh, axis: str = "rows"
+) -> DistributedDIAMatrix:
+    """Partition a matrix by rows with DIA (gather-free) local storage."""
+    if A.shape[0] != A.shape[1]:
+        raise ValueError("distribute_matrix_dia expects a square matrix")
+    D = mesh.shape[axis]
+    n = A.shape[0]
+    nb = -(-n // D)
+    n_pad = nb * D
+
+    rows, cols, vals = A.entries()
+    rb = rows // nb
+    q = cols // nb - rb  # signed block difference
+    k_all = q % D
+    lo_all = (cols - rows) - q * nb  # local offset within the received block
+
+    terms = sorted({(int(k), int(l)) for k, l in zip(k_all, lo_all)})
+    arrays = []
+    sh = NamedSharding(mesh, P(axis))
+    for k, lo in terms:
+        sel = (k_all == k) & (lo_all == lo)
+        buf = np.zeros(n_pad, dtype=np.asarray(A.data).dtype)
+        buf[rows[sel]] = vals[sel]
+        arrays.append(jax.device_put(buf, sh))
+    return DistributedDIAMatrix(
+        vals=tuple(arrays),
+        terms=tuple(terms),
+        mesh=mesh,
+        axis=axis,
+        n=n,
         block=nb,
     )

@@ -181,3 +181,47 @@ def test_distributed_lanczos(mesh, rng):
     R[:, -1] -= float(res.beta[-1]) * np.asarray(res.v_next)
     assert np.max(np.abs(R)) < 1e-11
     assert np.linalg.norm(V.T @ V - np.eye(k)) < 1e-12
+
+
+def test_distributed_dia_spmv(mesh, rng):
+    """DIA local blocks: gather-free distributed stencil SpMV."""
+    from sigma_tpu import DIAMatrix
+    from sigma_tpu.parallel import distribute_matrix_dia
+
+    n = 400
+    dense = laplacian_1d(n, wrap=True) + np.eye(n)
+    Ad = distribute_matrix_dia(DIAMatrix.from_dense(dense), mesh)
+    # every local term is a pure diagonal: no index arrays exist at all
+    assert all(isinstance(t, tuple) and len(t) == 2 for t in Ad.terms)
+    x = rng.standard_normal(n)
+    y = Ad.unshard_vector(Ad.matvec(Ad.shard_vector(x)))
+    assert np.max(np.abs(y - dense @ x)) < TOL
+
+
+def test_distributed_dia_cg_jacobi(mesh, rng):
+    from sigma_tpu.parallel import distribute_matrix_dia
+    from sigma_tpu.solvers import jacobi
+
+    n = 501  # uneven: padded rows have zero diagonal
+    dense = laplacian_1d(n) + np.diag(1.0 + np.arange(n) % 5)
+    Ad = distribute_matrix_dia(CSRMatrix.from_dense(dense), mesh)
+    xstar = rng.standard_normal(n)
+    b = Ad.shard_vector(dense @ xstar)
+    x, info = cg_solve(Ad, b, tol=1e-13, M=jacobi().setup(Ad))
+    assert np.max(np.abs(Ad.unshard_vector(x) - xstar)) < 1e-8
+
+
+def test_distributed_dia_general_sparsity(mesh, rng):
+    """Non-banded matrices still work (every diagonal materialized locally
+    is fine for moderate diagonal counts)."""
+    from sigma_tpu.parallel import distribute_matrix_dia
+
+    n = 64
+    dense = np.zeros((n, n))
+    for o in (-17, -3, 0, 5, 29):
+        i = np.arange(max(0, -o), min(n, n - o))
+        dense[i, i + o] = rng.standard_normal(i.size)
+    Ad = distribute_matrix_dia(CSRMatrix.from_dense(dense), mesh)
+    x = rng.standard_normal(n)
+    y = Ad.unshard_vector(Ad.matvec(Ad.shard_vector(x)))
+    assert np.max(np.abs(y - dense @ x)) < TOL
