@@ -1,3 +1,7 @@
+from sigma_tpu.solvers.amg import (
+    AMGPreconditioner,
+    smoothed_aggregation_amg,
+)
 from sigma_tpu.solvers.base import (
     BiCGStabSolver,
     CGSolver,
@@ -20,6 +24,7 @@ from sigma_tpu.solvers.ildu import (
 )
 from sigma_tpu.solvers.krylov import (
     SolveInfo,
+    block_cg_solve,
     bicgstab_solve,
     cg_solve,
     gmres_solve,
@@ -27,6 +32,8 @@ from sigma_tpu.solvers.krylov import (
 )
 
 __all__ = [
+    "AMGPreconditioner",
+    "smoothed_aggregation_amg",
     "LinearSolver",
     "CGSolver",
     "BiCGStabSolver",
@@ -42,6 +49,7 @@ __all__ = [
     "prepare_preconditioner",
     "SolveInfo",
     "cg_solve",
+    "block_cg_solve",
     "bicgstab_solve",
     "gmres_solve",
     "stationary_solve",

@@ -1,0 +1,169 @@
+"""Smoothed-aggregation algebraic multigrid (AMG) preconditioner.
+
+The reference has no multigrid, but it was *built for* it: the solver /
+preconditioner class unification exists "to enable nested multilevel/DD
+methods" (``/root/reference/src/solver/README.md``), PtAP is the Galerkin
+coarse-operator product (``sparse_matrix_algebra.f90:425``), and the graph
+layer provides the aggregation structure.  This module is the payoff:
+
+* **setup** (host): greedy aggregation over the matrix graph -> tentative
+  piecewise-constant prolongator -> one damped-Jacobi smoothing pass
+  ``P = (I - omega D^{-1} A) P_tent`` (materialized with
+  :func:`sigma_tpu.matrix.algebra.sparse_matmul`) -> Galerkin coarse
+  operator ``A_c = P^T A P`` (:func:`ptap`) -> recurse; the coarsest level
+  is a dense factor.
+* **apply** (device, jit): one V-cycle — damped-Jacobi pre/post smoothing,
+  residual restriction by ``P.rmatvec``, dense coarse solve, prolongation
+  by ``P.matvec`` — unrolled over the static level count, so the whole
+  cycle is one XLA program usable as a CG/GMRES preconditioner.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sigma_tpu.matrix.algebra import ptap
+from sigma_tpu.matrix.base import SparseMatrix
+from sigma_tpu.matrix.formats import CSRMatrix
+from sigma_tpu.operators.linear_operator import LinearOperator
+
+__all__ = ["AMGPreconditioner", "smoothed_aggregation_amg", "greedy_aggregate"]
+
+
+def greedy_aggregate(A: SparseMatrix) -> np.ndarray:
+    """Aggregate vertices of A's graph greedily: each unaggregated vertex
+    seeds an aggregate with its unaggregated neighbors.  Returns (n,) int
+    aggregate ids (host-side setup, like all reorderings)."""
+    n = A.shape[0]
+    rows, cols = A.graph.edges_numpy()
+    order = np.lexsort((cols, rows))
+    rows, cols = rows[order], cols[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(rows, minlength=n), out=indptr[1:])
+    agg = -np.ones(n, dtype=np.int64)
+    next_agg = 0
+    for v in range(n):
+        if agg[v] >= 0:
+            continue
+        agg[v] = next_agg
+        for u in cols[indptr[v] : indptr[v + 1]]:
+            if agg[u] < 0:
+                agg[u] = next_agg
+        next_agg += 1
+    return agg
+
+
+def _tentative_prolongator(agg: np.ndarray, dtype) -> CSRMatrix:
+    n = agg.size
+    nc = int(agg.max()) + 1
+    # columns normalized so P^T P = I (unit aggregates)
+    counts = np.bincount(agg, minlength=nc).astype(np.float64)
+    vals = 1.0 / np.sqrt(counts[agg])
+    return CSRMatrix.from_coo(n, nc, np.arange(n), agg, vals, dtype=dtype)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True, repr=False)
+class _Level:
+    A: SparseMatrix
+    P: SparseMatrix  # prolongator to THIS level from the next-coarser one
+    dinv: jax.Array  # 1 / diag(A)
+    omega: float = dataclasses.field(metadata=dict(static=True))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True, repr=False)
+class AMGPreconditioner(LinearOperator):
+    """Applies z = (one V-cycle of AMG) r.  Use as ``M=`` in any Krylov
+    solver or as a standalone stationary iteration."""
+
+    levels: Tuple[_Level, ...]
+    coarse_lu: jax.Array  # dense coarsest operator (factored on the fly)
+    n_smooth: int = dataclasses.field(metadata=dict(static=True), default=1)
+
+    @property
+    def shape(self):
+        n = self.levels[0].A.shape[0]
+        return (n, n)
+
+    def _smooth(self, lvl: _Level, x, r):
+        for _ in range(self.n_smooth):
+            x = x + lvl.omega * lvl.dinv * (r - lvl.A.matvec(x))
+        return x
+
+    def matvec(self, r):
+        return self._cycle(0, r)
+
+    def _cycle(self, i: int, r):
+        if i == len(self.levels):
+            return jnp.linalg.solve(self.coarse_lu, r)
+        lvl = self.levels[i]
+        x = jnp.zeros_like(r)
+        x = self._smooth(lvl, x, r)  # pre-smooth
+        resid = r - lvl.A.matvec(x)
+        rc = lvl.P.rmatvec(resid)  # restrict
+        ec = self._cycle(i + 1, rc)
+        x = x + lvl.P.matvec(ec)  # prolongate + correct
+        return self._smooth(lvl, x, r)  # post-smooth
+
+    rmatvec = matvec  # symmetric cycle
+
+
+def smoothed_aggregation_amg(
+    A: SparseMatrix,
+    max_levels: int = 10,
+    coarse_size: int = 64,
+    omega: float = 2.0 / 3.0,
+    smooth_prolongator: bool = True,
+    n_smooth: int = 1,
+) -> AMGPreconditioner:
+    """Build a smoothed-aggregation AMG hierarchy for SPD A."""
+    from sigma_tpu.matrix.algebra import sparse_matmul, sparse_add
+
+    levels = []
+    Acur = A
+    while Acur.shape[0] > coarse_size and len(levels) < max_levels - 1:
+        agg = greedy_aggregate(Acur)
+        P = _tentative_prolongator(agg, Acur.dtype)
+        if P.shape[1] >= Acur.shape[0]:  # aggregation stalled
+            break
+        if smooth_prolongator:
+            # P <- (I - omega D^{-1} A) P, materialized sparsely
+            d = np.asarray(Acur.diagonal())
+            d = np.where(d != 0, d, 1.0)
+            DinvA = Acur.with_data(
+                _scale_rows_data(Acur, 1.0 / d)
+            )
+            AP = sparse_matmul(DinvA, P, out_format=CSRMatrix)
+            P = sparse_add(
+                P if isinstance(P, CSRMatrix) else CSRMatrix.from_dense(P.to_dense()),
+                AP,
+                alpha=1.0,
+                beta=-omega,
+            )
+        Ac = ptap(Acur, P, out_format=type(Acur))
+        dvec = jnp.asarray(np.asarray(Acur.diagonal()))
+        dinv = jnp.where(dvec != 0, 1.0 / jnp.where(dvec != 0, dvec, 1.0), 0.0)
+        levels.append(_Level(A=Acur, P=P, dinv=dinv, omega=float(omega)))
+        Acur = Ac
+
+    coarse = jnp.asarray(Acur.to_dense(), dtype=A.dtype)
+    # tiny ridge: aggregation can leave a singular coarsest Laplacian
+    coarse = coarse + 1e-12 * jnp.eye(coarse.shape[0], dtype=coarse.dtype)
+    return AMGPreconditioner(
+        levels=tuple(levels), coarse_lu=coarse, n_smooth=n_smooth
+    )
+
+
+def _scale_rows_data(A: SparseMatrix, scale: np.ndarray) -> jax.Array:
+    """data array of diag(scale) @ A in A's own layout."""
+    rows, cols, vals = A.entries()
+    pos = A.graph.edge_positions(rows, cols)
+    flat = np.zeros(A.data.size, dtype=np.asarray(A.data).dtype)
+    flat[pos] = vals * scale[rows]
+    return jnp.asarray(flat.reshape(A.data.shape))

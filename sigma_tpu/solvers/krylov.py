@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["SolveInfo", "cg_solve", "bicgstab_solve", "gmres_solve", "stationary_solve"]
+__all__ = ["SolveInfo", "cg_solve", "bicgstab_solve", "gmres_solve", "stationary_solve", "block_cg_solve"]
 
 
 class SolveInfo(NamedTuple):
@@ -244,3 +244,61 @@ def stationary_solve(A, b, M, x0=None, *, steps: int):
     r = b - A.matvec(x)
     resn = jnp.linalg.norm(r)
     return x, SolveInfo(jnp.asarray(steps, jnp.int32), resn, resn <= resn)
+
+
+def block_cg_solve(A, B, X0=None, *, tol=1e-12, rtol=0.0, maxiter=None, M=None):
+    """Block (multi-RHS) conjugate gradients: solve A X = B for an (n, s)
+    block of right-hand sides simultaneously.
+
+    No reference analogue — the reference names multi-vector operations as
+    a missing critical optimization (README.md:83).  Every iteration does
+    ONE SpMM (``A.matmat``) instead of s SpMVs, sharing the matrix traffic
+    across all right-hand sides (the whole point of the multi-vector
+    layout), plus small (s, s) Gram solves that run on the MXU.
+
+    Uses the standard block-CG recurrences (alpha, beta are (s, s)
+    matrices); SPD A and M assumed.  Stops on the Frobenius norm of the
+    block residual.
+    """
+    n, s = B.shape
+    X0 = jnp.zeros_like(B) if X0 is None else X0
+    maxiter = 10 * n if maxiter is None else maxiter
+    matmat = A.matmat
+    apply_M = (lambda R: M.matmat(R)) if M is not None else (lambda R: R)
+    tol_eff = jnp.maximum(
+        jnp.asarray(tol, B.dtype), rtol * jnp.linalg.norm(B)
+    )
+    eps = jnp.asarray(jnp.finfo(B.dtype).tiny, B.dtype)
+
+    R0 = B - matmat(X0)
+    Z0 = apply_M(R0)
+    P0 = Z0
+    rho0 = Z0.T @ R0  # (s, s)
+
+    def _solve_gram(G, C):
+        # tiny ridge keeps the Gram solve finite at convergence/breakdown
+        return jnp.linalg.solve(
+            G + eps * jnp.eye(s, dtype=G.dtype), C
+        )
+
+    def cond(state):
+        _, R, *_rest, k = state
+        return (jnp.linalg.norm(R) > tol_eff) & (k < maxiter)
+
+    def body(state):
+        X, R, Z, P, rho, k = state
+        Q = matmat(P)
+        alpha = _solve_gram(P.T @ Q, rho)
+        X = X + P @ alpha
+        R = R - Q @ alpha
+        Z = apply_M(R)
+        rho_new = Z.T @ R
+        beta = _solve_gram(rho, rho_new)
+        P = Z + P @ beta
+        return (X, R, Z, P, rho_new, k + 1)
+
+    X, R, _, _, _, k = lax.while_loop(
+        cond, body, (X0, R0, Z0, P0, rho0, jnp.asarray(0, jnp.int32))
+    )
+    resn = jnp.linalg.norm(R)
+    return X, SolveInfo(k, resn, resn <= tol_eff)

@@ -1,0 +1,102 @@
+"""Smoothed-aggregation AMG tests — the multilevel composition the
+reference's solver/pc unification was designed for (src/solver/README.md),
+built from this framework's own PtAP + SpGEMM + Jacobi pieces."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sigma_tpu import CSRMatrix
+from sigma_tpu.solvers import cg_solve, smoothed_aggregation_amg
+from sigma_tpu.solvers.amg import greedy_aggregate
+
+
+def laplacian_2d(nx):
+    n = nx * nx
+    idx = np.arange(n).reshape(nx, nx)
+    d = np.zeros((n, n))
+    d[np.arange(n), np.arange(n)] = 4.0
+    for axis in range(2):
+        src = np.take(idx, np.arange(nx - 1), axis=axis).ravel()
+        dst = np.take(idx, np.arange(1, nx), axis=axis).ravel()
+        d[src, dst] = -1.0
+        d[dst, src] = -1.0
+    return d
+
+
+def test_aggregation_covers_all(rng):
+    A = CSRMatrix.from_dense(laplacian_2d(12))
+    agg = greedy_aggregate(A)
+    assert (agg >= 0).all()
+    nc = agg.max() + 1
+    assert 1 < nc < A.shape[0]  # actual coarsening
+    # every aggregate nonempty
+    assert (np.bincount(agg, minlength=nc) > 0).all()
+
+
+def test_hierarchy_shapes():
+    A = CSRMatrix.from_dense(laplacian_2d(24))
+    M = smoothed_aggregation_amg(A, coarse_size=40)
+    assert len(M.levels) >= 2
+    n_prev = A.shape[0]
+    for lvl in M.levels:
+        assert lvl.A.shape[0] == n_prev
+        assert lvl.P.shape[0] == n_prev
+        assert lvl.P.shape[1] < n_prev  # strict coarsening
+        n_prev = lvl.P.shape[1]
+    assert M.coarse_lu.shape == (n_prev, n_prev)
+
+
+def test_amg_cg_fast_convergence(rng):
+    """AMG-CG must slash the iteration count vs plain CG on a 2-D
+    Laplacian (the textbook multigrid win)."""
+    nx = 32
+    d = laplacian_2d(nx)
+    A = CSRMatrix.from_dense(d)
+    M = smoothed_aggregation_amg(A)
+    xstar = rng.standard_normal(nx * nx)
+    b = jnp.asarray(d @ xstar)
+    x, info = cg_solve(A, b, tol=1e-12, M=M)
+    assert np.max(np.abs(np.asarray(x) - xstar)) < 1e-9
+    _, plain = cg_solve(A, b, tol=1e-12)
+    assert int(info.iterations) * 4 < int(plain.iterations)
+
+
+def test_amg_vcycle_jits(rng):
+    nx = 16
+    d = laplacian_2d(nx)
+    A = CSRMatrix.from_dense(d)
+    M = smoothed_aggregation_amg(A, coarse_size=30)
+    r = jnp.asarray(rng.standard_normal(nx * nx))
+    z = jax.jit(lambda M, r: M.matvec(r))(M, r)
+    assert z.shape == r.shape
+    assert np.isfinite(np.asarray(z)).all()
+
+
+def test_amg_stationary_iteration(rng):
+    """A V-cycle used as a standalone stationary solver contracts the
+    error every sweep."""
+    nx = 20
+    d = laplacian_2d(nx)
+    A = CSRMatrix.from_dense(d)
+    M = smoothed_aggregation_amg(A)
+    xstar = rng.standard_normal(nx * nx)
+    b = jnp.asarray(d @ xstar)
+    x = jnp.zeros_like(b)
+    errs = []
+    for _ in range(6):
+        x = x + M.matvec(b - A.matvec(x))
+        errs.append(np.max(np.abs(np.asarray(x) - xstar)))
+    assert errs[-1] < errs[0] * 1e-2  # strong contraction over 6 sweeps
+
+
+def test_amg_unsmoothed_variant(rng):
+    nx = 24
+    d = laplacian_2d(nx)
+    A = CSRMatrix.from_dense(d)
+    M = smoothed_aggregation_amg(A, smooth_prolongator=False)
+    xstar = rng.standard_normal(nx * nx)
+    b = jnp.asarray(d @ xstar)
+    x, info = cg_solve(A, b, tol=1e-11, M=M)
+    assert np.max(np.abs(np.asarray(x) - xstar)) < 1e-8
