@@ -30,7 +30,7 @@ def _sync_scalar(y):
     return float(leaf.ravel()[0])
 
 
-def timeit_loop(make_f, *args, reps=3, K1=50, K2=250):
+def timeit_loop(make_f, *args, reps=4, K1=50, K2=250):
     """Per-iteration time of a device-side loop via a two-point slope fit
     (cancels launch + readback overhead, which can be ~25 ms through
     remote-device tunnels): t_iter = (t(K2) - t(K1))/(K2-K1)."""
