@@ -11,6 +11,7 @@ from sigma_tpu.matrix.algebra import (
     sparse_add,
     sparse_matmul,
 )
+from sigma_tpu.matrix.banded import band_occupancy, bandwidth, to_banded_dia
 from sigma_tpu.matrix.base import SparseMatrix
 from sigma_tpu.matrix.composite import BlockMatrix
 from sigma_tpu.matrix.formats import (
@@ -52,4 +53,7 @@ __all__ = [
     "SparseSumPlan",
     "SpGEMMPlan",
     "PtAPPlan",
+    "to_banded_dia",
+    "bandwidth",
+    "band_occupancy",
 ]

@@ -1,0 +1,65 @@
+"""Banded-DIA conversion: the general-sparsity recipe for TPU.
+
+Measured reality (BENCHMARKS.md): on TPU, gather-based SpMV (CSR/ELL) runs
+~0.1 Gnnz/s while the gather-free DIA window kernel runs ~70-140 Gnnz/s —
+three orders of magnitude.  So for general sparsity the winning move is
+*structural*: bandwidth-reduce with the BFS (Cuthill-McKee-style) ordering
+(``permutations.f90:22``'s stated purpose) and store ALL diagonals of the
+band in DIA.  Even at a few percent band occupancy the dense-diagonal
+kernel wins by 10-100x; the break-even occupancy against a 0.1 Gnnz/s
+gather is ~0.1-1%.
+
+This is classic banded-matrix computing (LAPACK's GB format) reborn as a
+TPU strategy, composed entirely from existing pieces: reorder -> re-freeze.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from sigma_tpu.graph.permutations import breadth_first_search
+from sigma_tpu.matrix.base import SparseMatrix
+from sigma_tpu.matrix.formats import DIAMatrix
+
+__all__ = ["to_banded_dia", "bandwidth", "band_occupancy"]
+
+
+def bandwidth(A) -> int:
+    """max |i - j| over stored entries."""
+    rows, cols = A.graph.edges_numpy() if hasattr(A, "graph") else A.edges_numpy()
+    return int(np.abs(rows - cols).max()) if rows.size else 0
+
+
+def band_occupancy(A: SparseMatrix) -> float:
+    """true (nonzero) entries / (n * number of distinct diagonals) — the
+    DIA fill ratio this matrix has or would have."""
+    rows, cols, vals = A.entries()
+    n_diag = np.unique(cols - rows).size
+    true_nnz = int(np.count_nonzero(vals))
+    return true_nnz / (A.shape[0] * max(n_diag, 1))
+
+
+def to_banded_dia(
+    A: SparseMatrix, reorder: bool = True
+) -> Tuple[DIAMatrix, Optional[np.ndarray]]:
+    """Convert a (square) sparse matrix to DIA, optionally after a
+    bandwidth-reducing BFS reordering of rows and columns.
+
+    Returns ``(D, p)`` with ``p`` in scatter form (``None`` when
+    ``reorder=False``): ``D[p[i], p[j]] == A[i, j]``.  To solve A x = b in
+    the permuted frame: ``b_p[p] = b``, solve ``D x_p = b_p``, then
+    ``x = x_p[p]``.
+    """
+    if A.shape[0] != A.shape[1]:
+        raise ValueError("banded conversion expects a square matrix")
+    rows, cols, vals = A.entries()
+    p = None
+    if reorder:
+        p = breadth_first_search(A.graph)
+        rows, cols = p[rows], p[cols]
+    D = DIAMatrix.from_coo(
+        A.shape[0], A.shape[1], rows, cols, vals, dtype=A.dtype
+    )
+    return D, p

@@ -381,6 +381,11 @@ class DIAMatrix(SparseMatrix):
             parts.append(jnp.zeros((right,) + x.shape[1:], dtype=x.dtype))
         return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
+    # above this many diagonals the unrolled static-window formulation is
+    # replaced by a lax.scan with dynamic slices (bounded compile time for
+    # wide bands, e.g. RCM-reordered general matrices -> banded DIA)
+    _SCAN_THRESHOLD: ClassVar[int] = 24
+
     def matvec(self, x):
         """Gather-free SpMV at HBM speed-of-light: per diagonal, a shifted
         contiguous window FMA in (stride/128, 128) tile layout (measured
@@ -389,12 +394,45 @@ class DIAMatrix(SparseMatrix):
         offs = self.graph.offsets
         if not offs:
             return jnp.zeros((n,), dtype=x.dtype)
+        if len(offs) > self._SCAN_THRESHOLD:
+            return self._matvec_scan(x)
         s = self.graph.stride
         y2 = jnp.zeros((s // 128, 128), dtype=x.dtype)
         for d, o in enumerate(offs):
             w = self._window(x, o, n, s).reshape(s // 128, 128)
             y2 = y2 + self.data[d].reshape(s // 128, 128).astype(x.dtype) * w
         return y2.reshape(-1)[:n]
+
+    def _matvec_scan(self, x):
+        """Many-diagonal path: one padded x buffer + a lax.scan whose step
+        dynamic-slices the window for its offset — O(1) program size."""
+        n, m = self.shape
+        offs = self.graph.offsets
+        s = self.graph.stride
+        o_min = min(min(offs), 0)
+        o_max = max(max(offs), 0)
+        left = -o_min
+        L = s + (o_max - o_min)
+        right = L - left - m
+        xp = jnp.concatenate(
+            [
+                jnp.zeros((left,), x.dtype),
+                x,
+                jnp.zeros((max(right, 0),), x.dtype),
+            ]
+        )
+
+        off_arr = jnp.asarray(np.asarray(offs) - o_min, dtype=jnp.int32)
+
+        def step(y, inp):
+            start, drow = inp
+            w = lax.dynamic_slice(xp, (start,), (s,))
+            return y + drow.astype(y.dtype) * w, None
+
+        y, _ = lax.scan(
+            step, jnp.zeros((s,), x.dtype), (off_arr, self.data)
+        )
+        return y[:n]
 
     def rmatvec(self, x):
         """Transpose: y[i+o] += data[d, i] * x[i] — same windows, with the

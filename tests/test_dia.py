@@ -143,3 +143,36 @@ def test_diagonal_extraction(rng):
     assert np.max(np.abs(np.asarray(A.diagonal()) - np.diag(dA))) < TOL
     B = DIAMatrix.from_dense(np.diag(np.ones(n - 1), 1))  # no main diagonal
     assert np.max(np.abs(np.asarray(B.diagonal()))) == 0.0
+
+
+def test_banded_conversion(rng):
+    """RCM/BFS reorder + DIA-ize: the general-sparsity recipe."""
+    from sigma_tpu.matrix.banded import band_occupancy, bandwidth, to_banded_dia
+
+    from sigma_tpu.fem import stiffness_2d, unit_square_mesh
+
+    coords, ele = unit_square_mesh(12)
+    A = stiffness_2d(coords, ele)
+    D, p = to_banded_dia(A)
+    assert bandwidth(D) <= bandwidth(A)
+    x = rng.standard_normal(A.shape[0])
+    xp = np.empty_like(x)
+    xp[p] = x
+    y = np.asarray(D.matvec(jnp.asarray(xp)))[np.asarray(p)]
+    assert np.max(np.abs(y - np.asarray(A.matvec(jnp.asarray(x))))) < 1e-12
+    assert 0 < band_occupancy(A) <= 1
+
+
+def test_many_diagonal_scan_path(rng):
+    """Matrices with > _SCAN_THRESHOLD diagonals take the lax.scan matvec;
+    results must match the dense oracle exactly."""
+    n = 150
+    dA = np.where(rng.random((n, n)) < 0.4, rng.standard_normal((n, n)), 0.0)
+    A = DIAMatrix.from_dense(dA)
+    assert A.graph.n_diags > A._SCAN_THRESHOLD
+    x = rng.standard_normal(n)
+    y = np.asarray(A.matvec(jnp.asarray(x)))
+    assert np.max(np.abs(y - dA @ x)) < 1e-12
+    # jit + rectangular via the same path
+    y2 = np.asarray(jax.jit(lambda M, v: M.matvec(v))(A, jnp.asarray(x)))
+    assert np.max(np.abs(y2 - dA @ x)) < 1e-12
