@@ -1,4 +1,5 @@
 from sigma_tpu.parallel.dist import (
+    balance_rows,
     DistributedDIAMatrix,
     DistributedMatrix,
     distribute_matrix_dia,
@@ -16,4 +17,5 @@ __all__ = [
     "distribute_vector",
     "undistribute_vector",
     "make_mesh",
+    "balance_rows",
 ]

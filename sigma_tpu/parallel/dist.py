@@ -59,6 +59,7 @@ __all__ = [
     "distribute_vector",
     "undistribute_vector",
     "make_mesh",
+    "balance_rows",
 ]
 
 
@@ -461,3 +462,28 @@ def distribute_matrix_dia(
         n=n,
         block=nb,
     )
+
+
+def balance_rows(A: SparseMatrix, n_shards: int) -> np.ndarray:
+    """Load-balancing row permutation for distribution (SURVEY §7 "load
+    balance" hard part): rows sorted by degree are dealt round-robin across
+    shard-sized strides, so every shard receives the same mix of heavy and
+    light rows and the per-shard ELL width (max degree) equalizes.
+
+    Returns ``p`` in scatter form (new = p[old]); distribute the permuted
+    matrix ``A.permute_rows(p).permute_cols(p)`` and permute vectors
+    accordingly.  Build-time host utility, like all reorderings.
+    """
+    n = A.shape[0]
+    deg = A.graph.degrees_numpy() if hasattr(A, "graph") else np.bincount(
+        A.entries()[0], minlength=n
+    )
+    nb = -(-n // n_shards)
+    order = np.argsort(-deg, kind="stable")  # heavy rows first
+    p = np.empty(n, dtype=np.int64)
+    # deal rows round-robin: row k in sorted order goes to shard k % D,
+    # local slot k // D
+    shard = np.arange(n) % n_shards
+    slot = np.arange(n) // n_shards
+    p[order] = shard * nb + slot
+    return p
