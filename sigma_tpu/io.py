@@ -36,6 +36,8 @@ __all__ = [
     "load_matrix_npz",
     "save_checkpoint",
     "load_checkpoint",
+    "from_scipy",
+    "to_scipy",
 ]
 
 
@@ -172,3 +174,27 @@ def load_checkpoint(path):
         k: z[k] for k in z.files if k not in ("x", "meta")
     }
     return jnp.asarray(z["x"]), meta, extras
+
+
+def from_scipy(A_scipy, frmt: Union[str, int] = None, dtype=None) -> SparseMatrix:
+    """Build from any scipy.sparse matrix (format inferred when not given:
+    csr/csc/coo map to their namesakes, others to csr)."""
+    fmt = frmt
+    if fmt is None:
+        name = getattr(A_scipy, "format", "csr")
+        fmt = name if name in MATRIX_FORMATS else "csr"
+    cls = choose_matrix_type(fmt)
+    coo = A_scipy.tocoo()
+    return cls.from_coo(
+        coo.shape[0], coo.shape[1], coo.row, coo.col, coo.data, dtype=dtype
+    )
+
+
+def to_scipy(A: SparseMatrix):
+    """Export to scipy.sparse.csr_matrix."""
+    import scipy.sparse
+
+    rows, cols, vals = A.entries()
+    return scipy.sparse.csr_matrix(
+        (vals, (rows, cols)), shape=A.shape
+    )

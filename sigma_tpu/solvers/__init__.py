@@ -2,6 +2,7 @@ from sigma_tpu.solvers.amg import (
     AMGPreconditioner,
     smoothed_aggregation_amg,
 )
+from sigma_tpu.solvers.chebyshev import ChebyshevSmoother, chebyshev, estimate_lmax
 from sigma_tpu.solvers.base import (
     BiCGStabSolver,
     CGSolver,
@@ -32,6 +33,9 @@ from sigma_tpu.solvers.krylov import (
 )
 
 __all__ = [
+    "ChebyshevSmoother",
+    "chebyshev",
+    "estimate_lmax",
     "AMGPreconditioner",
     "smoothed_aggregation_amg",
     "LinearSolver",

@@ -1,0 +1,110 @@
+"""Chebyshev polynomial smoother / preconditioner.
+
+No reference analogue (named extension).  Why it earns a place in a
+TPU/distributed framework: one application is ``degree`` SpMVs and axpys
+with **zero inner products** — so on a sharded operator it runs with zero
+``psum`` collectives, unlike a nested CG preconditioner.  That makes it the
+standard smoother choice for distributed multigrid and a latency-free
+alternative to Jacobi-preconditioned inner solves.
+
+Implements the classic three-term Chebyshev iteration targeting the
+eigenvalue interval ``[lmin, lmax]`` (for smoothing, the usual choice is
+``[lmax/alpha, lmax]`` with alpha ~ 4-30, damping the high end only), with
+a small power-iteration estimator for ``lmax``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from sigma_tpu.operators.linear_operator import LinearOperator
+
+__all__ = ["ChebyshevSmoother", "chebyshev", "estimate_lmax"]
+
+
+def estimate_lmax(A: LinearOperator, iters: int = 20, key=None, safety: float = 1.05):
+    """Largest-eigenvalue estimate by power iteration (host-callable,
+    jit-traceable)."""
+    n = A.shape[0]
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    v = jax.random.normal(key, (n,), dtype=getattr(A, "dtype", jnp.float32))
+
+    def body(i, carry):
+        v, lam = carry
+        w = A.matvec(v)
+        lam = jnp.linalg.norm(w)
+        return w / jnp.maximum(lam, 1e-300), lam
+
+    _, lam = lax.fori_loop(0, iters, body, (v / jnp.linalg.norm(v), jnp.asarray(0.0, v.dtype)))
+    return lam * safety
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True, repr=False)
+class ChebyshevSmoother(LinearOperator):
+    """Applies z = p(A) r with p the degree-``degree`` Chebyshev polynomial
+    approximating A^{-1} on [lmin, lmax].  Use as ``M=`` anywhere."""
+
+    op: LinearOperator
+    lmin: jax.Array
+    lmax: jax.Array
+    degree: int = dataclasses.field(metadata=dict(static=True), default=4)
+
+    @property
+    def shape(self):
+        return self.op.shape
+
+    def matvec(self, r):
+        theta = 0.5 * (self.lmax + self.lmin)
+        delta = 0.5 * (self.lmax - self.lmin)
+        sigma = theta / delta
+        rho = 1.0 / sigma
+
+        # three-term recurrence on the correction z (x0 = 0)
+        z = r / theta
+        if self.degree == 1:
+            return z
+        prev_z = jnp.zeros_like(r)
+
+        def body(i, carry):
+            z, prev_z, rho = carry
+            rho_next = 1.0 / (2.0 * sigma - rho)
+            resid = r - self.op.matvec(z)
+            z_next = rho_next * (
+                2.0 * resid / delta + rho * (z - prev_z)
+            ) + z
+            return z_next, z, rho_next
+
+        z, _, _ = lax.fori_loop(0, self.degree - 1, body, (z, prev_z, rho))
+        return z
+
+    rmatvec = matvec
+
+
+def chebyshev(
+    A: LinearOperator,
+    degree: int = 4,
+    lmax=None,
+    lmin=None,
+    smoothing_fraction: float = 1.0 / 30.0,
+    key=None,
+) -> ChebyshevSmoother:
+    """Build a Chebyshev smoother for A.
+
+    Defaults estimate ``lmax`` by power iteration and set
+    ``lmin = smoothing_fraction * lmax`` (the multigrid smoothing
+    convention); pass explicit bounds to target the full spectrum as a
+    solver-grade polynomial preconditioner.
+    """
+    if lmax is None:
+        lmax = estimate_lmax(A, key=key)
+    lmax = jnp.asarray(lmax)
+    lmin = jnp.asarray(lmin) if lmin is not None else smoothing_fraction * lmax
+    return ChebyshevSmoother(op=A, lmin=lmin, lmax=lmax, degree=int(degree))

@@ -100,3 +100,78 @@ def test_amg_unsmoothed_variant(rng):
     b = jnp.asarray(d @ xstar)
     x, info = cg_solve(A, b, tol=1e-11, M=M)
     assert np.max(np.abs(np.asarray(x) - xstar)) < 1e-8
+
+
+# -- Chebyshev (tested here with AMG as its natural companion) ---------------
+
+def test_chebyshev_polynomial_pc(rng):
+    from sigma_tpu.solvers import chebyshev, estimate_lmax
+
+    n = 17 * 17
+    d = laplacian_2d(17) + 0.05 * np.eye(n)
+    A = CSRMatrix.from_dense(d)
+    ev = np.linalg.eigvalsh(d)
+    M = chebyshev(A, degree=8, lmax=ev.max() * 1.05, lmin=ev.min())
+    xstar = rng.standard_normal(n)
+    b = jnp.asarray(d @ xstar)
+    x, info = cg_solve(A, b, tol=1e-11, M=M)
+    assert np.max(np.abs(np.asarray(x) - xstar)) < 1e-8
+    _, plain = cg_solve(A, b, tol=1e-11)
+    assert int(info.iterations) * 3 < int(plain.iterations)
+
+
+def test_chebyshev_lmax_estimate(rng):
+    from sigma_tpu.solvers import estimate_lmax
+
+    n = 15 * 15
+    d = laplacian_2d(15) + np.eye(n)
+    A = CSRMatrix.from_dense(d)
+    est = float(estimate_lmax(A, iters=30))
+    true = np.linalg.eigvalsh(d).max()
+    assert 0.9 * true <= est <= 1.3 * true
+
+
+def test_chebyshev_smoother_damps_high_modes(rng):
+    """With multigrid bounds [lmax/30, lmax], one application must damp a
+    high-frequency error much more than a smooth one."""
+    import jax.numpy as jnp
+
+    from sigma_tpu.solvers import chebyshev
+
+    nx = 32
+    n = nx
+    d = 2 * np.eye(n) - np.eye(n, k=1) - np.eye(n, k=-1)
+    A = CSRMatrix.from_dense(d)
+    ev, Q = np.linalg.eigh(d)
+    # [lmax/4, lmax]: the standard smoothing band; degree-3 equioscillation
+    # bound 2*((sqrt(4)-1)/(sqrt(4)+1))^3 ~ 0.07
+    M = chebyshev(A, degree=3, lmax=ev.max(), smoothing_fraction=0.25)
+    # error = eigenvector; after e <- e - M A e, measure damping factor
+    def damping(e):
+        e2 = e - np.asarray(M.matvec(A.matvec(jnp.asarray(e))))
+        return np.linalg.norm(e2) / np.linalg.norm(e)
+
+    smooth = damping(Q[:, 0])
+    rough = damping(Q[:, -1])
+    assert rough < 0.2  # high modes crushed
+    assert rough < smooth  # selectively
+
+
+def test_chebyshev_zero_collectives_distributed(rng):
+    """Chebyshev applies on a sharded operator with no inner products — and
+    still preconditions distributed CG."""
+    import jax
+
+    from sigma_tpu.parallel import distribute_matrix, make_mesh
+    from sigma_tpu.solvers import chebyshev
+
+    assert len(jax.devices()) >= 8
+    n = 256
+    d = 2 * np.eye(n) - np.eye(n, k=1) - np.eye(n, k=-1) + 0.05 * np.eye(n)
+    Ad = distribute_matrix(CSRMatrix.from_dense(d), make_mesh(8))
+    ev = np.linalg.eigvalsh(d)
+    M = chebyshev(Ad, degree=6, lmax=ev.max() * 1.05, lmin=ev.min())
+    xstar = rng.standard_normal(n)
+    b = Ad.shard_vector(d @ xstar)
+    x, info = cg_solve(Ad, b, tol=1e-11, M=M)
+    assert np.max(np.abs(Ad.unshard_vector(x) - xstar)) < 1e-7

@@ -292,3 +292,31 @@ def test_block_cg_single_rhs_matches_cg(rng):
     b = jnp.asarray(dense @ xstar)
     X, _ = block_cg_solve(A, b[:, None], tol=1e-13)
     assert np.max(np.abs(np.asarray(X[:, 0]) - xstar)) < 1e-9
+
+
+def test_multicolor_ordering_reduces_ildu_levels(rng):
+    """The reference's stated remedy for sequential triangular sweeps
+    (permutations.f90:6-8): after a greedy color ordering, the ILDU
+    triangular dependency levels collapse to ~the color count, shrinking
+    the sequential depth of each preconditioner application."""
+    from sigma_tpu.graph.permutations import greedy_color_ordering
+    from sigma_tpu.solvers.ildu import ILDUPreconditioner
+
+    n = 200
+    dense = random_spd_laplacian(rng, n)
+    A = CSRMatrix.from_dense(dense)
+    M_nat = ldu().setup(A)
+    p, ptr = greedy_color_ordering(A.graph)
+    Ap = CSRMatrix.from_dense(dense[np.ix_(np.argsort(p), np.argsort(p))])
+    M_col = ldu().setup(Ap)
+
+    def depth(M):
+        # rows.shape[0] is the number of dependency levels
+        return M.lower.rows.shape[0] + M.upper.rows.shape[0]
+
+    assert depth(M_col) <= depth(M_nat)
+    # and the reordered preconditioner still works
+    v = rng.standard_normal(n)
+    f = jnp.asarray(dense[np.ix_(np.argsort(p), np.argsort(p))] @ v)
+    u, info = cg(1e-14).solve_info(Ap, f, M=M_col)
+    assert np.abs(np.asarray(u) - v).max() < 1e-10

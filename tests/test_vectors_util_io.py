@@ -207,3 +207,17 @@ def test_matrix_market_pattern(tmp_path):
     )
     A = read_matrix_market(p)
     assert A.get_value(0, 1) == 1.0 and A.get_value(1, 0) == 1.0
+
+
+def test_scipy_interop(rng):
+    import scipy.sparse
+
+    from sigma_tpu.io import from_scipy, to_scipy
+
+    d = np.where(rng.random((15, 12)) < 0.3, rng.standard_normal((15, 12)), 0.0)
+    S = scipy.sparse.csc_matrix(d)
+    A = from_scipy(S)  # format inferred: csc
+    assert A.format == "csc"
+    assert np.max(np.abs(A.to_dense() - d)) < 1e-15
+    back = to_scipy(A)
+    assert np.max(np.abs(back.toarray() - d)) < 1e-15
