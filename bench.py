@@ -102,7 +102,7 @@ def bench_spmv(A, nnz, K1=50, K2=250):
     from jax import lax
 
     n = A.shape[0]
-    x = jnp.ones((n,), dtype=A.dtype)
+    x = jnp.ones((n,), dtype=jnp.float32)
 
     def make(K):
         @jax.jit
@@ -152,6 +152,11 @@ def main():
     A_dia = DIAMatrix.from_coo(n, n, r, c, v, dtype=dtype)
     dia_nnz_s = bench_spmv(A_dia, nnz)
 
+    # bf16 matrix values halve the dominant HBM stream; exact for stencil
+    # coefficients representable in bf16 (these are)
+    A_bf16 = DIAMatrix.from_coo(n, n, r, c, v, dtype=jnp.bfloat16)
+    bf16_nnz_s = bench_spmv(A_bf16, nnz)
+
     A_ell = ELLMatrix.from_coo(n, n, r, c, v, dtype=dtype)
     ell_nnz_s = bench_spmv(A_ell, nnz, K1=2, K2=10)  # gather path is slow
 
@@ -174,6 +179,7 @@ def main():
                     "n": n,
                     "nnz": nnz,
                     "dia_gnnz_s": round(dia_nnz_s / 1e9, 4),
+                    "dia_bf16data_gnnz_s": round(bf16_nnz_s / 1e9, 4),
                     "ell_gnnz_s": round(ell_nnz_s / 1e9, 4),
                     "hbm_gbps": bw,
                     "measured_triad_gbps": round(measured_bw, 2),
