@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from sigma_tpu.graph.factory import build_graph
 
 __all__ = [
     "torus",

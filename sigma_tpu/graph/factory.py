@@ -8,7 +8,7 @@ are immutable, so conversion is just re-freezing the edge set.
 
 from __future__ import annotations
 
-from typing import Optional, Type, Union
+from typing import Type, Union
 
 from sigma_tpu.graph.builder import GraphBuilder
 from sigma_tpu.graph.graph import (

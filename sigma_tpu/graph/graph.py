@@ -34,7 +34,6 @@ resulting dense mirror satisfies ``new[p[i], j] == old[i, j]``.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import ClassVar, Optional, Tuple
 
 import jax

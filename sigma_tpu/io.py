@@ -15,8 +15,7 @@ Here both directions exist, in two encodings:
 from __future__ import annotations
 
 import json
-from pathlib import Path
-from typing import Optional, Type, Union
+from typing import Optional, Union
 
 import jax.numpy as jnp
 import numpy as np

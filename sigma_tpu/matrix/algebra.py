@@ -37,7 +37,7 @@ format copy.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple, Type
+from typing import Tuple, Type
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ ever needed in arithmetic.
 from __future__ import annotations
 
 import dataclasses
-from typing import ClassVar, Tuple
+from typing import ClassVar
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ reference names as a missing critical optimization (``README.md:83``).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

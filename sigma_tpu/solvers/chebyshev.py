@@ -16,7 +16,6 @@ a small power-iteration estimator for ``lmax``.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

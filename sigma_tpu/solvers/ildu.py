@@ -24,7 +24,7 @@ Factorization (numeric ILU(0) on the static pattern, mirroring
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
