@@ -49,7 +49,9 @@ from sigma_tpu.operators import (
     attach_solver,
 )
 from sigma_tpu.eigen import (
+    LOBPCGResult,
     LanczosResult,
+    lobpcg,
     eigensolve,
     generalized_eigensolve,
     generalized_lanczos,

@@ -1,3 +1,4 @@
+from sigma_tpu.eigen.lobpcg import LOBPCGResult, lobpcg
 from sigma_tpu.eigen.lanczos import (
     LanczosResult,
     eigensolve,
@@ -7,6 +8,8 @@ from sigma_tpu.eigen.lanczos import (
 )
 
 __all__ = [
+    "lobpcg",
+    "LOBPCGResult",
     "LanczosResult",
     "lanczos",
     "generalized_lanczos",

@@ -167,3 +167,28 @@ def _scale_rows_data(A: SparseMatrix, scale: np.ndarray) -> jax.Array:
     flat = np.zeros(A.data.size, dtype=np.asarray(A.data).dtype)
     flat[pos] = vals * scale[rows]
     return jnp.asarray(flat.reshape(A.data.shape))
+
+
+def amg_solve(A, b, M: AMGPreconditioner = None, *, tol=1e-10, maxiter=100):
+    """Standalone AMG solver: stationary V-cycle iteration x += M(b - A x)
+    until the residual norm meets ``tol`` (jit-compiled while_loop).  Builds
+    the hierarchy if ``M`` is not supplied."""
+    from sigma_tpu.solvers.krylov import SolveInfo
+    from jax import lax
+
+    if M is None:
+        M = smoothed_aggregation_amg(A)
+
+    def cond(state):
+        _, r, k = state
+        return (jnp.linalg.norm(r) > tol) & (k < maxiter)
+
+    def body(state):
+        x, r, k = state
+        x = x + M.matvec(r)
+        return x, b - A.matvec(x), k + 1
+
+    x0 = jnp.zeros_like(b)
+    x, r, k = lax.while_loop(cond, body, (x0, b, jnp.asarray(0, jnp.int32)))
+    resn = jnp.linalg.norm(r)
+    return x, SolveInfo(k, resn, resn <= tol)
