@@ -388,18 +388,22 @@ class ELLGraph(Graph):
         return node[i, : int(self.degrees_numpy()[i])].astype(np.int64)
 
     def edge_positions(self, rows, cols) -> np.ndarray:
-        """Flat positions into the (n, width) value array (= i*width + slot)."""
-        rows = np.asarray(rows, dtype=np.int64)
-        cols = np.asarray(cols, dtype=np.int64)
+        """Flat positions into the (n, width) value array (= i*width + slot).
+
+        Vectorized: broadcast-compare each queried row's slots against the
+        wanted column (O(q*width) numpy, no per-edge python loop — assembly
+        paths call this with q = nnz batches)."""
+        rows = np.asarray(rows, dtype=np.int64).ravel()
+        cols = np.asarray(cols, dtype=np.int64).ravel()
         node = np.asarray(self.cols).astype(np.int64)
         deg = self.degrees_numpy()
-        out = np.full(rows.shape, -1, dtype=np.int64)
-        for k, (i, j) in enumerate(zip(rows, cols)):
-            row = node[i, : deg[i]]
-            hits = np.nonzero(row == j)[0]
-            if hits.size:
-                out[k] = i * self.width + hits[0]
-        return out
+        rows_c = np.clip(rows, 0, self.shape[0] - 1)
+        slots = node[rows_c]  # (q, width)
+        valid = np.arange(self.width)[None, :] < deg[rows_c][:, None]
+        hit = (slots == cols[:, None]) & valid
+        any_hit = hit.any(axis=1) & (rows >= 0) & (rows < self.shape[0])
+        first = hit.argmax(axis=1)
+        return np.where(any_hit, rows_c * self.width + first, -1)
 
 
 @jax.tree_util.register_dataclass

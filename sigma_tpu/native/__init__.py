@@ -4,6 +4,12 @@ The shared library is built on first use with the system ``g++`` (no build
 system, no pip); every entry point has a pure-numpy fallback, so the
 package works identically without a compiler — just slower on huge
 host-side builds.  Set ``SIGMA_TPU_NO_NATIVE=1`` to force the fallbacks.
+
+Wired call sites: ``bfs_order``/``greedy_coloring`` (graph/permutations),
+``triangular_levels`` (solvers/ildu).  ``csr_from_coo`` and
+``edge_positions`` are bound and tested but intentionally NOT wired: the
+numpy paths (SIMD introsort; vectorized searchsorted/broadcast lookups)
+measured faster on this host class — see BENCHMARKS.md.
 """
 
 from __future__ import annotations

@@ -480,10 +480,15 @@ def balance_rows(A: SparseMatrix, n_shards: int) -> np.ndarray:
     )
     nb = -(-n // n_shards)
     order = np.argsort(-deg, kind="stable")  # heavy rows first
+    # enumerate the n valid positions round-robin across shards (slot j of
+    # shard s = index s*nb + j; positions >= n do not exist, so shards whose
+    # trailing slots fall past n simply drop out of the rotation) — this is
+    # a bijection onto [0, n) for any n, including n % n_shards != 0
+    shard_grid, slot_grid = np.meshgrid(
+        np.arange(n_shards), np.arange(nb), indexing="ij"
+    )
+    positions = (shard_grid * nb + slot_grid).T.ravel()  # slot-major
+    positions = positions[positions < n]
     p = np.empty(n, dtype=np.int64)
-    # deal rows round-robin: row k in sorted order goes to shard k % D,
-    # local slot k // D
-    shard = np.arange(n) % n_shards
-    slot = np.arange(n) // n_shards
-    p[order] = shard * nb + slot
+    p[order] = positions
     return p

@@ -39,12 +39,10 @@ def greedy_aggregate(A: SparseMatrix) -> np.ndarray:
     """Aggregate vertices of A's graph greedily: each unaggregated vertex
     seeds an aggregate with its unaggregated neighbors.  Returns (n,) int
     aggregate ids (host-side setup, like all reorderings)."""
+    from sigma_tpu.graph.permutations import _adjacency
+
     n = A.shape[0]
-    rows, cols = A.graph.edges_numpy()
-    order = np.lexsort((cols, rows))
-    rows, cols = rows[order], cols[order]
-    indptr = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(np.bincount(rows, minlength=n), out=indptr[1:])
+    indptr, cols = _adjacency(A.graph)
     agg = -np.ones(n, dtype=np.int64)
     next_agg = 0
     for v in range(n):
@@ -88,7 +86,10 @@ class AMGPreconditioner(LinearOperator):
 
     @property
     def shape(self):
-        n = self.levels[0].A.shape[0]
+        if self.levels:
+            n = self.levels[0].A.shape[0]
+        else:  # hierarchy collapsed to the dense coarse solve
+            n = self.coarse_lu.shape[0]
         return (n, n)
 
     def _smooth(self, lvl: _Level, x, r):
@@ -140,15 +141,10 @@ def smoothed_aggregation_amg(
                 _scale_rows_data(Acur, 1.0 / d)
             )
             AP = sparse_matmul(DinvA, P, out_format=CSRMatrix)
-            P = sparse_add(
-                P if isinstance(P, CSRMatrix) else CSRMatrix.from_dense(P.to_dense()),
-                AP,
-                alpha=1.0,
-                beta=-omega,
-            )
+            P = sparse_add(P, AP, alpha=1.0, beta=-omega)
         Ac = ptap(Acur, P, out_format=type(Acur))
         dvec = jnp.asarray(np.asarray(Acur.diagonal()))
-        dinv = jnp.where(dvec != 0, 1.0 / jnp.where(dvec != 0, dvec, 1.0), 0.0)
+        dinv = jnp.where(dvec != 0, 1.0, 0.0) / jnp.where(dvec != 0, dvec, 1.0)
         levels.append(_Level(A=Acur, P=P, dinv=dinv, omega=float(omega)))
         Acur = Ac
 

@@ -84,7 +84,15 @@ class LinearSolver:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class _SolverApply(LinearOperator):
-    """z = M^{-1} r implemented as an inner solve (nested-Krylov pc)."""
+    """z = M^{-1} r implemented as an inner solve (nested-Krylov pc).
+
+    The right-hand side is normalized before the inner solve so the inner
+    solver's *absolute* tolerance acts relatively — otherwise a shrinking
+    outer residual eventually satisfies the inner tolerance at x0 = 0 and
+    the preconditioner degenerates to z = 0 (rho breakdown, NaN).  A
+    truncated inner Krylov solve is still a *variable* operator: use the
+    outer solver's ``flexible=True`` mode with it.
+    """
 
     op: LinearOperator
     config: "LinearSolver" = dataclasses.field(metadata=dict(static=True))
@@ -94,10 +102,12 @@ class _SolverApply(LinearOperator):
         return self.op.shape
 
     def matvec(self, r):
-        return self.config.solve(self.op, r)
+        nrm = jnp.linalg.norm(r)
+        safe = jnp.maximum(nrm, jnp.asarray(jnp.finfo(r.dtype).tiny, r.dtype))
+        z = self.config.solve(self.op, r / safe)
+        return jnp.where(nrm > 0, z * safe, jnp.zeros_like(r))
 
-    def rmatvec(self, r):
-        return self.config.solve(self.op, r)
+    rmatvec = matvec
 
 
 @dataclasses.dataclass(frozen=True)
@@ -173,7 +183,7 @@ class JacobiSolver(LinearSolver):
         x = self.setup(A).matvec(b)
         r = b - A.matvec(x)
         rn = jnp.linalg.norm(r)
-        return x, SolveInfo(jnp.asarray(1, jnp.int32), rn, rn <= rn)
+        return x, SolveInfo(jnp.asarray(1, jnp.int32), rn, jnp.isfinite(rn))
 
 
 def cg(tolerance: float = 1e-15, rtol: float = 0.0, maxiter=None) -> CGSolver:

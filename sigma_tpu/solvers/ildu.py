@@ -252,7 +252,7 @@ class LDUSolver(LinearSolver):
         x = op.matvec(b)
         r = b - A.matvec(x)
         rn = jnp.linalg.norm(r)
-        return x, SolveInfo(jnp.asarray(1, jnp.int32), rn, rn <= rn)
+        return x, SolveInfo(jnp.asarray(1, jnp.int32), rn, jnp.isfinite(rn))
 
 
 def ldu(incomplete: bool = True, level: int = 0) -> LDUSolver:

@@ -46,7 +46,8 @@ def _apply(M):
 
 
 def cg_solve(
-    A, b, x0=None, *, tol=1e-15, rtol=0.0, maxiter=None, M=None, history=False
+    A, b, x0=None, *, tol=1e-15, rtol=0.0, maxiter=None, M=None, history=False,
+    flexible=False,
 ):
     """Preconditioned conjugate gradients (SPD A).
 
@@ -55,6 +56,11 @@ def cg_solve(
     (reference default tol 1e-16), iteration counter in the returned info.
     ``history=True`` additionally records the residual norm after every
     iteration into ``info.history``.
+
+    ``flexible=True`` uses the Polak-Ribiere beta
+    ``z_{k+1}^T (r_{k+1} - r_k) / z_k^T r_k`` (flexible CG), REQUIRED when
+    M is a *variable* preconditioner — e.g. a truncated inner Krylov solve
+    from ``LinearSolver.setup`` — where fixed-M CG breaks down (NaN).
     """
     n = A.shape[0]
     x0 = jnp.zeros_like(b) if x0 is None else x0
@@ -80,15 +86,20 @@ def cg_solve(
         q = matvec(p)
         alpha = rho / jnp.vdot(p, q)
         x = x + alpha * p
-        r = r - alpha * q
-        z = apply_M(r)
-        rho_new = jnp.vdot(r, z)
-        beta = rho_new / rho
+        r_new = r - alpha * q
+        z = apply_M(r_new)
+        if flexible:
+            # Polak-Ribiere: robust to variable (nonlinear) preconditioners
+            rho_new = jnp.vdot(r_new, z)
+            beta = jnp.vdot(z, r_new - r) / rho
+        else:
+            rho_new = jnp.vdot(r_new, z)
+            beta = rho_new / rho
         p = z + beta * p
-        res2 = jnp.vdot(r, r)
+        res2 = jnp.vdot(r_new, r_new)
         if hist is not None:
             hist = hist.at[k].set(jnp.sqrt(res2))
-        return (x, r, z, p, rho_new, res2, k + 1, hist)
+        return (x, r_new, z, p, rho_new, res2, k + 1, hist)
 
     x, r, _, _, _, res2, k, hist = lax.while_loop(
         cond,
@@ -243,7 +254,9 @@ def stationary_solve(A, b, M, x0=None, *, steps: int):
     x = lax.fori_loop(0, steps, body, x0)
     r = b - A.matvec(x)
     resn = jnp.linalg.norm(r)
-    return x, SolveInfo(jnp.asarray(steps, jnp.int32), resn, resn <= resn)
+    # a fixed-step stationary iteration has no tolerance: "converged" here
+    # only certifies the result is finite (no breakdown)
+    return x, SolveInfo(jnp.asarray(steps, jnp.int32), resn, jnp.isfinite(resn))
 
 
 def block_cg_solve(A, B, X0=None, *, tol=1e-12, rtol=0.0, maxiter=None, M=None):

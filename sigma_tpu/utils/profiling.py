@@ -86,6 +86,8 @@ class SolverLog:
         self.info = info
 
     def residuals(self) -> np.ndarray:
+        if self.info.history is None:  # solve ran without history=True
+            return np.empty(0)
         h = np.asarray(self.info.history)
         return h[~np.isnan(h)]
 

@@ -175,3 +175,17 @@ def test_chebyshev_zero_collectives_distributed(rng):
     b = Ad.shard_vector(d @ xstar)
     x, info = cg_solve(Ad, b, tol=1e-11, M=M)
     assert np.max(np.abs(Ad.unshard_vector(x) - xstar)) < 1e-7
+
+
+def test_amg_zero_level_hierarchy(rng):
+    """Matrices at/below coarse_size collapse to the dense solve; shape and
+    matvec must still work."""
+    n = 20
+    d = laplacian_2d(5) + np.eye(25)
+    A = CSRMatrix.from_dense(d)
+    M = smoothed_aggregation_amg(A)  # 25 <= default coarse_size 64
+    assert M.levels == ()
+    assert M.shape == (25, 25)
+    r = jnp.asarray(rng.standard_normal(25))
+    z = np.asarray(M.matvec(r))
+    assert np.max(np.abs(d @ z - np.asarray(r))) < 1e-8  # exact coarse solve

@@ -68,3 +68,15 @@ def test_spmv_throughput_positive(rng):
     A = CSRMatrix.from_dense(d)
     rate = spmv_throughput(A, k1=2, k2=10)
     assert rate > 0
+
+
+def test_solver_log_without_history(rng):
+    """SolverLog must degrade gracefully when the solve ran with the
+    default history=False."""
+    n = 30
+    dA = spd(rng, n)
+    A = CSRMatrix.from_dense(dA)
+    x, info = cg_solve(A, jnp.asarray(dA @ np.ones(n)), tol=1e-12)
+    log = SolverLog(info)
+    assert log.residuals().size == 0
+    assert "iterations" in log.report()

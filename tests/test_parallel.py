@@ -263,3 +263,18 @@ def test_balance_rows(mesh, rng):
     xs, _ = cg_solve(Ad, Ad.shard_vector(bp), tol=1e-12, maxiter=3000)
     x = Ad.unshard_vector(xs)[np.asarray(p)]
     assert np.max(np.abs(x - xstar)) < 1e-7
+
+
+def test_balance_rows_uneven_n(mesh):
+    """n not divisible by n_shards must still yield a bijection on [0, n)
+    with round-robin shard assignment."""
+    from sigma_tpu.parallel import balance_rows
+
+    n, D = 13, 4
+    dense = np.eye(n) * 2 + np.diag(np.ones(n - 1), 1)
+    A = CSRMatrix.from_dense(dense + dense.T)
+    p = balance_rows(A, D)
+    assert np.array_equal(np.sort(p), np.arange(n))
+    # permutation applies cleanly
+    Ab = A.permute_rows(p).permute_cols(p)
+    assert Ab.nnz == A.nnz

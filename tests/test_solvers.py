@@ -246,11 +246,34 @@ def test_solver_as_preconditioner_nested(rng):
     M = inner.setup(A)
     xstar = rng.standard_normal(n)
     b = jnp.asarray(d @ xstar)
-    x, info = cg_solve(A, b, tol=1e-12, M=M)
+    x, info = cg_solve(A, b, tol=1e-12, M=M, flexible=True)
     assert np.max(np.abs(np.asarray(x) - xstar)) < 1e-8
     # the nested pc cuts the outer iteration count vs plain CG
     _, plain = cg_solve(A, b, tol=1e-12)
     assert int(info.iterations) < int(plain.iterations)
+
+
+def test_flexible_cg_survives_truncated_inner_solver(rng):
+    """A truncated-tolerance inner Krylov preconditioner is a *variable*
+    operator: fixed-M CG breaks down (NaN) while flexible CG converges."""
+    from sigma_tpu.solvers import CGSolver
+
+    nx = 15
+    n = nx * nx
+    idx = np.arange(n).reshape(nx, nx)
+    d = 4 * np.eye(n)
+    for ax in range(2):
+        s_ = np.take(idx, np.arange(nx - 1), axis=ax).ravel()
+        t_ = np.take(idx, np.arange(1, nx), axis=ax).ravel()
+        d[s_, t_] = -1
+        d[t_, s_] = -1
+    A = CSRMatrix.from_dense(d)
+    M = CGSolver(tolerance=1e-2, maxiter=5).setup(A)
+    xstar = rng.standard_normal(n)
+    b = jnp.asarray(d @ xstar)
+    x_fx, info_fx = cg_solve(A, b, tol=1e-10, M=M, flexible=True, maxiter=500)
+    assert np.isfinite(np.asarray(x_fx)).all()
+    assert np.max(np.abs(np.asarray(x_fx) - xstar)) < 1e-7
 
 
 def test_block_cg_multirhs(rng):
