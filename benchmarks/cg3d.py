@@ -28,10 +28,10 @@ def laplacian_3d_coo_padded_strides(nx, stride):
     strides (1, stride, stride^2), so the DIA offsets (+-1, +-stride,
     +-stride^2) are multiples of the 128-lane width when ``stride`` is.
 
-    Measured rationale: with nx=216 the natural offsets (+-216, +-46656)
-    are lane-misaligned and the window FMAs drop to ~15 Gnnz/s; embedding
-    into stride=256 costs ~40% zero-padded rows but restores the aligned
-    fast path (~7x) — net >4x effective nnz/s.
+    Measured outcome (BENCHMARKS.md): alignment padding did NOT recover the
+    large-n throughput cliff (the bottleneck is per-diagonal x re-reads
+    once x exceeds VMEM, not lane alignment) — 10.1 vs 14.8 Gnnz/s at
+    nx=216.  Kept as an option for studying layout effects; default off.
     """
     n_pad = ((nx - 1) * stride + (nx - 1)) * stride + nx  # last index + 1
     i = np.arange(nx, dtype=np.int64)
@@ -68,8 +68,9 @@ def main():
     ap.add_argument("--iters", type=int, default=100, help="CG iterations")
     ap.add_argument("--nrhs", type=int, default=8)
     ap.add_argument(
-        "--pad-strides", type=int, default=256,
-        help="pad grid index strides to this (0 = natural strides)",
+        "--pad-strides", type=int, default=0,
+        help="pad grid index strides to this (0 = natural strides; padding "
+        "measured slower at 10M rows, see BENCHMARKS.md)",
     )
     args = ap.parse_args()
 
@@ -107,8 +108,8 @@ def main():
         return f
 
     t = timeit_loop(mk, A, x, K1=20, K2=100)
-    print(json.dumps({"metric": "spmv_gnnz_s", "value": round(nnz / t / 1e9, 2),
-                      "n": n}))
+    spmv_val = round(nnz / t / 1e9, 2) if t > 1e-9 else None
+    print(json.dumps({"metric": "spmv_gnnz_s", "value": spmv_val, "n": n}))
 
     # multi-vector SpMM (the capability the reference lacks, README.md:83)
     X = jnp.ones((n, args.nrhs), jnp.float32)
@@ -124,9 +125,12 @@ def main():
         return f
 
     t = timeit_loop(mkm, A, X, K1=5, K2=25)
+    # a slope at the clamp floor means the workload is smaller than launch
+    # jitter (tiny --nx smoke runs): report null rather than a fiction
+    spmm_val = round(args.nrhs * nnz / t / 1e9, 2) if t > 1e-9 else None
     print(json.dumps({
         "metric": "spmm_gnnz_s",
-        "value": round(args.nrhs * nnz / t / 1e9, 2),
+        "value": spmm_val,
         "nrhs": args.nrhs,
     }))
 
@@ -135,20 +139,26 @@ def main():
         np.sin(np.arange(n, dtype=np.float32) * 0.001), dtype=jnp.float32
     )
     b = A.matvec(xstar)
-    t0 = time.perf_counter()
-    xs, info = jax.jit(
+    solve = jax.jit(
         lambda A, b: cg_solve(A, b, tol=0.0, rtol=1e-6, maxiter=args.iters)
-    )(A, b)
+    )
+    t0 = time.perf_counter()
+    xs, info = solve(A, b)
+    resn = float(info.residual_norm)  # sync
+    t_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    xs, info = solve(A, b)
     resn = float(info.residual_norm)
+    t_warm = time.perf_counter() - t0
     iters = int(info.iterations)
-    t1 = time.perf_counter() - t0
     rel = resn / float(jnp.linalg.norm(b))
     print(json.dumps({
         "metric": "cg_10m",
         "iterations": iters,
         "relative_residual": f"{rel:.3e}",
-        "wall_s_incl_compile": round(t1, 2),
-        "s_per_iteration": round(t1 / max(iters, 1), 4),
+        "wall_s_incl_compile": round(t_cold, 2),
+        "wall_s_warm": round(t_warm, 2),
+        "s_per_iteration": round(t_warm / max(iters, 1), 4),
     }))
 
 

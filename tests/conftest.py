@@ -30,3 +30,18 @@ def rng():
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running test")
+
+
+def laplacian_2d(nx: int) -> np.ndarray:
+    """Dense 5-point Dirichlet Laplacian on an nx*nx grid — the shared test
+    operator (single definition; drift between copies produced a real bug
+    in an earlier revision of __graft_entry__)."""
+    n = nx * nx
+    idx = np.arange(n).reshape(nx, nx)
+    d = 4 * np.eye(n)
+    for ax in range(2):
+        s = np.take(idx, np.arange(nx - 1), axis=ax).ravel()
+        t = np.take(idx, np.arange(1, nx), axis=ax).ravel()
+        d[s, t] = -1
+        d[t, s] = -1
+    return d

@@ -12,17 +12,7 @@ from sigma_tpu.solvers import cg_solve, smoothed_aggregation_amg
 from sigma_tpu.solvers.amg import greedy_aggregate
 
 
-def laplacian_2d(nx):
-    n = nx * nx
-    idx = np.arange(n).reshape(nx, nx)
-    d = np.zeros((n, n))
-    d[np.arange(n), np.arange(n)] = 4.0
-    for axis in range(2):
-        src = np.take(idx, np.arange(nx - 1), axis=axis).ravel()
-        dst = np.take(idx, np.arange(1, nx), axis=axis).ravel()
-        d[src, dst] = -1.0
-        d[dst, src] = -1.0
-    return d
+from conftest import laplacian_2d  # noqa: E402
 
 
 def test_aggregation_covers_all(rng):

@@ -14,16 +14,7 @@ from sigma_tpu.eigen import lobpcg
 from sigma_tpu.solvers import amg_solve, smoothed_aggregation_amg
 
 
-def laplacian_2d(nx):
-    n = nx * nx
-    idx = np.arange(n).reshape(nx, nx)
-    d = 4 * np.eye(n)
-    for ax in range(2):
-        s = np.take(idx, np.arange(nx - 1), axis=ax).ravel()
-        t = np.take(idx, np.arange(1, nx), axis=ax).ravel()
-        d[s, t] = -1
-        d[t, s] = -1
-    return d
+from conftest import laplacian_2d  # noqa: E402
 
 
 def test_lobpcg_lowest_eigenpairs(rng):

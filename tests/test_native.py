@@ -88,14 +88,36 @@ def test_edge_positions(rng):
             assert pos[k] == -1
 
 
-def test_graph_build_uses_native(rng):
-    """CSRGraph.from_coo flows through the native counting sort."""
+def test_native_matches_numpy_freeze(rng):
+    """native.csr_from_coo must agree exactly with the (wired) numpy freeze
+    path — the native variant is bound and kept for environments where the
+    numpy SIMD sort is unavailable, so divergence may not ship."""
     n = 200
     ne = 3000
     rows = rng.integers(0, n, ne)
     cols = rng.integers(0, n, ne)
-    g = CSRGraph.from_coo(n, n, rows, cols)
-    keys = np.unique(rows.astype(np.int64) * n + cols)
-    r2, c2 = g.edges_numpy()
-    assert np.array_equal(r2, keys // n)
-    assert np.array_equal(c2, keys % n)
+    g = CSRGraph.from_coo(n, n, rows, cols)  # numpy path (the default)
+    r_np, c_np = g.edges_numpy()
+    r_nat, c_nat, ptr = native.csr_from_coo(n, n, rows, cols)
+    assert np.array_equal(r_np, r_nat)
+    assert np.array_equal(c_np, c_nat)
+    assert ptr[-1] == r_nat.size
+
+
+def test_native_bfs_matches_python_fallback(rng, monkeypatch):
+    """The C++ BFS and the pure-python fallback must produce the identical
+    visit-rank permutation from start=0 (same lowest-unvisited restart
+    rule)."""
+    import sigma_tpu.native as native_mod
+    from sigma_tpu.graph.permutations import breadth_first_search
+
+    n = 60
+    dense = np.triu(rng.random((n, n)) < 0.08, 1)
+    dense = dense | dense.T
+    g = CSRGraph.from_dense(dense)
+    p_native = breadth_first_search(g)
+    # disable native: force the python branch
+    monkeypatch.setattr(native_mod, "_lib", None)
+    monkeypatch.setattr(native_mod, "_tried", True)
+    p_python = breadth_first_search(g)
+    assert np.array_equal(p_native, p_python)

@@ -338,6 +338,10 @@ def test_multicolor_ordering_reduces_ildu_levels(rng):
         return M.lower.rows.shape[0] + M.upper.rows.shape[0]
 
     assert depth(M_col) <= depth(M_nat)
+    # the actual collapse: after color ordering, each triangular sweep has
+    # at most one level per color
+    nc = ptr.size - 1
+    assert depth(M_col) <= 2 * nc
     # and the reordered preconditioner still works
     v = rng.standard_normal(n)
     f = jnp.asarray(dense[np.ix_(np.argsort(p), np.argsort(p))] @ v)
