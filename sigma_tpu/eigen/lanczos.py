@@ -86,6 +86,7 @@ def _lanczos_loop(matvec_operand, k, v_start, reorth_passes):
     n = v_start.shape[0]
     dtype = v_start.dtype
     v0 = v_start / jnp.linalg.norm(v_start)
+    restart_key = jax.random.PRNGKey(17)
 
     Vb = jnp.zeros((n, k + 1), dtype=dtype).at[:, 0].set(v0)
     alpha = jnp.zeros((k,), dtype=dtype)
@@ -102,8 +103,21 @@ def _lanczos_loop(matvec_operand, k, v_start, reorth_passes):
         for _ in range(reorth_passes):
             w = w - Vb @ (Vb.T @ w)
         b = jnp.linalg.norm(w)
-        Vb = Vb.at[:, j + 1].set(_safe_normalize(w, b))
-        return Vb, alpha.at[j].set(a), beta.at[j].set(b)
+        # breakdown (invariant subspace found): beta stays ~0 but the basis
+        # RESTARTS with a fresh orthogonalized random direction instead of
+        # zero-filling — zero columns would surface as spurious eigenvalue-0
+        # Ritz pairs sorted to the front
+        fresh = jax.random.normal(jax.random.fold_in(restart_key, j), (n,), dtype)
+        for _ in range(reorth_passes):
+            fresh = fresh - Vb @ (Vb.T @ fresh)
+        fresh = fresh / jnp.maximum(jnp.linalg.norm(fresh), _BREAKDOWN)
+        tol_b = jnp.asarray(jnp.finfo(dtype).eps, dtype) * jnp.maximum(
+            jnp.abs(a), 1.0
+        ) * n
+        v_next = jnp.where(b > tol_b, _safe_normalize(w, b), fresh)
+        b_eff = jnp.where(b > tol_b, b, jnp.zeros_like(b))
+        Vb = Vb.at[:, j + 1].set(v_next)
+        return Vb, alpha.at[j].set(a), beta.at[j].set(b_eff)
 
     Vb, alpha, beta = lax.fori_loop(0, k, body, (Vb, alpha, beta))
     return LanczosResult(alpha=alpha, beta=beta, V=Vb[:, :k], v_next=Vb[:, k])
@@ -149,6 +163,8 @@ def _generalized_lanczos_loop(A, B, k, v_start, reorth_passes):
     alpha = jnp.zeros((k,), dtype=dtype)
     beta = jnp.zeros((k,), dtype=dtype)
 
+    restart_key = jax.random.PRNGKey(23)
+
     def body(j, carry):
         Vb, alpha, beta = carry
         v = Vb[:, j]
@@ -161,8 +177,21 @@ def _generalized_lanczos_loop(A, B, k, v_start, reorth_passes):
             w = w - Vb @ (Vb.T @ B.matvec(w))
         Bw = B.matvec(w)
         b = jnp.sqrt(jnp.maximum(b_norm_sq(w, Bw), 0.0))
-        Vb = Vb.at[:, j + 1].set(_safe_normalize(w, b))
-        return Vb, alpha.at[j].set(a), beta.at[j].set(b)
+        # breakdown: restart with a fresh B-orthogonalized direction (see
+        # the standard loop for why zero-filling is wrong)
+        fresh = jax.random.normal(jax.random.fold_in(restart_key, j), (n,), dtype)
+        for _ in range(reorth_passes):
+            fresh = fresh - Vb @ (Vb.T @ B.matvec(fresh))
+        fb = jnp.sqrt(jnp.maximum(b_norm_sq(fresh, B.matvec(fresh)), 0.0))
+        fresh = _safe_normalize(fresh, fb)
+        tol_b = jnp.asarray(jnp.finfo(dtype).eps, dtype) * jnp.maximum(
+            jnp.abs(a), 1.0
+        ) * n
+        Vb = Vb.at[:, j + 1].set(
+            jnp.where(b > tol_b, _safe_normalize(w, b), fresh)
+        )
+        b_eff = jnp.where(b > tol_b, b, jnp.zeros_like(b))
+        return Vb, alpha.at[j].set(a), beta.at[j].set(b_eff)
 
     Vb, alpha, beta = lax.fori_loop(0, k, body, (Vb, alpha, beta))
     return LanczosResult(alpha=alpha, beta=beta, V=Vb[:, :k], v_next=Vb[:, k])

@@ -27,7 +27,8 @@ class LOBPCGResult(NamedTuple):
     eigenvalues: jax.Array  # (m,) ascending
     eigenvectors: jax.Array  # (n, m)
     iterations: jax.Array
-    residual_norms: jax.Array  # (m,)
+    residual_norms: jax.Array  # (m,) — of the RETURNED eigenvectors
+    converged: jax.Array  # bool: max residual <= tol at exit
 
 
 def _orthonormalize(S):
@@ -71,7 +72,10 @@ def _lobpcg_loop(A, M, X0, m, maxiter, tol):
     R0 = AX - X * lam[None, :]
     state = (X, AX, lam, P, jnp.asarray(0, jnp.int32),
              jnp.linalg.norm(R0, axis=0))
-    X, AX, lam, P, k, resn = lax.while_loop(cond, body, state)
+    X, AX, lam, P, k, _ = lax.while_loop(cond, body, state)
+    # residuals of the returned iterate (the loop-carried value is one
+    # iteration stale: body pairs the new X with the incoming residual)
+    resn = jnp.linalg.norm(AX - X * lam[None, :], axis=0)
     return lam, X, k, resn
 
 
@@ -81,12 +85,17 @@ def lobpcg(
     m: int = 4,
     *,
     M: Optional[LinearOperator] = None,
-    tol: float = 1e-8,
+    tol: float = 1e-6,
     maxiter: int = 200,
     key=None,
 ) -> LOBPCGResult:
     """Lowest-m eigenpairs of symmetric A; ``M`` is an (approximate)
-    inverse preconditioner applied blockwise to the residuals."""
+    inverse preconditioner applied blockwise to the residuals.
+
+    Check ``result.converged``: without soft locking, the basic iteration
+    stagnates near residual ~1e-8 in float64 (converged columns make the
+    [X, W, P] trial basis numerically rank-deficient), so tolerances much
+    below ~1e-7 typically exhaust ``maxiter`` instead of converging."""
     n = A.shape[0]
     if X0 is None:
         if key is None:
@@ -99,5 +108,9 @@ def lobpcg(
         raise ValueError(f"block size {m} too large for n={n} (need 3m < n)")
     lam, X, k, resn = _lobpcg_loop(A, M, X0, int(m), int(maxiter), tol)
     return LOBPCGResult(
-        eigenvalues=lam, eigenvectors=X, iterations=k, residual_norms=resn
+        eigenvalues=lam,
+        eigenvectors=X,
+        iterations=k,
+        residual_norms=resn,
+        converged=jnp.max(resn) <= tol,
     )

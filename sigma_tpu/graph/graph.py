@@ -82,6 +82,22 @@ def compress_coo(
     return rows, cols, indptr
 
 
+def host_csr(rows, cols, n: int, *carry):
+    """Row-major host CSR view of a COO edge set: (indptr, sorted cols,
+    *carry arrays re-ordered the same way).  THE single implementation of
+    the lexsort+bincount+cumsum idiom — reordering, algebra, and
+    factorization setup all call this."""
+    rows = np.asarray(rows, dtype=np.int64).ravel()
+    cols = np.asarray(cols, dtype=np.int64).ravel()
+    order = np.lexsort((cols, rows))
+    rows_s = rows[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(rows_s, minlength=n), out=indptr[1:])
+    return (indptr, cols[order]) + tuple(
+        np.asarray(c).ravel()[order] for c in carry
+    )
+
+
 def _pad1d(arr: np.ndarray, total: int, fill) -> np.ndarray:
     out = np.full(total, fill, dtype=arr.dtype)
     out[: arr.size] = arr

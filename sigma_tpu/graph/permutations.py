@@ -29,15 +29,13 @@ __all__ = [
 
 def _adjacency(g) -> Tuple[np.ndarray, np.ndarray]:
     """CSR (indptr, indices) of a square graph, as numpy."""
+    from sigma_tpu.graph.graph import host_csr
+
     n, m = g.shape
     if n != m:
         raise ValueError("reordering requires a square graph")
     rows, cols = g.edges_numpy()
-    order = np.lexsort((cols, rows))
-    rows, cols = rows[order], cols[order]
-    indptr = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(np.bincount(rows, minlength=n), out=indptr[1:])
-    return indptr, cols
+    return host_csr(rows, cols, n)
 
 
 def breadth_first_search(g, start: int = 0) -> np.ndarray:

@@ -27,11 +27,10 @@ The numeric phase is packaged as a reusable *plan* (:class:`SpGEMMPlan`,
 nonlinear step) re-running the product with new values is a single jitted
 device call — a capability the serial reference cannot express.
 
-Capability-flag dispatch survives in :func:`sparse_matmul`: the contraction
-index map is built from whichever operand exposes a fast row/column slicing
-layout, and the "never do it, ever" row×column worst case
-(``README.md:90-91``) costs only a host-side re-sort instead of a deep
-format copy.
+The reference's capability-flag dispatch becomes unnecessary: every operand
+is normalized to a host CSR view with a single lexsort, so the "never do
+it, ever" row x column worst case (``README.md:90-91``) costs one host
+re-sort instead of a deep format copy, regardless of operand orientation.
 """
 
 from __future__ import annotations
@@ -68,23 +67,20 @@ def _coo_of(A: SparseMatrix) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def _csr_arrays(rows, cols, pos, n):
-    """Sort entries row-major and return (ptr, cols, pos) — a host CSR view
-    of any format, the 'fast row slices' normal form."""
-    order = np.lexsort((cols, rows))
-    rows, cols, pos = rows[order], cols[order], pos[order]
-    ptr = np.zeros(n + 1, dtype=np.int64)
-    np.add.at(ptr, rows + 1, 1)
-    np.cumsum(ptr, out=ptr)
-    return ptr, cols, pos
+    """(ptr, cols, pos) host CSR view — the 'fast row slices' normal form
+    (single shared implementation: graph.host_csr)."""
+    from sigma_tpu.graph.graph import host_csr
+
+    return host_csr(rows, cols, n, pos)
 
 
 def _result_type(A: SparseMatrix, out_format) -> Type[SparseMatrix]:
     if out_format is None:
         return type(A)
     if isinstance(out_format, str):
-        from sigma_tpu.matrix.factory import matrix_class
+        from sigma_tpu.matrix.factory import choose_matrix_type
 
-        return matrix_class(out_format)
+        return choose_matrix_type(out_format)
     return out_format
 
 
@@ -219,10 +215,14 @@ def plan_sparse_matmul(
 
     Vectorized CSR-row expansion: for every entry (i, k) of A, expand over
     row k of B.  ``np.repeat`` over B's row degrees replaces the reference's
-    nested edge-cursor loops (``sparse_matrix_algebra.f90:310-368``).  The
-    capability dispatch: if B has fast rows we expand A-entries against
-    B-rows; else if A has fast columns we expand B-entries against
-    A-columns; either path costs one host lexsort at worst.
+    nested edge-cursor loops (``sparse_matrix_algebra.f90:310-368``).
+
+    The reference's capability-flag dispatch (row-driven vs column-driven
+    traversal, ``sparse_matrix_algebra.f90:178-187``) is intentionally NOT
+    reproduced: B is normalized to a host CSR view with one lexsort, which
+    costs less than any orientation-specific traversal here — the "never
+    do it, ever" row x column worst case (README.md:90-91) reduces to that
+    same single sort.
     """
     if A.shape[1] != B.shape[0]:
         raise ValueError(f"inner dim mismatch {A.shape} @ {B.shape}")

@@ -50,6 +50,27 @@ def _segment_sum(vals, ids, n):
     return jax.ops.segment_sum(vals, ids, num_segments=n)
 
 
+def zero_padded_window(x, o: int, length: int, total: int):
+    """Zero-padded window x[o : o + length] padded to ``total`` — built by
+    concatenation (not one shared padded buffer): XLA fuses the concats
+    into the consuming FMA, whereas a shared materialized pad becomes an
+    extra full pass over HBM (measured 3x slower).  Shared by the DIA
+    kernels and the distributed DIA layout."""
+    m = x.shape[0]
+    lo, hi = max(0, o), min(m, length + o)
+    if hi <= lo:
+        return jnp.zeros((total,) + x.shape[1:], dtype=x.dtype)
+    parts = []
+    left = lo - o
+    right = total - (left + hi - lo)
+    if left:
+        parts.append(jnp.zeros((left,) + x.shape[1:], dtype=x.dtype))
+    parts.append(x[lo:hi])
+    if right:
+        parts.append(jnp.zeros((right,) + x.shape[1:], dtype=x.dtype))
+    return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True, repr=False)
 class CSRMatrix(SparseMatrix):
@@ -363,23 +384,7 @@ class DIAMatrix(SparseMatrix):
         return (graph.n_diags, graph.stride)
 
     def _window(self, x, o: int, length: int, total: int):
-        """Zero-padded window x[o : o + length] padded to ``total`` — built
-        by concatenation (not one shared padded buffer): XLA fuses the
-        concats into the consuming FMA, whereas a shared materialized pad
-        becomes an extra full pass over HBM (measured 3x slower)."""
-        m = x.shape[0]
-        lo, hi = max(0, o), min(m, length + o)
-        parts = []
-        if hi <= lo:
-            return jnp.zeros((total,) + x.shape[1:], dtype=x.dtype)
-        left = lo - o
-        right = total - (left + hi - lo)
-        if left:
-            parts.append(jnp.zeros((left,) + x.shape[1:], dtype=x.dtype))
-        parts.append(x[lo:hi])
-        if right:
-            parts.append(jnp.zeros((right,) + x.shape[1:], dtype=x.dtype))
-        return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
+        return zero_padded_window(x, o, length, total)
 
     # above this many diagonals the unrolled static-window formulation is
     # replaced by a lax.scan with dynamic slices (bounded compile time for

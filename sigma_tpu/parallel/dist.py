@@ -63,6 +63,22 @@ __all__ = [
 ]
 
 
+def _ring_shift(x_block, k: int, D: int, axis: str):
+    """Receive x-block (d+k) mod D on shard d: one ppermute ring shift
+    (owner s sends to shard (s-k) mod D).  THE communication primitive of
+    every distributed layout here."""
+    if k == 0 or D == 1:
+        return x_block
+    perm = [(s, (s - k) % D) for s in range(D)]
+    return lax.ppermute(x_block, axis, perm)
+
+
+def _offsets_local_first(offsets):
+    """Iteration order with the local (offset-0) block first so XLA can
+    overlap the ring shifts with local compute."""
+    return sorted(range(len(offsets)), key=lambda i: offsets[i] != 0)
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "rows") -> Mesh:
     """1-D device mesh over the first ``n_devices`` visible devices."""
     devs = jax.devices()
@@ -116,17 +132,8 @@ class DistributedMatrix(LinearOperator):
         present off-diagonal offset (overlappable by XLA)."""
         D = self.n_shards
         y = jnp.zeros_like(x_local)
-        # issue local (offset 0) product first for compute/comm overlap
-        order = sorted(range(len(self.offsets)), key=lambda i: self.offsets[i] != 0)
-        for i in order:
-            k = self.offsets[i]
-            if k == 0 or D == 1:
-                xk = x_local
-            else:
-                # shard s owns x-block s; row-block d needs x-block (d+k)%D:
-                # owner s sends to shard (s-k) mod D
-                perm = [(s, (s - k) % D) for s in range(D)]
-                xk = lax.ppermute(x_local, self.axis, perm)
+        for i in _offsets_local_first(self.offsets):
+            xk = _ring_shift(x_local, self.offsets[i], D, self.axis)
             y = y + (vals[i] * xk[nodes[i]]).sum(axis=1)
         return y
 
@@ -150,16 +157,8 @@ class DistributedMatrix(LinearOperator):
         def local(X_local, nodes, vals):
             D = self.n_shards
             Y = jnp.zeros_like(X_local)
-            order = sorted(
-                range(len(self.offsets)), key=lambda i: self.offsets[i] != 0
-            )
-            for i in order:
-                k = self.offsets[i]
-                if k == 0 or D == 1:
-                    Xk = X_local
-                else:
-                    perm = [(s, (s - k) % D) for s in range(D)]
-                    Xk = lax.ppermute(X_local, self.axis, perm)
+            for i in _offsets_local_first(self.offsets):
+                Xk = _ring_shift(X_local, self.offsets[i], D, self.axis)
                 # (rows, w, nrhs) gather then reduce over w
                 Y = Y + jnp.einsum("rw,rwn->rn", vals[i], Xk[nodes[i]])
             return Y
@@ -374,31 +373,16 @@ class DistributedDIAMatrix(LinearOperator):
         nb = self.block
         ring_offsets = sorted({k for k, _ in self.terms}, key=lambda k: k != 0)
 
+        from sigma_tpu.matrix.formats import zero_padded_window
+
         def local(x_local, vals):
             y = jnp.zeros_like(x_local)
             for k in ring_offsets:
-                if k == 0 or D == 1:
-                    xk = x_local
-                else:
-                    perm = [(s, (s - k) % D) for s in range(D)]
-                    xk = lax.ppermute(x_local, self.axis, perm)
+                xk = _ring_shift(x_local, k, D, self.axis)
                 for i, (ki, lo) in enumerate(self.terms):
                     if ki != k:
                         continue
-                    # shifted window of the received block (static slices)
-                    lo_c = max(0, lo)
-                    hi_c = min(nb, nb + lo)
-                    if hi_c <= lo_c:
-                        continue
-                    left = lo_c - lo
-                    parts = []
-                    if left:
-                        parts.append(jnp.zeros((left,), x_local.dtype))
-                    parts.append(xk[lo_c:hi_c])
-                    right = nb - left - (hi_c - lo_c)
-                    if right:
-                        parts.append(jnp.zeros((right,), x_local.dtype))
-                    w = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+                    w = zero_padded_window(xk, lo, nb, nb)
                     y = y + vals[i] * w
             return y
 

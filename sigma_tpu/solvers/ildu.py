@@ -39,14 +39,13 @@ __all__ = ["ildu0_factorize", "TriangularLevels", "ILDUPreconditioner", "LDUSolv
 
 
 def _csr_arrays(A) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(indptr, indices, data) numpy CSR of any SparseMatrix."""
+    """(indptr, indices, data) numpy CSR of any SparseMatrix (shared
+    implementation: graph.host_csr)."""
+    from sigma_tpu.graph.graph import host_csr
+
     rows, cols, vals = A.entries()
-    n = A.shape[0]
-    order = np.lexsort((cols, rows))
-    rows, cols, vals = rows[order], cols[order], vals[order]
-    indptr = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(np.bincount(rows, minlength=n), out=indptr[1:])
-    return indptr, cols, np.asarray(vals, dtype=np.float64)
+    indptr, indices, data = host_csr(rows, cols, A.shape[0], vals)
+    return indptr, indices, np.asarray(data, dtype=np.float64)
 
 
 def ildu0_factorize(A):
