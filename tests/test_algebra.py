@@ -176,3 +176,14 @@ def test_galerkin_laplacian(rng):
     # coarse operator is again tridiagonal with 0.5*[−1, 2, −1] stencil
     dB = B.to_dense()
     assert abs(dB[3, 3] - 1.0) < TOL and abs(dB[3, 4] + 0.5) < TOL
+
+
+def test_string_out_format(rng):
+    """The documented string form of out_format (review regression)."""
+    A, dA = random_sparse(rng, CSRMatrix, 12, 12)
+    B, dB = random_sparse(rng, CSRMatrix, 12, 12)
+    C = sparse_add(A, B, out_format="ell")
+    assert C.format == "ell"
+    D = sparse_matmul(A, B, out_format="csc")
+    assert D.format == "csc"
+    assert np.max(np.abs(D.to_dense() - dA @ dB)) < TOL

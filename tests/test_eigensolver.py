@@ -198,3 +198,18 @@ def fem_torus_dense(rng, n):
     dB = 0.1 * adj + np.diag(1.0 + adj.sum(1) * 0.1)
     dB = (dB + dB.T) / 2
     return dA, dB
+
+
+def test_lanczos_breakdown_restart(rng):
+    """Invariant-subspace breakdown must not produce spurious zero Ritz
+    pairs (review regression): eigensolve of the identity is all ones, and
+    repeated eigenvalues come out with full multiplicity."""
+    from sigma_tpu.operators import DenseOperator
+
+    lam, V = eigensolve(DenseOperator(jnp.eye(6)))
+    assert np.allclose(np.asarray(lam), 1.0)
+    d = np.diag([1.0, 1.0, 2.0, 2.0, 3.0, 3.0, 3.0])
+    lam2, V2 = eigensolve(DenseOperator(jnp.asarray(d)))
+    assert np.allclose(np.sort(np.asarray(lam2)), np.diag(d))
+    V2 = np.asarray(V2)
+    assert np.max(np.abs(d @ V2 - V2 * np.asarray(lam2))) < 1e-12
