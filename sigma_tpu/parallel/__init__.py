@@ -1,3 +1,4 @@
+from sigma_tpu.parallel.precond import DistributedBlockILDU, distributed_block_ildu
 from sigma_tpu.parallel.dist import (
     balance_rows,
     DistributedDIAMatrix,
@@ -10,6 +11,8 @@ from sigma_tpu.parallel.dist import (
 )
 
 __all__ = [
+    "DistributedBlockILDU",
+    "distributed_block_ildu",
     "DistributedMatrix",
     "DistributedDIAMatrix",
     "distribute_matrix_dia",

@@ -278,3 +278,36 @@ def test_balance_rows_uneven_n(mesh):
     # permutation applies cleanly
     Ab = A.permute_rows(p).permute_cols(p)
     assert Ab.nnz == A.nnz
+
+
+def test_distributed_block_ildu(mesh, rng):
+    """Block-Jacobi ILDU(0): per-shard factorization, collective-free
+    application inside shard_map, big iteration cut on banded systems
+    (exact per-block solve; only severed inter-shard couplings remain)."""
+    from sigma_tpu.parallel import distribute_matrix_dia, distributed_block_ildu
+
+    n = 500
+    dense = laplacian_1d(n) + 0.02 * np.eye(n)
+    A = CSRMatrix.from_dense(dense)
+    Ad = distribute_matrix_dia(A, mesh)
+    M = distributed_block_ildu(A, mesh)
+    xstar = rng.standard_normal(n)
+    b = Ad.shard_vector(dense @ xstar)
+    x, info = cg_solve(Ad, b, tol=1e-12, M=M)
+    assert np.max(np.abs(Ad.unshard_vector(x) - xstar)) < 1e-8
+    _, plain = cg_solve(Ad, b, tol=1e-12)
+    assert int(info.iterations) * 5 < int(plain.iterations)
+
+
+def test_distributed_block_ildu_uneven(mesh, rng):
+    from sigma_tpu.parallel import distribute_matrix, distributed_block_ildu
+
+    n = 333  # padded final shard exercises identity-on-padding
+    dense = laplacian_1d(n) + np.diag(1.0 + np.arange(n) % 3)
+    A = CSRMatrix.from_dense(dense)
+    Ad = distribute_matrix(A, mesh)
+    M = distributed_block_ildu(A, mesh)
+    xstar = rng.standard_normal(n)
+    b = Ad.shard_vector(dense @ xstar)
+    x, info = cg_solve(Ad, b, tol=1e-12, M=M)
+    assert np.max(np.abs(Ad.unshard_vector(x) - xstar)) < 1e-8
