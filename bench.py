@@ -32,7 +32,7 @@ def _sync_scalar(y):
     return float(leaf.ravel()[0])
 
 
-def timeit_loop(make_f, *args, reps=4, K1=50, K2=250):
+def timeit_loop(make_f, *args, reps=2, K1=50, K2=250):
     """Per-iteration time of a device-side loop via a two-point slope fit
     (cancels launch + readback overhead, which can be ~25 ms through
     remote-device tunnels): t_iter = (t(K2) - t(K1))/(K2-K1)."""
@@ -140,10 +140,11 @@ def main():
     dev = jax.devices()[0]
     kind = str(getattr(dev, "device_kind", dev.platform))
 
-    measured_bw = measure_bandwidth_gbps()
-    # spec sheet when the chip is known (the triad probe can over-report when
-    # XLA elides a stream); measured value as fallback for unknown devices
+    # spec sheet when the chip is known (the triad probe can over-report
+    # when XLA elides a stream); measure only for unknown devices — the
+    # triad costs two extra tunnel compiles, and wall-clock here is bounded
     spec_bw = next((v for k, v in HBM_GBPS.items() if k.lower() in kind.lower()), None)
+    measured_bw = spec_bw if spec_bw is not None else measure_bandwidth_gbps()
     bw = spec_bw if spec_bw is not None else measured_bw
 
     nx = 128  # 2.1M rows, 14.6M nnz
@@ -186,7 +187,7 @@ def main():
                     "dia_bf16data_gnnz_s": round(bf16_nnz_s / 1e9, 4),
                     "ell_gnnz_s": round(ell_nnz_s / 1e9, 4),
                     "hbm_gbps": bw,
-                    "measured_triad_gbps": round(measured_bw, 2),
+                    "bw_provenance": "spec" if spec_bw is not None else "triad",
                     "speed_of_light_gnnz_s": round(sol / 1e9, 3),
                 },
             }
