@@ -99,9 +99,15 @@ def watts_strogatz(n: int, k: int, p: float, rng=None, frmt="csr"):
         a, b = int(i[e]), int(j[e])
         edges.discard((a, b))
         edges.discard((b, a))
+        # candidate endpoints that keep the graph simple; when a is already
+        # adjacent to everything (k >= n-1 saturation) the edge is kept —
+        # an unbounded retry loop would hang
         l = b
-        while l == b or l == a or (a, l) in edges:
-            l = int(rng.integers(n))
+        for _ in range(4 * n):
+            cand = int(rng.integers(n))
+            if cand != a and cand != b and (a, cand) not in edges:
+                l = cand
+                break
         edges.add((a, l))
         edges.add((l, a))
     arr = np.array(sorted(edges), dtype=np.int64).reshape(-1, 2)

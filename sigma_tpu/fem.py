@@ -167,5 +167,6 @@ def interior_dirichlet(
         lut[cols[keep]],
         vals[keep],
         dtype=A.dtype,
+        **A._format_kwargs(),
     )
     return Aii, np.asarray(b)[interior]

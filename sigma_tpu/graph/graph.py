@@ -240,12 +240,20 @@ class CSRGraph(Graph):
     def edge_positions(self, rows, cols) -> np.ndarray:
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
+        in_range = (
+            (rows >= 0) & (rows < self.shape[0])
+            & (cols >= 0) & (cols < self.shape[1])
+        )
         r, c = self.edges_numpy()
+        if r.size == 0:
+            return np.full(rows.shape, -1, dtype=np.int64)
         keys = r * self.shape[1] + c  # sorted ascending by construction
-        q = rows * self.shape[1] + cols
+        # out-of-range queries must not alias another entry through the
+        # linearized key r*m + c
+        q = np.where(in_range, rows * self.shape[1] + cols, -1)
         pos = np.searchsorted(keys, q)
         pos_c = np.clip(pos, 0, keys.size - 1)
-        hit = (keys.size > 0) & (keys[pos_c] == q)
+        hit = in_range & (keys[pos_c] == q)
         return np.where(hit, pos_c, -1)
 
 
@@ -290,12 +298,18 @@ class CSCGraph(Graph):
     def edge_positions(self, rows, cols) -> np.ndarray:
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
+        in_range = (
+            (rows >= 0) & (rows < self.shape[0])
+            & (cols >= 0) & (cols < self.shape[1])
+        )
         r, c = self.edges_numpy()
+        if r.size == 0:
+            return np.full(rows.shape, -1, dtype=np.int64)
         keys = c * self.shape[0] + r  # column-major sorted
-        q = cols * self.shape[0] + rows
+        q = np.where(in_range, cols * self.shape[0] + rows, -1)
         pos = np.searchsorted(keys, q)
         pos_c = np.clip(pos, 0, keys.size - 1)
-        hit = (keys.size > 0) & (keys[pos_c] == q)
+        hit = in_range & (keys[pos_c] == q)
         return np.where(hit, pos_c, -1)
 
 
@@ -334,12 +348,18 @@ class COOGraph(Graph):
     def edge_positions(self, rows, cols) -> np.ndarray:
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
+        in_range = (
+            (rows >= 0) & (rows < self.shape[0])
+            & (cols >= 0) & (cols < self.shape[1])
+        )
         r, c = self.edges_numpy()
+        if r.size == 0:
+            return np.full(rows.shape, -1, dtype=np.int64)
         keys = r * self.shape[1] + c
-        q = rows * self.shape[1] + cols
+        q = np.where(in_range, rows * self.shape[1] + cols, -1)
         pos = np.searchsorted(keys, q)
         pos_c = np.clip(pos, 0, keys.size - 1)
-        hit = (keys.size > 0) & (keys[pos_c] == q)
+        hit = in_range & (keys[pos_c] == q)
         return np.where(hit, pos_c, -1)
 
 
@@ -516,14 +536,20 @@ class BSRGraph(Graph):
         """Flat positions into the (nnzb_pad, bh, bw) value array."""
         rows = np.asarray(rows, dtype=np.int64)
         cols = np.asarray(cols, dtype=np.int64)
+        in_range = (
+            (rows >= 0) & (rows < self.shape[0])
+            & (cols >= 0) & (cols < self.shape[1])
+        )
         bh, bw = self.block_shape
         brows = np.asarray(self.block_rows)[: self.nnzb].astype(np.int64)
         bcols = np.asarray(self.indices)[: self.nnzb].astype(np.int64)
+        if brows.size == 0:
+            return np.full(rows.shape, -1, dtype=np.int64)
         bkeys = brows * self.nb_cols + bcols  # sorted by construction
-        q = (rows // bh) * self.nb_cols + (cols // bw)
+        q = np.where(in_range, (rows // bh) * self.nb_cols + (cols // bw), -1)
         pos = np.searchsorted(bkeys, q)
-        pos_c = np.clip(pos, 0, max(bkeys.size - 1, 0))
-        hit = (bkeys.size > 0) & (bkeys[pos_c] == q)
+        pos_c = np.clip(pos, 0, bkeys.size - 1)
+        hit = in_range & (bkeys[pos_c] == q)
         flat = pos_c * (bh * bw) + (rows % bh) * bw + (cols % bw)
         # only slots that are true edges count as present
         mask = np.asarray(self.mask).reshape(-1)

@@ -77,10 +77,20 @@ def greedy_coloring(g) -> Tuple[np.ndarray, int]:
     """Greedy vertex coloring (permutations.f90:83).
 
     Returns (colors, num_colors) with colors in 0..num_colors-1 such that no
-    stored edge (i, j), i != j, has colors[i] == colors[j].
+    stored edge (i, j), i != j, has colors[i] == colors[j].  The stored
+    sparsity is symmetrized first, so the guarantee holds in BOTH
+    directions even for nonsymmetric patterns (e.g. triangular factors —
+    the multicolor-ILDU use case).
     """
+    from sigma_tpu.graph.graph import host_csr
+
     n = g.shape[0]
-    indptr, indices = _adjacency(g)
+    if g.shape[0] != g.shape[1]:
+        raise ValueError("coloring requires a square graph")
+    r, c = g.edges_numpy()
+    indptr, indices = host_csr(
+        np.concatenate([r, c]), np.concatenate([c, r]), n
+    )
     from sigma_tpu import native
 
     res = native.greedy_coloring(indptr, indices)

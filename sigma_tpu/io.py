@@ -40,13 +40,18 @@ __all__ = [
 ]
 
 
+def _write_triples(f, rows, cols, vals) -> None:
+    np.savetxt(
+        f, np.column_stack([rows, cols, vals]), fmt="%d %d %.17g"
+    )
+
+
 def write_graph(g: Graph, path) -> None:
     """Text "n m ne" + 0-based edge list (``write_graph_to_file``)."""
     rows, cols = g.edges_numpy()
     with open(path, "w") as f:
         f.write(f"{g.shape[0]} {g.shape[1]} {rows.size}\n")
-        for i, j in zip(rows, cols):
-            f.write(f"{i} {j}\n")
+        np.savetxt(f, np.column_stack([rows, cols]), fmt="%d %d")
 
 
 def read_graph(path, frmt: Union[str, int] = "csr") -> Graph:
@@ -66,8 +71,7 @@ def write_matrix(A: SparseMatrix, path) -> None:
     rows, cols, vals = A.entries()
     with open(path, "w") as f:
         f.write(f"{A.shape[0]} {A.shape[1]} {rows.size}\n")
-        for i, j, v in zip(rows, cols, vals):
-            f.write(f"{i} {j} {float(v):.17g}\n")
+        _write_triples(f, rows, cols, vals)
 
 
 def read_matrix(A_or_path, frmt: Union[str, int] = "csr", dtype=None) -> SparseMatrix:
@@ -96,8 +100,7 @@ def write_matrix_market(A: SparseMatrix, path, comment: str = "") -> None:
         if comment:
             f.write(f"% {comment}\n")
         f.write(f"{A.shape[0]} {A.shape[1]} {rows.size}\n")
-        for i, j, v in zip(rows, cols, vals):
-            f.write(f"{i + 1} {j + 1} {float(v):.17g}\n")
+        _write_triples(f, rows + 1, cols + 1, vals)
 
 
 def read_matrix_market(path, frmt: Union[str, int] = "csr", dtype=None) -> SparseMatrix:
@@ -109,7 +112,8 @@ def read_matrix_market(path, frmt: Union[str, int] = "csr", dtype=None) -> Spars
             raise ValueError(f"not a MatrixMarket file: {header!r}")
         if "coordinate" not in header:
             raise ValueError("only coordinate (sparse) MatrixMarket supported")
-        symmetric = "symmetric" in header
+        skew = "skew-symmetric" in header
+        symmetric = ("symmetric" in header and not skew) or "hermitian" in header
         pattern = "pattern" in header
         line = f.readline()
         while line.lstrip().startswith("%"):
@@ -121,13 +125,14 @@ def read_matrix_market(path, frmt: Union[str, int] = "csr", dtype=None) -> Spars
     rows = data[:, 0].astype(np.int64) - 1
     cols = data[:, 1].astype(np.int64) - 1
     vals = np.ones(ne) if pattern or data.shape[1] < 3 else data[:, 2]
-    if symmetric:
+    if symmetric or skew:
         off = rows != cols
+        mirrored = -vals[off] if skew else vals[off]
         rows, cols = (
             np.concatenate([rows, cols[off]]),
             np.concatenate([cols, rows[off]]),
         )
-        vals = np.concatenate([vals, vals[off]])
+        vals = np.concatenate([vals, mirrored])
     return cls.from_coo(n, m, rows, cols, vals, dtype=dtype)
 
 

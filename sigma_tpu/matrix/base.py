@@ -234,7 +234,7 @@ class SparseMatrix(LinearOperator):
         rows, cols, vals = self.entries()
         return type(self).from_coo(
             self.shape[1], self.shape[0], cols, rows, vals, dtype=self.dtype,
-            **self._format_kwargs(),
+            **self._format_kwargs_transposed(),
         )
 
     def permute_rows(self, p) -> "SparseMatrix":
@@ -255,6 +255,10 @@ class SparseMatrix(LinearOperator):
 
     def _format_kwargs(self) -> dict:
         return {}
+
+    def _format_kwargs_transposed(self) -> dict:
+        """Format kwargs for the TRANSPOSED shape (BSR swaps block dims)."""
+        return self._format_kwargs()
 
     def to_dense(self) -> np.ndarray:
         rows, cols, vals = self.entries()

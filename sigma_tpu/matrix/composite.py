@@ -241,6 +241,11 @@ class BlockMatrix(LinearOperator):
     def _owners(self, rows, cols):
         rows = np.asarray(rows).ravel()
         cols = np.asarray(cols).ravel()
+        n, m = self.shape
+        if ((rows < 0) | (rows >= n) | (cols < 0) | (cols >= m)).any():
+            raise IndexError(
+                f"global index out of range for shape {self.shape}"
+            )
         ro, co = self.row_offsets, self.col_offsets
         bi = np.searchsorted(ro, rows, side="right") - 1
         bj = np.searchsorted(co, cols, side="right") - 1
@@ -269,7 +274,7 @@ class BlockMatrix(LinearOperator):
         new = self
         for (i, j) in sorted({(int(a), int(b)) for a, b in zip(bi, bj)}):
             blk = new.blocks[i][j]
-            if blk is None or not isinstance(blk, SparseMatrix):
+            if blk is None or not isinstance(blk, (SparseMatrix, BlockMatrix)):
                 raise ValueError(
                     f"cannot set values in absent/non-sparse block ({i},{j})"
                 )

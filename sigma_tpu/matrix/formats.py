@@ -277,6 +277,10 @@ class BSRMatrix(SparseMatrix):
     def _format_kwargs(self):
         return dict(block_shape=self.graph.block_shape)
 
+    def _format_kwargs_transposed(self):
+        bh, bw = self.graph.block_shape
+        return dict(block_shape=(bw, bh))
+
     @classmethod
     def _coerce_graph(cls, graph):
         if isinstance(graph, BSRGraph):

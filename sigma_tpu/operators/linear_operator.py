@@ -375,7 +375,10 @@ class OperatorWithSolver(LinearOperator):
     def matmat(self, X):
         return self.op.matmat(X)
 
-    def solve(self, b, solver=None, preconditioner=None, **kw):
+    def solve(self, b, solver=None, preconditioner=None):
+        # no **kw: solver parameters live on the attached solver config —
+        # silently dropping tol=/maxiter= overrides here would return
+        # under-converged results with no error
         return (solver or self.solver).solve(
             self.op, b, M=preconditioner or self.preconditioner
         )

@@ -140,3 +140,12 @@ def test_saw_line_graph():
     # from interior: walk goes to one end (possibly short); max = n-1
     assert lengths.max() == n - 1
     assert (lengths >= 1).all()
+
+
+def test_watts_strogatz_saturated_terminates(rng):
+    """k >= n-1 (complete ring) must terminate, keeping edges when no
+    rewiring target exists (review regression: unbounded retry hang)."""
+    g = watts_strogatz(5, 4, 1.0, rng)
+    assert g.shape == (5, 5)
+    r, c = g.edges_numpy()
+    assert (r != c).all()  # still simple

@@ -188,3 +188,19 @@ def test_solver_on_composite(block_2x2, rng):
     b = dense @ xstar
     x, info = cg_solve(A, jnp.asarray(b), tol=1e-14, maxiter=2000)
     assert np.max(np.abs(np.asarray(x) - xstar)) < 1e-8
+
+
+def test_nested_blockmatrix_set(rng):
+    """Nested composites support writes, matching reads (review regression)."""
+    inner = BlockMatrix.wrap(CSRMatrix.from_dense(np.eye(3)))
+    outer = BlockMatrix.from_blocks([[inner]])
+    out2 = outer.set_values([2], [2], [9.0])
+    assert out2.get_value(2, 2) == 9.0
+
+
+def test_blockmatrix_bounds(block_2x2):
+    A, dense = block_2x2
+    with pytest.raises(IndexError):
+        A.get_values([-1], [0])
+    with pytest.raises(IndexError):
+        A.get_values([dense.shape[0]], [0])

@@ -170,3 +170,40 @@ def test_copy_all_format_pairs(src, dst, rng):
     g1 = build_graph(b, src)
     g2 = convert_graph(g1, dst)
     np.testing.assert_array_equal(g2.to_dense(), dense)
+
+
+def test_edge_positions_out_of_range_no_alias(rng):
+    """Out-of-range queries must not alias another entry through the
+    linearized key (review regression: (0,5) aliased (1,1) for m=4)."""
+    from sigma_tpu import CSRMatrix, CSCMatrix, COOMatrix
+
+    for cls in (CSRMatrix, CSCMatrix, COOMatrix):
+        A = cls.from_coo(2, 4, [0, 1], [1, 1], [7.0, 9.0])
+        assert A.get_values([0], [5])[0] == 0.0
+        assert A.get_values([-1], [1])[0] == 0.0
+        assert A.get_values([2], [1])[0] == 0.0
+
+
+def test_edge_positions_empty_graph():
+    """Empty graphs must answer queries (and support fill-in) instead of
+    crashing (review regression)."""
+    from sigma_tpu import BSRMatrix, CSRMatrix
+    from sigma_tpu.graph import BSRGraph, CSRGraph
+
+    g = CSRGraph.from_coo(3, 3, [], [])
+    assert not g.has_edge(0, 0)
+    A = CSRMatrix.from_graph(g).set_values([0], [0], [3.0])
+    assert A.get_value(0, 0) == 3.0
+    gb = BSRGraph.from_coo(8, 8, [], [], block_shape=(4, 4))
+    assert (gb.edge_positions([1], [1]) == -1).all()
+
+
+def test_greedy_coloring_directed_sparsity():
+    """Coloring symmetrizes the stored pattern: a one-directional edge must
+    still separate its endpoints (review regression; multicolor-ILDU on
+    triangular factors depends on this)."""
+    from sigma_tpu import greedy_coloring
+    from sigma_tpu.graph import CSRGraph
+
+    colors, nc = greedy_coloring(CSRGraph.from_coo(2, 2, [0], [1]))
+    assert colors[0] != colors[1]

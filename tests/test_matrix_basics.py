@@ -203,3 +203,14 @@ def test_bsr_block_shapes(rng):
         np.testing.assert_allclose(A.to_dense(), dense)
         x = rng.standard_normal(28)
         np.testing.assert_allclose(A @ x, dense @ x, atol=1e-13)
+
+
+def test_bsr_transpose_nonsquare_blocks(rng):
+    """transpose_matrix swaps BSR block dims (review regression)."""
+    from sigma_tpu import BSRMatrix
+
+    d = rng.standard_normal((4, 8))
+    M = BSRMatrix.from_dense(d, block_shape=(2, 4))
+    Mt = M.transpose_matrix()
+    assert Mt.graph.block_shape == (4, 2)
+    assert np.max(np.abs(Mt.to_dense() - d.T)) < 1e-14

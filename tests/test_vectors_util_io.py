@@ -221,3 +221,17 @@ def test_scipy_interop(rng):
     assert np.max(np.abs(A.to_dense() - d)) < 1e-15
     back = to_scipy(A)
     assert np.max(np.abs(back.toarray() - d)) < 1e-15
+
+
+def test_matrix_market_skew_symmetric(tmp_path):
+    from sigma_tpu.io import read_matrix_market
+
+    p = tmp_path / "skew.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real skew-symmetric\n"
+        "3 3 1\n"
+        "2 1 1.5\n"
+    )
+    A = read_matrix_market(p)
+    assert A.get_value(1, 0) == 1.5
+    assert A.get_value(0, 1) == -1.5
