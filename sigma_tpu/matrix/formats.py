@@ -395,6 +395,45 @@ class DIAMatrix(SparseMatrix):
     # wide bands, e.g. RCM-reordered general matrices -> banded DIA)
     _SCAN_THRESHOLD: ClassVar[int] = 24
 
+    # past this many x elements XLA re-reads x from HBM once per diagonal
+    # (x no longer VMEM-resident); the blocked pallas kernel streams x in
+    # overlapping VMEM windows instead (BENCHMARKS.md "VMEM cliff")
+    _PALLAS_MIN_ELEMS: ClassVar[int] = 3_000_000
+
+    def _pallas_path(self, x):
+        """The pallas blocked kernel, when profitable and supported: TPU
+        backend, low-precision dtypes, x past the XLA VMEM cliff, and a
+        band narrow enough to tile (else None -> XLA paths)."""
+        n, m = self.shape
+        if m < self._PALLAS_MIN_ELEMS or x.ndim != 1:
+            return None
+        if x.dtype not in (jnp.float32, jnp.bfloat16):
+            return None
+        if self.data.dtype not in (jnp.float32, jnp.bfloat16):
+            return None
+        try:
+            if jax.default_backend() != "tpu":
+                return None
+        except RuntimeError:
+            return None
+        from sigma_tpu.ops.spmv_pallas import (
+            _LANES,
+            _blocked_tile_rows,
+            dia_spmv_pallas,
+        )
+
+        offs = self.graph.offsets
+        span = max(max(offs), 0) - min(min(offs), 0)
+        pick = _blocked_tile_rows(
+            self.graph.stride // _LANES,
+            span // _LANES + 2,
+            len(offs),
+            self.data.dtype.itemsize,
+        )
+        if pick is None:
+            return None
+        return dia_spmv_pallas(self.data, x, offs, n, m)
+
     def matvec(self, x):
         """Gather-free SpMV at HBM speed-of-light: per diagonal, a shifted
         contiguous window FMA in (stride/128, 128) tile layout (measured
@@ -403,6 +442,9 @@ class DIAMatrix(SparseMatrix):
         offs = self.graph.offsets
         if not offs:
             return jnp.zeros((n,), dtype=x.dtype)
+        y = self._pallas_path(x)
+        if y is not None:
+            return y
         if len(offs) > self._SCAN_THRESHOLD:
             return self._matvec_scan(x)
         s = self.graph.stride

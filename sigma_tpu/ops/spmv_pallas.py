@@ -35,27 +35,170 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
-__all__ = ["dia_spmv_pallas", "pallas_supported"]
+__all__ = ["dia_spmv_pallas", "dia_spmv_pallas_blocked", "pallas_supported"]
 
 _LANES = 128
 # padded x must fit in VMEM alongside double-buffered data tiles
 _MAX_X_ELEMS = 3 * 1024 * 1024
+# VMEM budget for the blocked path's double-buffered working set
+_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+
+
+def _blocked_tile_rows(S: int, extra_rows: int, D: int, itemsize: int):
+    """Pick the row-tile size T for the blocked path: the largest candidate
+    whose double-buffered working set (nxb x-blocks + data tile + y tile)
+    fits the VMEM budget.  Returns (T, nxb) or None if nothing fits (very
+    wide bands — the XLA scan path handles those)."""
+    for T in (2048, 1536, 1024, 768, 512, 384, 256):
+        if T > S:
+            continue
+        nxb = 1 + -(-extra_rows // T)
+        byts = 2 * _LANES * T * (4 * (nxb + 1) + itemsize * D)
+        if byts <= _VMEM_BUDGET_BYTES and nxb <= 8:
+            return T, nxb
+    return None
 
 
 def pallas_supported(n: int, m: int | None = None) -> bool:
-    """True when the hardware-validated pallas path applies: TPU backend
-    and VMEM-resident x.  (A windowed-DMA variant for larger x exists and
-    is interpreter-validated, but manual-DMA kernels fault the TPU worker
-    on the axon runtime stack this repo is developed against — opt in via
-    ``dia_spmv_pallas(..., allow_dma_path=True)`` on a standard stack.)"""
+    """True when a hardware-validated pallas path applies on this backend:
+    the VMEM-resident kernel for small x, the blocked overlapping-window
+    kernel (BlockSpec pipelining only — no manual DMA, which faults the
+    axon runtime stack) for larger x."""
     try:
         backend = jax.default_backend()
     except RuntimeError:
         return False
-    if backend != "tpu":
-        return False
-    return (m if m is not None else n) <= _MAX_X_ELEMS
+    return backend == "tpu"
+
+
+def _make_compute(offsets, o_min, T):
+    """FMA body shared by every DIA kernel variant: given ``window_at(rowoff)``
+    yielding (T+1, lanes) sublane-rows of the padded-x frame, accumulate all
+    diagonals.  Each diagonal's window is a dynamic sublane slice plus a
+    static lane rotation (``pltpu.roll`` + sublane select) — no gather."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    def compute(window_at, data_ref, acc_dtype):
+        acc = jnp.zeros((T, _LANES), dtype=acc_dtype)
+        for d, o in enumerate(offsets):
+            q = o - o_min
+            rowoff = q // _LANES
+            laneoff = q % _LANES
+            base = window_at(rowoff)
+            if laneoff == 0:
+                win = base[:T, :]
+            else:
+                rolled = pltpu.roll(base, shift=_LANES - laneoff, axis=1)
+                lane = jax.lax.broadcasted_iota(jnp.int32, (T, _LANES), 1)
+                win = jnp.where(
+                    lane < _LANES - laneoff, rolled[:T, :], rolled[1 : T + 1, :]
+                )
+            acc = acc + data_ref[d].astype(acc_dtype) * win
+        return acc
+
+    return compute
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "n", "m", "interpret")
+)
+def dia_spmv_pallas_blocked(data, x, offsets, n, m, interpret=False):
+    """Large-x DIA SpMV: x streamed through VMEM in overlapping row-tile
+    windows via BlockSpec pipelining alone — the fix for the XLA windowed
+    formulation's per-diagonal x re-read past VMEM size (the >3.5M-row
+    cliff, BENCHMARKS.md), built without ``make_async_copy`` (manual-DMA
+    kernels fault the axon TPU runtime stack).
+
+    Grid over tiles of ``T`` sublane-rows.  The padded x is passed ``nxb``
+    times with index maps ``i -> i + j``; the kernel concatenates the
+    blocks into a (nxb*T, 128) VMEM window covering every diagonal's
+    reach, so x is fetched from HBM ~nxb times per SpMV regardless of n
+    (vs once per *diagonal* for XLA windows).  Rows past the last full
+    tile (at most T*128) are finished by an XLA window pass on the host
+    program side.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    D = len(offsets)
+    stride = data.shape[1]
+    S = stride // _LANES
+    o_min = min(min(offsets), 0)
+    o_max = max(max(offsets), 0)
+    span = o_max - o_min
+    extra_rows = span // _LANES + 2
+
+    pick = _blocked_tile_rows(S, extra_rows, D, data.dtype.itemsize)
+    if pick is None:
+        raise ValueError(
+            f"blocked pallas path cannot fit {D} diagonals of span {span} "
+            "in VMEM; use DIAMatrix.matvec (XLA scan path)"
+        )
+    T, nxb = pick
+    G = S // T  # full tiles; tail rows handled by XLA below
+
+    # padded x frame: xp[t] = x[t + o_min]; right-padded so every shifted
+    # block index i + j (i < G, j < nxb) is fully in bounds AND the XLA
+    # tail pass below can slice windows up to n + span
+    Sp = (G + nxb - 1) * T
+    L = max(Sp, S + extra_rows) * _LANES
+    left = -o_min
+    right = L - left - m
+    xp = jnp.concatenate(
+        [jnp.zeros((left,), x.dtype), x, jnp.zeros((max(right, 0),), x.dtype)]
+    )
+    xp2 = xp[: Sp * _LANES].reshape(Sp, _LANES)
+
+    data2 = data.reshape(D, S, _LANES)
+    compute = _make_compute(offsets, o_min, T)
+
+    def kernel(*refs):
+        xrefs, data_ref, y_ref = refs[:nxb], refs[nxb], refs[nxb + 1]
+        xcat = jnp.concatenate([r[...] for r in xrefs], axis=0)
+        y_ref[:, :] = compute(
+            lambda rowoff: xcat[rowoff : rowoff + T + 1, :],
+            data_ref,
+            y_ref.dtype,
+        )
+
+    x_specs = [
+        pl.BlockSpec(
+            (T, _LANES),
+            functools.partial(lambda j, i: (i + j, 0), j),
+            memory_space=pltpu.VMEM,
+        )
+        for j in range(nxb)
+    ]
+    y2 = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=x_specs
+        + [
+            pl.BlockSpec(
+                (D, T, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (T, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((G * T, _LANES), x.dtype),
+        interpret=interpret,
+    )(*([xp2] * nxb), data2)
+    y = y2.reshape(-1)
+    if G * T * _LANES >= n:
+        return y[:n]
+
+    # tail: the rows the tile grid didn't cover, finished with XLA windows
+    t0 = G * T * _LANES
+    tail = n - t0
+    yt = jnp.zeros((tail,), dtype=x.dtype)
+    for d, o in enumerate(offsets):
+        q = o - o_min
+        w = lax.dynamic_slice(xp, (t0 + q,), (tail,))
+        yt = yt + data[d, t0 : t0 + tail].astype(x.dtype) * w
+    return jnp.concatenate([y, yt])[: n]
 
 
 @functools.partial(
@@ -88,6 +231,16 @@ def dia_spmv_pallas(
     o_max = max(max(offsets), 0)
     span = o_max - o_min
 
+    # large x: route to the blocked overlapping-window kernel (BlockSpec
+    # pipelining only — safe on the axon stack).  The manual-DMA variant
+    # below stays opt-in for standard runtimes (make_async_copy faults the
+    # axon TPU worker; minimal repro in BENCHMARKS.md).
+    extra0 = span // _LANES + 2
+    if (S + extra0) * _LANES > _MAX_X_ELEMS and not allow_dma_path:
+        return dia_spmv_pallas_blocked(
+            data, x, offsets, n, m, interpret=interpret
+        )
+
     T = min(tile_rows, S)
     while S % T:
         T //= 2
@@ -107,25 +260,7 @@ def dia_spmv_pallas(
     ).reshape(Sp, _LANES)
 
     data2 = data.reshape(D, S, _LANES)
-
-    def compute(window_at, data_ref, acc_dtype):
-        """Shared FMA body; ``window_at(rowoff)`` yields (T+1, lanes) rows."""
-        acc = jnp.zeros((T, _LANES), dtype=acc_dtype)
-        for d, o in enumerate(offsets):
-            q = o - o_min
-            rowoff = q // _LANES
-            laneoff = q % _LANES
-            base = window_at(rowoff)
-            if laneoff == 0:
-                win = base[:T, :]
-            else:
-                rolled = pltpu.roll(base, shift=_LANES - laneoff, axis=1)
-                lane = jax.lax.broadcasted_iota(jnp.int32, (T, _LANES), 1)
-                win = jnp.where(
-                    lane < _LANES - laneoff, rolled[:T, :], rolled[1 : T + 1, :]
-                )
-            acc = acc + data_ref[d] * win
-        return acc
+    compute = _make_compute(offsets, o_min, T)
 
     vmem_resident = Sp * _LANES <= _MAX_X_ELEMS
 
@@ -156,17 +291,7 @@ def dia_spmv_pallas(
         )(xp, data2)
         return y2.reshape(-1)[:n]
 
-    # large-x path: x stays in HBM; each tile DMAs just its window into a
-    # VMEM scratch, so x is read from HBM ~once per SpMV regardless of n
-    # (XLA's window formulation re-reads x once per diagonal past VMEM size).
-    # Interpreter-validated; faults the TPU worker on the axon runtime
-    # stack (even a minimal make_async_copy kernel does), hence opt-in.
-    if not interpret and not allow_dma_path:
-        raise ValueError(
-            f"x of {Sp * _LANES} elements exceeds the VMEM-resident pallas "
-            "path; pass allow_dma_path=True on a runtime stack that "
-            "supports manual-DMA kernels, or use DIAMatrix.matvec (XLA)"
-        )
+    # opt-in manual-DMA path (reached only with allow_dma_path=True)
     win_rows = T + extra_rows
 
     def kernel_hbm(xp_ref, data_ref, y_ref, xwin, sem):

@@ -186,6 +186,24 @@ class TriangularLevels:
 
         return jax.lax.fori_loop(0, self.nlev, body, jnp.zeros_like(b))
 
+    def solve_t(self, b: jax.Array) -> jax.Array:
+        """x solving (I + T)^T x = b — the SAME packed levels, walked in
+        reverse with scatter instead of gather: a row r at level l is final
+        once every level > l has scattered (any entry T_{j,r} lives in a
+        row j of strictly higher level), so no transpose pattern is ever
+        built.  Unlocks ILDU-preconditioned adjoint/A^T solves
+        (the reference has no analogue; its sweeps are rows-only)."""
+        nm1 = max(self.n - 1, 0)
+
+        def body(i, x):
+            l = self.nlev - 1 - i
+            rows = self.rows[l]
+            xi = x[jnp.minimum(rows, nm1)]  # final at this level
+            # sentinel/padded slots carry val 0 -> scatter contributes 0
+            return x.at[self.cols[l]].add(-self.vals[l] * xi[:, None])
+
+        return jax.lax.fori_loop(0, self.nlev, body, b)
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True, repr=False)
@@ -206,7 +224,11 @@ class ILDUPreconditioner(LinearOperator):
         return self.upper.solve(self.dinv * y)
 
     def rmatvec(self, r):
-        raise NotImplementedError("transpose preconditioner application")
+        """z = (L D U)^{-T} r = L^{-T} D^{-1} U^{-T} r via the reverse-order
+        scatter sweeps (``TriangularLevels.solve_t``) — so an ILDU-
+        preconditioned adjoint solve composes like any other operator."""
+        y = self.upper.solve_t(r)
+        return self.lower.solve_t(self.dinv * y)
 
 
 @dataclasses.dataclass(frozen=True)

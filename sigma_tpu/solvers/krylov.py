@@ -179,65 +179,104 @@ def gmres_solve(
     named extension.  Arnoldi uses CGS2 (classical Gram-Schmidt with one
     full reorthogonalization pass): two (m+1, n) matmuls per step instead
     of a sequential MGS sweep — the MXU-friendly choice with MGS-grade
-    orthogonality.  The small (m+1, m) least-squares solve runs on-device
-    per cycle.
+    orthogonality.  The Hessenberg column is triangularized on the fly by
+    Givens rotations, so every Arnoldi step has a running residual-norm
+    estimate; the inner loop is a ``while_loop`` that STOPS at convergence
+    (no wasted matvecs after the estimate drops below tol), and
+    ``info.iterations`` is the true Arnoldi step count — not cycles*m.
     """
     n = A.shape[0]
     x0 = jnp.zeros_like(b) if x0 is None else x0
     m = min(restart, n)
-    maxcycles = (10 * n) // m + 1 if maxiter is None else -(-maxiter // m)
+    maxiter = 10 * n if maxiter is None else int(maxiter)
     apply_M = _apply(M)
     matvec = A.matvec
     tol_eff = jnp.maximum(jnp.asarray(tol, b.dtype), rtol * jnp.linalg.norm(b))
     eps_break = jnp.asarray(jnp.finfo(b.dtype).eps, b.dtype)
 
-    def cycle(x):
+    def cycle(x, k_total):
         r = b - matvec(x)
         beta = jnp.linalg.norm(r)
         V = jnp.zeros((m + 1, n), dtype=b.dtype).at[0].set(
             r / jnp.where(beta > 0, beta, 1.0)
         )
-        H = jnp.zeros((m + 1, m), dtype=b.dtype)
+        R = jnp.zeros((m, m), dtype=b.dtype)  # triangularized Hessenberg
+        cs = jnp.zeros((m,), dtype=b.dtype)
+        sn = jnp.zeros((m,), dtype=b.dtype)
+        g = jnp.zeros(m + 1, dtype=b.dtype).at[0].set(beta)
 
-        def arnoldi(j, carry):
-            V, H = carry
+        def icond(st):
+            V, R, cs, sn, g, j, est = st
+            return (est > tol_eff) & (j < m) & (k_total + j < maxiter)
+
+        def ibody(st):
+            V, R, cs, sn, g, j, _ = st
             w = matvec(apply_M(V[j]))
             # CGS2: project out all current basis vectors twice
-            h1 = V @ w
             valid = jnp.arange(m + 1) <= j
-            h1 = jnp.where(valid, h1, 0.0)
+            h1 = jnp.where(valid, V @ w, 0.0)
             w = w - V.T @ h1
-            h2 = V @ w
-            h2 = jnp.where(valid, h2, 0.0)
+            h2 = jnp.where(valid, V @ w, 0.0)
             w = w - V.T @ h2
             h = h1 + h2
             wn = jnp.linalg.norm(w)
             ok = wn > eps_break * 10
             V = V.at[j + 1].set(jnp.where(ok, w / jnp.where(ok, wn, 1.0), 0.0))
-            H = H.at[:, j].set(h.at[j + 1].set(jnp.where(ok, wn, 0.0))[:m + 1])
-            return (V, H)
+            h = h.at[j + 1].set(jnp.where(ok, wn, 0.0))
 
-        V, H = lax.fori_loop(0, m, arnoldi, (V, H))
-        e1 = jnp.zeros(m + 1, dtype=b.dtype).at[0].set(beta)
-        y, *_ = jnp.linalg.lstsq(H, e1)
+            # apply the j previous rotations to the new column
+            def rot(i, h):
+                hi, hi1 = h[i], h[i + 1]
+                active = i < j
+                c, s = cs[i], sn[i]
+                h = h.at[i].set(jnp.where(active, c * hi + s * hi1, hi))
+                return h.at[i + 1].set(
+                    jnp.where(active, -s * hi + c * hi1, hi1)
+                )
+
+            h = lax.fori_loop(0, m, rot, h)
+            # new rotation zeroing h[j+1]; denom=0 → identity rotation
+            denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
+            safe = denom > 0
+            c_new = jnp.where(safe, h[j] / jnp.where(safe, denom, 1.0), 1.0)
+            s_new = jnp.where(safe, h[j + 1] / jnp.where(safe, denom, 1.0), 0.0)
+            cs = cs.at[j].set(c_new)
+            sn = sn.at[j].set(s_new)
+            gj = g[j]
+            g = g.at[j].set(c_new * gj).at[j + 1].set(-s_new * gj)
+            R = R.at[:, j].set(h.at[j].set(denom)[:m])
+            return (V, R, cs, sn, g, j + 1, jnp.abs(g[j + 1]))
+
+        V, R, cs, sn, g, j, est = lax.while_loop(
+            icond, ibody, (V, R, cs, sn, g, jnp.asarray(0, jnp.int32), beta)
+        )
+        # back-substitute on the first j columns: pad unused columns with a
+        # unit diagonal and zero rhs so their y entries are exactly 0
+        used = jnp.arange(m) < j
+        Rp = jnp.where(
+            used[None, :] & used[:, None], R, jnp.eye(m, dtype=b.dtype)
+        )
+        y = jax.scipy.linalg.solve_triangular(
+            Rp, jnp.where(used, g[:m], 0.0), lower=False
+        )
         x = x + apply_M(V[:m].T @ y)
-        return x
+        return x, k_total + j
 
     def cond(state):
-        x, beta, c = state
-        return (beta > tol_eff) & (c < maxcycles)
+        x, beta, k, prog = state
+        return (beta > tol_eff) & (k < maxiter) & prog
 
     def body(state):
-        x, _, c = state
-        x = cycle(x)
+        x, _, k, _ = state
+        x, k_new = cycle(x, k)
         beta = jnp.linalg.norm(b - matvec(x))
-        return (x, beta, c + 1)
+        return (x, beta, k_new, k_new > k)  # no Arnoldi progress → stop
 
     beta0 = jnp.linalg.norm(b - matvec(x0))
-    x, beta, c = lax.while_loop(
-        cond, body, (x0, beta0, jnp.asarray(0, jnp.int32))
+    x, beta, k, _ = lax.while_loop(
+        cond, body, (x0, beta0, jnp.asarray(0, jnp.int32), True)
     )
-    return x, SolveInfo(c * m, beta, beta <= tol_eff)
+    return x, SolveInfo(k, beta, beta <= tol_eff)
 
 
 def stationary_solve(A, b, M, x0=None, *, steps: int):

@@ -133,10 +133,10 @@ def test_generalized_lanczos_invariants(rng):
     # generalized recurrence: A V = B V T + beta_last B v_next e_last^T
     R = dA @ V - dB @ V @ T
     R[:, -1] -= float(res.beta[-1]) * (dB @ np.asarray(res.v_next))
-    assert np.max(np.abs(R)) < 1e-11
+    assert np.max(np.abs(R)) < TOL  # the reference's pinned 1e-14
     # B-orthonormality
     G = V.T @ dB @ V - np.eye(k)
-    assert np.linalg.norm(G, "fro") < 1e-11
+    assert np.linalg.norm(G, "fro") < TOL
 
 
 def test_generalized_eigensolve_vs_dense(rng):

@@ -77,7 +77,42 @@ def test_large_x_dma_path_interpret(monkeypatch):
     x = rng.standard_normal(n).astype(np.float32)
     y = sp.dia_spmv_pallas(
         A.data.astype(jnp.float32), jnp.asarray(x), A.graph.offsets, n, n,
-        interpret=True,
+        interpret=True, allow_dma_path=True,
     )
     ref = dA @ x
     assert np.max(np.abs(np.asarray(y) - ref)) / np.max(np.abs(ref)) < 1e-6
+
+
+@pytest.mark.parametrize(
+    "n,diags",
+    [
+        (200_000, [0, 1, -1, 300, -300, 2500, -2500]),  # multi-tile + halos
+        (133_337, [0, 5, -7, 999]),  # unaligned n, odd offsets
+        (70_000, [0]),  # single diagonal, tail-only remainder
+    ],
+)
+def test_blocked_kernel_interpret(n, diags, monkeypatch):
+    """The blocked overlapping-window kernel (the default large-x path on
+    hardware; no manual DMA) vs a dense-diagonal oracle — small tile size
+    forced so a few hundred K rows exercise many tiles + the XLA tail."""
+    import sigma_tpu.ops.spmv_pallas as sp
+
+    monkeypatch.setattr(
+        sp, "_blocked_tile_rows",
+        lambda S, extra, D, isz: (64, 1 + -(-extra // 64)),
+    )
+    rng = np.random.default_rng(7)
+    stride = -(-n // 128) * 128
+    data = np.zeros((len(diags), stride), np.float32)
+    for d, o in enumerate(diags):
+        lo, hi = max(0, -o), min(n, n - o)
+        data[d, lo:hi] = rng.standard_normal(hi - lo)
+    x = rng.standard_normal(n).astype(np.float32)
+    y = sp.dia_spmv_pallas_blocked(
+        jnp.asarray(data), jnp.asarray(x), tuple(diags), n, n, interpret=True
+    )
+    ref = np.zeros(n, np.float32)
+    for d, o in enumerate(diags):
+        lo, hi = max(0, -o), min(n, n - o)
+        ref[lo:hi] += data[d, lo:hi] * x[lo + o : hi + o]
+    assert np.max(np.abs(np.asarray(y) - ref)) / np.max(np.abs(ref)) < 1e-5

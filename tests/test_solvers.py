@@ -112,6 +112,10 @@ def test_advection_diffusion_1d_gmres():
     u, info = gmres(1e-12, restart=64).solve_info(A, f, M=ldu())
     misfit = np.abs(np.asarray(u) - v).max()
     assert misfit < 1e-8, misfit
+    # iterations is the TRUE Arnoldi step count (Givens residual tracking
+    # stops the inner loop at convergence), not cycles*restart: the exact
+    # tridiagonal ILDU preconditioner converges in a couple of steps
+    assert int(info.iterations) <= 3
 
 
 def test_jacobi_as_solver_and_preconditioner(rng):
@@ -171,6 +175,30 @@ def test_ildu_exact_for_tridiagonal():
     b = rng.standard_normal(n)
     x = M.matvec(jnp.asarray(b))
     np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), atol=1e-12)
+
+
+def test_ildu_transpose_apply(rng):
+    """rmatvec must apply (L D U)^{-T}: exact for tridiagonal (where LDU is
+    the exact factorization), and adjoint-consistent <Mu, w> = <u, M^T w>
+    on a nonsymmetric pattern."""
+    n = 64
+    dense, _ = laplacian_1d(n)
+    A = CSRMatrix.from_dense(dense)
+    M = ldu().setup(A)
+    b = rng.standard_normal(n)
+    x = M.rmatvec(jnp.asarray(b))
+    np.testing.assert_allclose(
+        np.asarray(x), np.linalg.solve(dense.T, b), atol=1e-12
+    )
+
+    dense2 = random_spd_laplacian(rng, 48)
+    dense2 += 0.3 * np.triu(dense2 != 0, 1)  # nonsymmetric values
+    M2 = ldu().setup(CSRMatrix.from_dense(dense2))
+    u = jnp.asarray(rng.standard_normal(48))
+    w = jnp.asarray(rng.standard_normal(48))
+    lhs = float(jnp.vdot(M2.matvec(u), w))
+    rhs = float(jnp.vdot(u, M2.rmatvec(w)))
+    assert abs(lhs - rhs) < 1e-12 * max(1.0, abs(lhs))
 
 
 def test_ildu_factorization_identity(rng):
