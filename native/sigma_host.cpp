@@ -151,6 +151,81 @@ i64 triangular_levels(i64 n, const i64* indptr, const i64* indices,
     return nlevels;
 }
 
+// Zero-fill ILU(0)/ILDU(0) numeric factorization on a sorted CSR pattern
+// (the compiled form of ldu_solvers.f90:275-417's setup).  data is
+// factorized IN PLACE (SPARSKIT ikj order with a column-position marker):
+// on return, entries left of the diagonal hold L (unit-diagonal implied),
+// the diagonal entry holds D, entries right of it hold the rows of U with
+// D folded in (divide row i's upper entries by D_i to get the unit-U
+// factors).  diag_out[i] = D_i.  Returns 0 on success or (i+1) for a zero
+// or structurally missing pivot in row i.
+i64 ilu0_factorize(i64 n, const i64* indptr, const i64* indices,
+                   double* data, double* diag_out) {
+    std::vector<i64> ipos(static_cast<size_t>(n), -1);
+    std::vector<i64> diag_pos(static_cast<size_t>(n), -1);
+    for (i64 i = 0; i < n; ++i) {
+        i64 s = indptr[i], e = indptr[i + 1];
+        for (i64 p = s; p < e; ++p) ipos[indices[p]] = p;
+        for (i64 p = s; p < e; ++p) {
+            i64 k = indices[p];
+            if (k >= i) break;
+            double lik = data[p] / diag_out[k];
+            data[p] = lik;
+            for (i64 kp = diag_pos[k] + 1; kp < indptr[k + 1]; ++kp) {
+                i64 pos = ipos[indices[kp]];
+                if (pos >= 0) data[pos] -= lik * data[kp];
+            }
+        }
+        i64 dp = diag_pos[i] = ipos[i];
+        for (i64 p = s; p < e; ++p) ipos[indices[p]] = -1;
+        if (dp < 0 || data[dp] == 0.0) return i + 1;
+        diag_out[i] = data[dp];
+    }
+    return 0;
+}
+
+// Pack a strict-triangular CSR system into level-major padded arrays for
+// the batched level-scheduled sweeps (the compiled form of the per-row
+// fill in TriangularLevels.from_csr).  rows_out (nlev*max_rows) must be
+// pre-filled with the sentinel n; cols_out/vals_out (nlev*max_rows*width)
+// pre-zeroed.
+void pack_levels(i64 n, const i64* indptr, const i64* indices,
+                 const double* data, const i64* level, i64 nlev,
+                 i64 max_rows, i64 width, i64* rows_out, i64* cols_out,
+                 double* vals_out) {
+    std::vector<i64> slot(static_cast<size_t>(nlev), 0);
+    for (i64 i = 0; i < n; ++i) {
+        i64 l = level[i];
+        i64 s_ = slot[l]++;
+        rows_out[l * max_rows + s_] = i;
+        i64 base = (l * max_rows + s_) * width;
+        for (i64 p = indptr[i]; p < indptr[i + 1]; ++p) {
+            cols_out[base] = indices[p];
+            vals_out[base] = data[p];
+            ++base;
+        }
+    }
+}
+
+// Greedy aggregation for smoothed-aggregation AMG: each unaggregated
+// vertex in order seeds an aggregate with its unaggregated neighbors.
+// Returns the number of aggregates.
+i64 greedy_aggregate(i64 n, const i64* indptr, const i64* indices,
+                     i64* agg) {
+    std::fill(agg, agg + n, (i64)-1);
+    i64 next_agg = 0;
+    for (i64 v = 0; v < n; ++v) {
+        if (agg[v] >= 0) continue;
+        agg[v] = next_agg;
+        for (i64 k = indptr[v]; k < indptr[v + 1]; ++k) {
+            i64 u = indices[k];
+            if (agg[u] < 0) agg[u] = next_agg;
+        }
+        ++next_agg;
+    }
+    return next_agg;
+}
+
 // Batched binary-search of (row, col) queries in a sorted CSR structure.
 // out[q] = flat position of (r, c) or -1.
 void edge_positions(i64 nq, const i64* qr, const i64* qc, i64 n,

@@ -30,6 +30,9 @@ __all__ = [
     "greedy_coloring",
     "triangular_levels",
     "edge_positions",
+    "ilu0_factorize",
+    "pack_levels",
+    "greedy_aggregate",
 ]
 
 _SRC = Path(__file__).resolve().parent.parent.parent / "native" / "sigma_host.cpp"
@@ -39,6 +42,7 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 _i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+_f64p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
 
 
 def _build() -> bool:
@@ -88,6 +92,14 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.triangular_levels.argtypes = [i64, _i64p, _i64p, i64, _i64p]
         lib.edge_positions.restype = None
         lib.edge_positions.argtypes = [i64, _i64p, _i64p, i64, _i64p, _i64p, _i64p]
+        lib.ilu0_factorize.restype = i64
+        lib.ilu0_factorize.argtypes = [i64, _i64p, _i64p, _f64p, _f64p]
+        lib.pack_levels.restype = None
+        lib.pack_levels.argtypes = [
+            i64, _i64p, _i64p, _f64p, _i64p, i64, i64, i64, _i64p, _i64p, _f64p,
+        ]
+        lib.greedy_aggregate.restype = i64
+        lib.greedy_aggregate.argtypes = [i64, _i64p, _i64p, _i64p]
         _lib = lib
         return _lib
 
@@ -161,3 +173,60 @@ def edge_positions(qr, qc, indptr, indices) -> Optional[np.ndarray]:
     out = np.empty(qr.size, dtype=np.int64)
     lib.edge_positions(qr.size, qr, qc, n, indptr, indices, out)
     return out
+
+
+def ilu0_factorize(
+    indptr, indices, data
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """In-place-style ILU(0): returns (lu, diag) where lu is data factorized
+    on the pattern (L strict left of diag, D on diag, U rows right of it —
+    see sigma_host.cpp), or None if native is off.  Raises
+    ZeroDivisionError on a zero/missing pivot (matching the numpy path)."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr, indices = _c64(indptr), _c64(indices)
+    n = indptr.size - 1
+    lu = np.ascontiguousarray(np.asarray(data, dtype=np.float64)).copy()
+    diag = np.empty(n, dtype=np.float64)
+    bad = lib.ilu0_factorize(n, indptr, indices, lu, diag)
+    if bad:
+        raise ZeroDivisionError(
+            f"zero or missing pivot at row {int(bad) - 1} in ILDU(0) "
+            "factorization"
+        )
+    return lu, diag
+
+
+def pack_levels(
+    indptr, indices, data, level, nlev: int, max_rows: int, width: int
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Level-major padded (rows, cols, vals) for batched triangular sweeps,
+    or None if native is off.  Sentinel row id is n; pads are zero."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr, indices = _c64(indptr), _c64(indices)
+    level = _c64(level)
+    data = np.ascontiguousarray(np.asarray(data, dtype=np.float64))
+    n = indptr.size - 1
+    rows = np.full((nlev, max_rows), n, dtype=np.int64)
+    cols = np.zeros((nlev, max_rows, width), dtype=np.int64)
+    vals = np.zeros((nlev, max_rows, width), dtype=np.float64)
+    lib.pack_levels(
+        n, indptr, indices, data, level, nlev, max_rows, width,
+        rows.reshape(-1), cols.reshape(-1), vals.reshape(-1),
+    )
+    return rows, cols, vals
+
+
+def greedy_aggregate(indptr, indices) -> Optional[Tuple[np.ndarray, int]]:
+    """AMG greedy aggregation ids, or None if native is off."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr, indices = _c64(indptr), _c64(indices)
+    n = indptr.size - 1
+    agg = np.empty(n, dtype=np.int64)
+    na = lib.greedy_aggregate(n, indptr, indices, agg)
+    return agg, int(na)

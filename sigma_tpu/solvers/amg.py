@@ -38,11 +38,17 @@ __all__ = ["AMGPreconditioner", "smoothed_aggregation_amg", "greedy_aggregate"]
 def greedy_aggregate(A: SparseMatrix) -> np.ndarray:
     """Aggregate vertices of A's graph greedily: each unaggregated vertex
     seeds an aggregate with its unaggregated neighbors.  Returns (n,) int
-    aggregate ids (host-side setup, like all reorderings)."""
+    aggregate ids.  Host-side setup, like all reorderings — runs in the
+    compiled core (``sigma_host.cpp::greedy_aggregate``) with a numpy
+    fallback."""
+    from sigma_tpu import native
     from sigma_tpu.graph.permutations import _adjacency
 
     n = A.shape[0]
     indptr, cols = _adjacency(A.graph)
+    res = native.greedy_aggregate(indptr, cols)
+    if res is not None:
+        return res[0]
     agg = -np.ones(n, dtype=np.int64)
     next_agg = 0
     for v in range(n):

@@ -48,18 +48,10 @@ def _csr_arrays(A) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return indptr, indices, np.asarray(data, dtype=np.float64)
 
 
-def ildu0_factorize(A):
-    """Zero-fill LDU factorization A ≈ L·D·U (L, U unit triangular).
-
-    Returns (L_csr, d, U_csr) with L/U = (indptr, indices, data) holding the
-    *strict* parts only (the reference's L−I / U−I storage).  Classic
-    SPARSKIT-style ilu0 with a position-marker work array; the inner update
-    over row k's upper entries is vectorized.
-    """
-    n = A.shape[0]
-    if A.shape[0] != A.shape[1]:
-        raise ValueError("ILDU requires a square matrix")
-    indptr, indices, data = _csr_arrays(A)
+def _ilu0_numpy(indptr, indices, data, n):
+    """numpy fallback for the native ILU(0) kernel: classic SPARSKIT ikj
+    with a position-marker work array; the inner update over row k's upper
+    entries is vectorized.  Returns (lu, diag)."""
     lu = data.copy()
     diag = np.zeros(n, dtype=np.float64)
     ipos = np.full(n, -1, dtype=np.int64)  # column -> position in current row
@@ -91,6 +83,29 @@ def ildu0_factorize(A):
         diag_pos[i] = dp
         diag[i] = lu[dp]
         ipos[cols_i] = -1
+    return lu, diag
+
+
+def ildu0_factorize(A):
+    """Zero-fill LDU factorization A ≈ L·D·U (L, U unit triangular).
+
+    Returns (L_csr, d, U_csr) with L/U = (indptr, indices, data) holding the
+    *strict* parts only (the reference's L−I / U−I storage).  The numeric
+    sweep runs in the compiled host core (``sigma_host.cpp::ilu0_factorize``
+    — the all-compiled setup of ``ldu_solvers.f90:275-417``) with a numpy
+    fallback.
+    """
+    from sigma_tpu import native
+
+    n = A.shape[0]
+    if A.shape[0] != A.shape[1]:
+        raise ValueError("ILDU requires a square matrix")
+    indptr, indices, data = _csr_arrays(A)
+    res = native.ilu0_factorize(indptr, indices, data)
+    if res is not None:
+        lu, diag = res
+    else:
+        lu, diag = _ilu0_numpy(indptr, indices, data, n)
 
     # split into strict L (unit) and strict unit-U (u_ij / d_i)
     rows_all = np.repeat(np.arange(n), np.diff(indptr))
@@ -123,6 +138,7 @@ def _levels(indptr, indices, n, reverse: bool) -> np.ndarray:
     order = range(n - 1, -1, -1) if reverse else range(n)
     for i in order:
         js = indices[indptr[i] : indptr[i + 1]]
+        js = js[js > i] if reverse else js[js < i]  # direction filter (= C++)
         if js.size:
             level[i] = level[js].max() + 1
     return level
@@ -145,24 +161,32 @@ class TriangularLevels:
 
     @classmethod
     def from_csr(cls, indptr, indices, data, n, reverse: bool, dtype):
+        from sigma_tpu import native
+
         level = _levels(indptr, indices, n, reverse)
         nlev = int(level.max()) + 1 if n else 1
         counts = np.bincount(level, minlength=nlev)
         max_rows = max(int(counts.max()), 1)
         deg = np.diff(indptr)
         width = max(int(deg.max()) if n else 0, 1)
-        rows = np.full((nlev, max_rows), n, dtype=np.int64)
-        cols = np.zeros((nlev, max_rows, width), dtype=np.int64)
-        vals = np.zeros((nlev, max_rows, width), dtype=np.float64)
-        slot = np.zeros(nlev, dtype=np.int64)
-        for i in range(n):
-            l = level[i]
-            s_ = slot[l]
-            rows[l, s_] = i
-            d = deg[i]
-            cols[l, s_, :d] = indices[indptr[i] : indptr[i + 1]]
-            vals[l, s_, :d] = data[indptr[i] : indptr[i + 1]]
-            slot[l] += 1
+        packed = native.pack_levels(
+            indptr, indices, data, level, nlev, max_rows, width
+        )
+        if packed is not None:
+            rows, cols, vals = packed
+        else:
+            rows = np.full((nlev, max_rows), n, dtype=np.int64)
+            cols = np.zeros((nlev, max_rows, width), dtype=np.int64)
+            vals = np.zeros((nlev, max_rows, width), dtype=np.float64)
+            slot = np.zeros(nlev, dtype=np.int64)
+            for i in range(n):
+                l = level[i]
+                s_ = slot[l]
+                rows[l, s_] = i
+                d = deg[i]
+                cols[l, s_, :d] = indices[indptr[i] : indptr[i + 1]]
+                vals[l, s_, :d] = data[indptr[i] : indptr[i + 1]]
+                slot[l] += 1
         return cls(
             rows=jnp.asarray(rows, dtype=index_dtype),
             cols=jnp.asarray(cols, dtype=index_dtype),

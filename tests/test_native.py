@@ -121,3 +121,83 @@ def test_native_bfs_matches_python_fallback(rng, monkeypatch):
     monkeypatch.setattr(native_mod, "_tried", True)
     p_python = breadth_first_search(g)
     assert np.array_equal(p_native, p_python)
+
+
+def _disable_native(monkeypatch):
+    import sigma_tpu.native as native_mod
+
+    monkeypatch.setattr(native_mod, "_lib", None)
+    monkeypatch.setattr(native_mod, "_tried", True)
+
+
+def test_native_ilu0_matches_numpy(rng, monkeypatch):
+    """The C++ ILU(0) numeric sweep must reproduce the numpy fallback's
+    factors exactly (same ikj order, same arithmetic)."""
+    from sigma_tpu import CSRMatrix
+    from sigma_tpu.solvers.ildu import ildu0_factorize
+
+    n = 80
+    dense = np.triu(rng.random((n, n)) < 0.12, 1)
+    dense = (dense | dense.T) * rng.standard_normal((n, n))
+    dense = dense + np.diag(np.abs(dense).sum(1) + 1.0)
+    A = CSRMatrix.from_dense(dense)
+    (Lp1, Li1, Lx1), d1, (Up1, Ui1, Ux1) = ildu0_factorize(A)
+    _disable_native(monkeypatch)
+    (Lp2, Li2, Lx2), d2, (Up2, Ui2, Ux2) = ildu0_factorize(A)
+    assert np.array_equal(Lp1, Lp2) and np.array_equal(Li1, Li2)
+    assert np.array_equal(Up1, Up2) and np.array_equal(Ui1, Ui2)
+    np.testing.assert_allclose(Lx1, Lx2, rtol=1e-15)
+    np.testing.assert_allclose(d1, d2, rtol=1e-15)
+    np.testing.assert_allclose(Ux1, Ux2, rtol=1e-15)
+
+
+def test_native_ilu0_zero_pivot_raises():
+    from sigma_tpu import CSRMatrix
+    from sigma_tpu.solvers.ildu import ildu0_factorize
+
+    dense = np.array([[0.0, 1.0], [1.0, 1.0]])
+    with pytest.raises(ZeroDivisionError):
+        ildu0_factorize(CSRMatrix.from_dense(dense))
+
+
+def test_native_pack_levels_matches_numpy(rng, monkeypatch):
+    """Level packing (C++) vs the per-row numpy fallback: identical padded
+    arrays for both sweep directions."""
+    from sigma_tpu.solvers.ildu import TriangularLevels
+
+    n = 70
+    for reverse in (False, True):
+        tri = np.triu if reverse else np.tril
+        strict = tri(rng.random((n, n)) < 0.15, 1 if reverse else -1)
+        strict = strict * rng.standard_normal((n, n))
+        rows, cols = np.nonzero(strict)
+        order = np.lexsort((cols, rows))
+        rows, cols = rows[order], cols[order]
+        ptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(np.bincount(rows, minlength=n), out=ptr[1:])
+        data = strict[rows, cols]
+        t1 = TriangularLevels.from_csr(
+            ptr, cols, data, n, reverse=reverse, dtype=np.float64
+        )
+        _disable_native(monkeypatch)
+        t2 = TriangularLevels.from_csr(
+            ptr, cols, data, n, reverse=reverse, dtype=np.float64
+        )
+        monkeypatch.undo()
+        assert np.array_equal(np.asarray(t1.rows), np.asarray(t2.rows))
+        assert np.array_equal(np.asarray(t1.cols), np.asarray(t2.cols))
+        assert np.array_equal(np.asarray(t1.vals), np.asarray(t2.vals))
+
+
+def test_native_aggregate_matches_numpy(rng, monkeypatch):
+    from sigma_tpu import CSRMatrix
+    from sigma_tpu.solvers.amg import greedy_aggregate
+
+    n = 90
+    dense = np.triu(rng.random((n, n)) < 0.1, 1)
+    dense = (dense | dense.T).astype(float) + np.eye(n)
+    A = CSRMatrix.from_dense(dense)
+    a1 = greedy_aggregate(A)
+    _disable_native(monkeypatch)
+    a2 = greedy_aggregate(A)
+    assert np.array_equal(a1, a2)
