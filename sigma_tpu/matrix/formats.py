@@ -395,10 +395,14 @@ class DIAMatrix(SparseMatrix):
     # wide bands, e.g. RCM-reordered general matrices -> banded DIA)
     _SCAN_THRESHOLD: ClassVar[int] = 24
 
-    # past this many x elements XLA re-reads x from HBM once per diagonal
-    # (x no longer VMEM-resident); the blocked pallas kernel streams x in
-    # overlapping VMEM windows instead (BENCHMARKS.md "VMEM cliff")
-    _PALLAS_MIN_ELEMS: ClassVar[int] = 3_000_000
+    # Minimum size for the blocked pallas kernel.  Measured on v5e (one
+    # session, 2.1M-row 7-pt Laplacian): blocked 325 / VMEM-resident pallas
+    # 113 / XLA windows 47 Gnnz/s — the blocked kernel's O(1) x traffic per
+    # tile beats both the full-x-operand pallas refetch and XLA's
+    # per-diagonal window reads at every size tried, so it is the default
+    # whenever the tile grid is nontrivial (and mandatory past the ~3.5M-row
+    # XLA VMEM cliff, BENCHMARKS.md).
+    _PALLAS_MIN_ELEMS: ClassVar[int] = 65_536
 
     def _pallas_path(self, x):
         """The pallas blocked kernel, when profitable and supported: TPU
@@ -419,7 +423,7 @@ class DIAMatrix(SparseMatrix):
         from sigma_tpu.ops.spmv_pallas import (
             _LANES,
             _blocked_tile_rows,
-            dia_spmv_pallas,
+            dia_spmv_pallas_blocked,
         )
 
         offs = self.graph.offsets
@@ -432,7 +436,7 @@ class DIAMatrix(SparseMatrix):
         )
         if pick is None:
             return None
-        return dia_spmv_pallas(self.data, x, offs, n, m)
+        return dia_spmv_pallas_blocked(self.data, x, offs, n, m)
 
     def matvec(self, x):
         """Gather-free SpMV at HBM speed-of-light: per diagonal, a shifted

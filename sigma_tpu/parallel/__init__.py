@@ -1,4 +1,5 @@
 from sigma_tpu.parallel.precond import DistributedBlockILDU, distributed_block_ildu
+from sigma_tpu.parallel.amg import distribute_amg, distributed_amg
 from sigma_tpu.parallel.dist import (
     balance_rows,
     DistributedDIAMatrix,
@@ -13,6 +14,8 @@ from sigma_tpu.parallel.dist import (
 __all__ = [
     "DistributedBlockILDU",
     "distributed_block_ildu",
+    "distribute_amg",
+    "distributed_amg",
     "DistributedMatrix",
     "DistributedDIAMatrix",
     "distribute_matrix_dia",

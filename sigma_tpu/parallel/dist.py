@@ -105,10 +105,20 @@ class DistributedMatrix(LinearOperator):
     n: int = dataclasses.field(metadata=dict(static=True))
     m: int = dataclasses.field(metadata=dict(static=True))
     block: int = dataclasses.field(metadata=dict(static=True))
+    # column-block size for rectangular matrices (e.g. AMG prolongators):
+    # rows AND columns are partitioned over the SAME mesh axis, each with
+    # its own block size; None (the default) means square (= block)
+    block_cols: Optional[int] = dataclasses.field(
+        metadata=dict(static=True), default=None
+    )
 
     @property
     def shape(self) -> Tuple[int, int]:
         return (self.n, self.m)
+
+    @property
+    def bcols(self) -> int:
+        return self.block if self.block_cols is None else self.block_cols
 
     @property
     def n_shards(self) -> int:
@@ -117,6 +127,10 @@ class DistributedMatrix(LinearOperator):
     @property
     def n_pad(self) -> int:
         return self.block * self.n_shards
+
+    @property
+    def m_pad(self) -> int:
+        return self.bcols * self.n_shards
 
     @property
     def dtype(self):
@@ -129,15 +143,27 @@ class DistributedMatrix(LinearOperator):
     # -- matvec under shard_map -------------------------------------------------
     def _local_matvec(self, x_local, nodes, vals):
         """Per-shard kernel: local block first, then one ring shift per
-        present off-diagonal offset (overlappable by XLA)."""
+        present off-diagonal offset (overlappable by XLA).  x blocks are
+        ``bcols`` long; output blocks are ``block`` long (rectangular OK)."""
         D = self.n_shards
-        y = jnp.zeros_like(x_local)
+        y = jnp.zeros((nodes[0].shape[0],), dtype=x_local.dtype)
         for i in _offsets_local_first(self.offsets):
             xk = _ring_shift(x_local, self.offsets[i], D, self.axis)
             y = y + (vals[i] * xk[nodes[i]]).sum(axis=1)
         return y
 
+    def _empty(self, x, length, extra_dims=()):
+        f = shard_map(
+            lambda xl: jnp.zeros((length,) + extra_dims, x.dtype),
+            mesh=self.mesh,
+            in_specs=(P(self.axis),) if x.ndim == 1 else (P(self.axis, None),),
+            out_specs=P(self.axis) if not extra_dims else P(self.axis, None),
+        )
+        return f(x)
+
     def matvec(self, x: jax.Array) -> jax.Array:
+        if not self.nodes:
+            return self._empty(x, self.block)
         f = shard_map(
             self._local_matvec,
             mesh=self.mesh,
@@ -153,10 +179,14 @@ class DistributedMatrix(LinearOperator):
     def matmat(self, X: jax.Array) -> jax.Array:
         """Multi-vector product: same ring, gather whole (block, nrhs)
         panels — the multi-vector SpMM the reference lacks (README.md:83)."""
+        if not self.nodes:
+            return self._empty(X, self.block, (X.shape[1],))
 
         def local(X_local, nodes, vals):
             D = self.n_shards
-            Y = jnp.zeros_like(X_local)
+            Y = jnp.zeros(
+                (nodes[0].shape[0], X_local.shape[1]), dtype=X_local.dtype
+            )
             for i in _offsets_local_first(self.offsets):
                 Xk = _ring_shift(X_local, self.offsets[i], D, self.axis)
                 # (rows, w, nrhs) gather then reduce over w
@@ -178,18 +208,21 @@ class DistributedMatrix(LinearOperator):
     def rmatvec(self, x: jax.Array) -> jax.Array:
         """Transpose matvec = reversed communication pattern (the CSR<->CSC
         kernel duality, ``cs_matrices.f90:148-149``): scatter local products
-        to owner blocks by reversing each ring shift."""
+        to owner blocks (``bcols`` long) by reversing each ring shift."""
+        if not self.nodes:
+            return self._empty(x, self.bcols)
+        bcols = self.bcols
 
         def local(x_local, nodes, vals):
             D = self.n_shards
-            y = jnp.zeros_like(x_local)
+            y = jnp.zeros((bcols,), dtype=x_local.dtype)
             for i, k in enumerate(self.offsets):
                 # contribution of this shard's rows to x-block (d+k)%D:
                 # scatter-add locally then ship to the owner (reverse perm)
                 contrib = jax.ops.segment_sum(
                     (vals[i] * x_local[:, None]).reshape(-1),
                     nodes[i].reshape(-1),
-                    num_segments=self.block,
+                    num_segments=bcols,
                 )
                 if k != 0 and D > 1:
                     perm = [((s - k) % D, s) for s in range(D)]
@@ -209,9 +242,47 @@ class DistributedMatrix(LinearOperator):
         )
         return f(x, self.nodes, self.vals)
 
+    def rmatmat(self, X: jax.Array) -> jax.Array:
+        """Multi-vector transpose product (restriction of a block of
+        vectors): scatter (rows, w, nrhs) panels, reverse each ring shift."""
+        if not self.nodes:
+            return self._empty(X, self.bcols, (X.shape[1],))
+        bcols = self.bcols
+
+        def local(X_local, nodes, vals):
+            D = self.n_shards
+            k_rhs = X_local.shape[1]
+            Y = jnp.zeros((bcols, k_rhs), dtype=X_local.dtype)
+            for i, k in enumerate(self.offsets):
+                prod = vals[i][:, :, None] * X_local[:, None, :]
+                contrib = jax.ops.segment_sum(
+                    prod.reshape(-1, k_rhs),
+                    nodes[i].reshape(-1),
+                    num_segments=bcols,
+                )
+                if k != 0 and D > 1:
+                    perm = [((s - k) % D, s) for s in range(D)]
+                    contrib = lax.ppermute(contrib, self.axis, perm)
+                Y = Y + contrib
+            return Y
+
+        f = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(
+                P(self.axis, None),
+                tuple(P(self.axis, None) for _ in self.nodes),
+                tuple(P(self.axis, None) for _ in self.vals),
+            ),
+            out_specs=P(self.axis, None),
+        )
+        return f(X, self.nodes, self.vals)
+
     def diagonal(self) -> jax.Array:
         """Main diagonal as a sharded vector (offset-0 block, local column
         == own row) — feeds the distributed Jacobi preconditioner."""
+        if self.block_cols is not None and self.block_cols != self.block:
+            raise ValueError("diagonal() requires a square block structure")
         if 0 not in self.offsets:
             return jnp.zeros((self.n_pad,), dtype=self.dtype)
         i = self.offsets.index(0)
@@ -231,21 +302,30 @@ class DistributedMatrix(LinearOperator):
 
     # -- vector plumbing --------------------------------------------------------
     def shard_vector(self, x) -> jax.Array:
+        """Range-side vector (length n): rmatvec input / matvec output."""
         return distribute_vector(x, self.mesh, self.axis, self.n_pad)
+
+    def shard_domain_vector(self, x) -> jax.Array:
+        """Domain-side vector (length m): matvec input / rmatvec output.
+        Identical to :meth:`shard_vector` for square block structure."""
+        return distribute_vector(x, self.mesh, self.axis, self.m_pad)
 
     def unshard_vector(self, x: jax.Array) -> np.ndarray:
         return undistribute_vector(x, self.n)
 
+    def unshard_domain_vector(self, x: jax.Array) -> np.ndarray:
+        return undistribute_vector(x, self.m)
+
     def to_dense(self) -> np.ndarray:
-        d = np.zeros((self.n_pad, self.n_pad))
-        nb = self.block
+        d = np.zeros((self.n_pad, self.m_pad))
+        nb, nc = self.block, self.bcols
         for i, k in enumerate(self.offsets):
             node = np.asarray(self.nodes[i])
             val = np.asarray(self.vals[i])
             D = self.n_shards
             for d_blk in range(D):
                 sl = slice(d_blk * nb, (d_blk + 1) * nb)
-                cols = node[sl] + ((d_blk + k) % D) * nb
+                cols = node[sl] + ((d_blk + k) % D) * nc
                 np.add.at(d, (np.repeat(np.arange(d_blk * nb, (d_blk + 1) * nb), node.shape[1]), cols.ravel()), val[sl].ravel())
         return d[: self.n, : self.m]
 
@@ -272,21 +352,22 @@ def undistribute_vector(x: jax.Array, n: int) -> np.ndarray:
 def distribute_matrix(
     A: SparseMatrix, mesh: Mesh, axis: str = "rows"
 ) -> DistributedMatrix:
-    """Partition a (square-ish) sparse matrix by rows over the mesh axis.
+    """Partition a sparse matrix by rows over the mesh axis.
 
-    Host-side symbolic step: pad n to a multiple of D, bucket entries by
-    cyclic block offset, and build one ELL block per present offset with
-    owner-local column indices.
+    Host-side symbolic step: pad n (and m, independently) to a multiple of
+    D, bucket entries by cyclic block offset, and build one ELL block per
+    present offset with owner-local column indices.  Rectangular matrices
+    (AMG prolongators/restrictions) partition BOTH dimensions over the same
+    axis, each with its own block size.
     """
-    if A.shape[0] != A.shape[1]:
-        raise ValueError("distribute_matrix expects a square matrix")
     D = mesh.shape[axis]
-    n = A.shape[0]
+    n, m = A.shape
     nb = -(-n // D)  # rows per shard
+    nc = -(-m // D)  # columns per shard
     n_pad = nb * D
 
     rows, cols, vals = A.entries()
-    rb, cb = rows // nb, cols // nb
+    rb, cb = rows // nb, cols // nc
     k_all = (cb - rb) % D
     offsets = tuple(int(k) for k in np.unique(k_all))
 
@@ -294,7 +375,7 @@ def distribute_matrix(
     for k in offsets:
         sel = k_all == k
         r, c, v = rows[sel], cols[sel], vals[sel]
-        c_local = c - (c // nb) * nb
+        c_local = c - (c // nc) * nc
         # ELL widths per offset: max entries of any row in this offset block
         cnt = np.zeros(n_pad, dtype=np.int64)
         np.add.at(cnt, r, 1)
@@ -319,6 +400,7 @@ def distribute_matrix(
         n=n,
         m=A.shape[1],
         block=nb,
+        block_cols=None if n == m else nc,
     )
 
 

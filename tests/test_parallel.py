@@ -311,3 +311,59 @@ def test_distributed_block_ildu_uneven(mesh, rng):
     b = Ad.shard_vector(dense @ xstar)
     x, info = cg_solve(Ad, b, tol=1e-12, M=M)
     assert np.max(np.abs(Ad.unshard_vector(x) - xstar)) < 1e-8
+
+
+def test_rectangular_distribute_matvec(mesh, rng):
+    """Rectangular distribution (the AMG prolongator shape): rows and
+    columns partition over the same axis with independent block sizes;
+    matvec / rmatvec / matmat / rmatmat against the dense oracle."""
+    n, m = 120, 37
+    dense = np.where(rng.random((n, m)) < 0.15, rng.standard_normal((n, m)), 0.0)
+    Pd = distribute_matrix(CSRMatrix.from_coo(
+        n, m, *np.nonzero(dense), dense[np.nonzero(dense)]), mesh)
+    assert Pd.bcols != Pd.block
+    xc = rng.standard_normal(m)
+    y = Pd.unshard_vector(Pd.matvec(Pd.shard_domain_vector(xc)))
+    assert np.max(np.abs(y - dense @ xc)) < TOL
+    xf = rng.standard_normal(n)
+    z = Pd.unshard_domain_vector(Pd.rmatvec(Pd.shard_vector(xf)))
+    assert np.max(np.abs(z - dense.T @ xf)) < TOL
+    Xc = rng.standard_normal((m, 3))
+    Y = np.asarray(Pd.matmat(Pd.shard_domain_vector(Xc)))[:n]
+    assert np.max(np.abs(Y - dense @ Xc)) < TOL
+    Xf = rng.standard_normal((n, 3))
+    Z = np.asarray(Pd.rmatmat(Pd.shard_vector(Xf)))[:m]
+    assert np.max(np.abs(Z - dense.T @ Xf)) < TOL
+
+
+def test_distributed_amg_matches_single_device(mesh, rng):
+    """Distributed CG+AMG must converge in the same iterations as the
+    single-device hierarchy (same numerics, different layout) — VERDICT
+    round-1 item 3's acceptance test."""
+    from sigma_tpu.parallel import distribute_amg
+    from sigma_tpu.solvers.amg import smoothed_aggregation_amg
+    from conftest import laplacian_2d
+
+    nx = 13
+    n = nx * nx
+    dense = laplacian_2d(nx) + 0.1 * np.eye(n)
+    A = CSRMatrix.from_dense(dense)
+    b = rng.standard_normal(n)
+
+    M = smoothed_aggregation_amg(A, coarse_size=16, max_levels=2)
+    x_ref, info_ref = cg_solve(A, jnp.asarray(b), tol=1e-12, M=M)
+
+    Ad = distribute_matrix(A, mesh)
+    Md = distribute_amg(M, mesh)
+    bd = Ad.shard_vector(b)
+    x_d, info_d = cg_solve(Ad, bd, tol=1e-12, M=Md)
+
+    assert abs(int(info_d.iterations) - int(info_ref.iterations)) <= 1
+    assert bool(info_d.converged)
+    err = np.max(np.abs(Ad.unshard_vector(x_d) - np.asarray(x_ref)))
+    assert err < 1e-10
+    # and the V-cycle itself is layout-invariant
+    r = rng.standard_normal(n)
+    z1 = np.asarray(M.matvec(jnp.asarray(r)))
+    z2 = Ad.unshard_vector(Md.matvec(Ad.shard_vector(r)))
+    assert np.max(np.abs(z1 - z2)) < 1e-11
