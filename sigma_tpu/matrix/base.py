@@ -269,6 +269,22 @@ class SparseMatrix(LinearOperator):
     def astype(self, dtype) -> "SparseMatrix":
         return self._updated(self.data.astype(dtype))
 
+    def astype_exact(self, dtype) -> "SparseMatrix":
+        """Cast values to a narrower dtype, RAISING unless every stored
+        value round-trips exactly.  The production entry to the bf16-data
+        SpMV path: stencil coefficients (small integers / dyadic rationals)
+        are exactly representable in bfloat16, and halving the dominant
+        HBM value stream raises DIA SpMV throughput ~1.6x (bench.py's
+        ``dia_bf16data`` row) with bit-identical results."""
+        src = np.asarray(self.data)
+        cast = src.astype(dtype)
+        if not np.array_equal(cast.astype(src.dtype), src):
+            raise ValueError(
+                f"matrix values are not exactly representable in {dtype}; "
+                "use astype() to cast with rounding"
+            )
+        return self._updated(jnp.asarray(cast))
+
     def __repr__(self) -> str:
         return (
             f"{type(self).__name__}(shape={self.shape}, nnz={self.nnz}, "

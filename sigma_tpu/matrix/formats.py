@@ -314,6 +314,16 @@ class BSRMatrix(SparseMatrix):
         y = _segment_sum(yb, g.block_rows, g.nb_rows)
         return y.reshape(-1)[: g.shape[0]]
 
+    def grouped(self, group: int = 8):
+        """Kernel-native grouped layout (host-side regroup): block-level
+        DMA-gather SpMV/SpMM on TPU via the scalar-prefetch pallas kernel
+        (:class:`sigma_tpu.ops.bsr_pallas.GroupedBSR`) — the fast
+        production path for block matrices; this XLA gather form stays the
+        portable reference semantics."""
+        from sigma_tpu.ops.bsr_pallas import GroupedBSR
+
+        return GroupedBSR.from_bsr(self, group=group)
+
     def rmatvec(self, x):
         g = self.graph
         bh, bw = g.block_shape
@@ -489,13 +499,38 @@ class DIAMatrix(SparseMatrix):
         )
         return y[:n]
 
+    def _padded_frame(self, x, length):
+        """(xp, off_arr): zero-padded frame such that the window for
+        diagonal d is ``xp[off_arr[d] : off_arr[d] + length]`` — shared by
+        every scan path (O(1) program size for wide bands)."""
+        offs = self.graph.offsets
+        o_min = min(min(offs), 0)
+        o_max = max(max(offs), 0)
+        left = -o_min
+        L = length + (o_max - o_min)
+        right = L - left - x.shape[0]
+        xp = jnp.concatenate(
+            [
+                jnp.zeros((left,) + x.shape[1:], x.dtype),
+                x,
+                jnp.zeros((max(right, 0),) + x.shape[1:], x.dtype),
+            ]
+        )
+        off_arr = jnp.asarray(
+            np.asarray(offs) - o_min, dtype=jnp.int32
+        )
+        return xp, off_arr
+
     def rmatvec(self, x):
         """Transpose: y[i+o] += data[d, i] * x[i] — same windows, with the
-        product shifted by -o into the output frame."""
+        product shifted by -o into the output frame (scan form for wide
+        bands, like matvec)."""
         n, m = self.shape
         offs = self.graph.offsets
         if not offs:
             return jnp.zeros((m,), dtype=x.dtype)
+        if len(offs) > self._SCAN_THRESHOLD:
+            return self._rmatvec_scan(x)
         s = -(-m // 128) * 128
         y2 = jnp.zeros((s // 128, 128), dtype=x.dtype)
         for d, o in enumerate(offs):
@@ -504,12 +539,85 @@ class DIAMatrix(SparseMatrix):
             y2 = y2 + w
         return y2.reshape(-1)[:m]
 
+    def _rmatvec_scan(self, x):
+        """y^T form: accumulate each diagonal's product into a shifted slot
+        of a padded output frame via dynamic_update_slice inside lax.scan."""
+        n, m = self.shape
+        offs = self.graph.offsets
+        o_min = min(min(offs), 0)
+        o_max = max(max(offs), 0)
+        left = -o_min
+        L = n + (o_max - o_min) + max(m - n, 0)
+        off_arr = jnp.asarray(np.asarray(offs) - o_min, dtype=jnp.int32)
+
+        def step(acc, inp):
+            start, drow = inp
+            z = drow[:n].astype(x.dtype) * x
+            win = lax.dynamic_slice(acc, (start,), (n,))
+            return lax.dynamic_update_slice(acc, win + z, (start,)), None
+
+        acc, _ = lax.scan(
+            step, jnp.zeros((L,), x.dtype), (off_arr, self.data)
+        )
+        # frame position t holds y[t + o_min]
+        return lax.dynamic_slice(acc, (left,), (m,))
+
+    def _pallas_matmat_path(self, X):
+        """Blocked pallas SpMM when profitable (TPU, low precision, small
+        RHS count, VMEM-fitting band) — data fetched once for all RHS."""
+        n, m = self.shape
+        k = X.shape[1]
+        if m < self._PALLAS_MIN_ELEMS or not (1 <= k <= 16):
+            return None
+        if X.dtype not in (jnp.float32, jnp.bfloat16):
+            return None
+        if self.data.dtype not in (jnp.float32, jnp.bfloat16):
+            return None
+        try:
+            if jax.default_backend() != "tpu":
+                return None
+        except RuntimeError:
+            return None
+        from sigma_tpu.ops.spmv_pallas import (
+            _LANES,
+            _blocked_tile_rows,
+            dia_spmm_pallas_blocked,
+        )
+
+        offs = self.graph.offsets
+        span = max(max(offs), 0) - min(min(offs), 0)
+        pick = _blocked_tile_rows(
+            self.graph.stride // _LANES,
+            span // _LANES + 2,
+            len(offs),
+            self.data.dtype.itemsize,
+            k=k,
+        )
+        if pick is None:
+            return None
+        return dia_spmm_pallas_blocked(self.data, X, offs, n, m)
+
     def matmat(self, X):
         n, m = self.shape
         offs = self.graph.offsets
         k = X.shape[1]
         if not offs:
             return jnp.zeros((n, k), dtype=X.dtype)
+        Y = self._pallas_matmat_path(X)
+        if Y is not None:
+            return Y
+        if len(offs) > self._SCAN_THRESHOLD:
+            Xp, off_arr = self._padded_frame(X, n)
+
+            def step(Y, inp):
+                start, drow = inp
+                W = lax.dynamic_slice(Xp, (start, jnp.asarray(0, start.dtype)), (n, k))
+                return Y + drow[:n, None].astype(X.dtype) * W, None
+
+            Y, _ = lax.scan(
+                step, jnp.zeros((n, k), X.dtype), (off_arr, self.data)
+            )
+            return Y
         Y = jnp.zeros((n, k), dtype=X.dtype)
         for d, o in enumerate(offs):
             W = self._window(X, o, n, n)
@@ -522,6 +630,26 @@ class DIAMatrix(SparseMatrix):
         k = X.shape[1]
         if not offs:
             return jnp.zeros((m, k), dtype=X.dtype)
+        if len(offs) > self._SCAN_THRESHOLD:
+            o_min = min(min(offs), 0)
+            o_max = max(max(offs), 0)
+            left = -o_min
+            L = n + (o_max - o_min) + max(m - n, 0)
+            off_arr = jnp.asarray(
+                np.asarray(offs) - o_min, dtype=jnp.int32
+            )
+
+            def step(acc, inp):
+                start, drow = inp
+                Z = drow[:n, None].astype(X.dtype) * X
+                zero = jnp.asarray(0, start.dtype)
+                win = lax.dynamic_slice(acc, (start, zero), (n, k))
+                return lax.dynamic_update_slice(acc, win + Z, (start, zero)), None
+
+            acc, _ = lax.scan(
+                step, jnp.zeros((L, k), X.dtype), (off_arr, self.data)
+            )
+            return lax.dynamic_slice(acc, (left, 0), (m, k))
         Y = jnp.zeros((m, k), dtype=X.dtype)
         for d, o in enumerate(offs):
             Z = self.data[d, :n, None].astype(X.dtype) * X

@@ -1,10 +1,25 @@
-"""Pallas TPU kernels.
+"""Pallas TPU kernels for the hot SpMV/SpMM paths.
 
-Opt-in alternates to the XLA compute paths in
-:mod:`sigma_tpu.matrix.formats` — see :mod:`sigma_tpu.ops.spmv_pallas` for
-the measured comparison that keeps the XLA DIA path as the default.
+* :mod:`sigma_tpu.ops.spmv_pallas` — DIA (stencil) kernels; the blocked
+  overlapping-window kernel is the default TPU matvec for DIAMatrix from
+  64K rows up (selected automatically in
+  :meth:`sigma_tpu.matrix.formats.DIAMatrix.matvec`).
+* :mod:`sigma_tpu.ops.bsr_pallas` — grouped BSR scalar-prefetch kernel
+  (block-level DMA gather + MXU group matmuls); opt in via
+  :meth:`sigma_tpu.matrix.formats.BSRMatrix.grouped`.
 """
 
-from sigma_tpu.ops.spmv_pallas import dia_spmv_pallas, pallas_supported
+from sigma_tpu.ops.spmv_pallas import (
+    dia_spmv_pallas,
+    dia_spmv_pallas_blocked,
+    pallas_supported,
+)
+from sigma_tpu.ops.bsr_pallas import GroupedBSR, bsr_grouped_spmv
 
-__all__ = ["dia_spmv_pallas", "pallas_supported"]
+__all__ = [
+    "dia_spmv_pallas",
+    "dia_spmv_pallas_blocked",
+    "pallas_supported",
+    "GroupedBSR",
+    "bsr_grouped_spmv",
+]

@@ -308,9 +308,13 @@ def block_cg_solve(A, B, X0=None, *, tol=1e-12, rtol=0.0, maxiter=None, M=None):
     across all right-hand sides (the whole point of the multi-vector
     layout), plus small (s, s) Gram solves that run on the MXU.
 
-    Uses the standard block-CG recurrences (alpha, beta are (s, s)
-    matrices); SPD A and M assumed.  Stops on the Frobenius norm of the
-    block residual.
+    Uses the **breakdown-free** block recurrences (BFBCG, Ji & Li style):
+    the direction block P is kept column-orthonormal (Cholesky-QR — two
+    GEMMs + an (s, s) factorization, distribution-friendly), so the
+    per-step Gram matrix W = P^T A P inherits A's conditioning instead of
+    degenerating as RHS columns converge — the plain recurrence diverges
+    in f32 (measured), this one does not.  SPD A and M assumed; stops on
+    the Frobenius norm of the block residual.
     """
     n, s = B.shape
     X0 = jnp.zeros_like(B) if X0 is None else X0
@@ -320,37 +324,69 @@ def block_cg_solve(A, B, X0=None, *, tol=1e-12, rtol=0.0, maxiter=None, M=None):
     tol_eff = jnp.maximum(
         jnp.asarray(tol, B.dtype), rtol * jnp.linalg.norm(B)
     )
-    eps = jnp.asarray(jnp.finfo(B.dtype).tiny, B.dtype)
+    eps = jnp.asarray(jnp.finfo(B.dtype).eps, B.dtype)
+    tiny = jnp.asarray(jnp.finfo(B.dtype).tiny, B.dtype)
 
-    R0 = B - matmat(X0)
-    Z0 = apply_M(R0)
-    P0 = Z0
-    rho0 = Z0.T @ R0  # (s, s)
+    shift = jnp.sqrt(eps)  # shifted CholQR ridge (bounds column amplification to eps^-1/4)
 
-    def _solve_gram(G, C):
-        # tiny ridge keeps the Gram solve finite at convergence/breakdown
+    def _orth(P):
+        # column-normalized shifted Cholesky-QR: P <- P L^{-T} — two GEMMs
+        # + an (s, s) factorization, distribution-friendly (no tall-skinny
+        # Householder).  Columns are unit-normalized FIRST: without this a
+        # scale-disparate panel has its small columns crushed below the
+        # ridge and comes out rank-deficient (measured f32 divergence).
+        cn = jnp.sqrt(jnp.sum(P * P, axis=0))
+        P = P / jnp.where(cn > tiny, cn, 1.0)
+        G = P.T @ P
+        L = jnp.linalg.cholesky(G + shift * jnp.eye(s, dtype=G.dtype))
+        Pt = jax.scipy.linalg.solve_triangular(L, P.T, lower=True)
+        return Pt.T
+
+    def _solve_w(W, C):
+        scale = jnp.max(jnp.abs(jnp.diagonal(W))) + tiny
         return jnp.linalg.solve(
-            G + eps * jnp.eye(s, dtype=G.dtype), C
+            W + (eps * scale) * jnp.eye(s, dtype=W.dtype), C
         )
 
+    R0 = B - matmat(X0)
+    P0 = _orth(apply_M(R0))
+
+    res0 = jnp.linalg.norm(R0)
+    big = jnp.asarray(1e4, B.dtype)
+
     def cond(state):
-        _, R, *_rest, k = state
-        return (jnp.linalg.norm(R) > tol_eff) & (k < maxiter)
+        X, R, P, k, Xb, rb = state
+        resn = jnp.linalg.norm(R)
+        # stop on convergence, breakdown (non-finite), or runaway
+        # divergence past any hope of recovery (precision floor reached;
+        # the best iterate is returned below) — the block-form analogue of
+        # the reference's NaN-omega breakdown handling
+        # (bicgstab_solvers.f90:163)
+        alive = jnp.isfinite(resn) & (resn < big * (rb + tol_eff))
+        return alive & (resn > tol_eff) & (k < maxiter)
 
     def body(state):
-        X, R, Z, P, rho, k = state
+        X, R, P, k, Xb, rb = state
         Q = matmat(P)
-        alpha = _solve_gram(P.T @ Q, rho)
+        W = P.T @ Q
+        alpha = _solve_w(W, P.T @ R)
         X = X + P @ alpha
         R = R - Q @ alpha
+        resn = jnp.linalg.norm(R)
+        better = jnp.isfinite(resn) & (resn < rb)
+        Xb = jnp.where(better, X, Xb)
+        rb = jnp.where(better, resn, rb)
         Z = apply_M(R)
-        rho_new = Z.T @ R
-        beta = _solve_gram(rho, rho_new)
-        P = Z + P @ beta
-        return (X, R, Z, P, rho_new, k + 1)
+        beta = _solve_w(W, Q.T @ Z)
+        P = _orth(Z - P @ beta)
+        return (X, R, P, k + 1, Xb, rb)
 
-    X, R, _, _, _, k = lax.while_loop(
-        cond, body, (X0, R0, Z0, P0, rho0, jnp.asarray(0, jnp.int32))
+    X, R, _, k, Xb, rb = lax.while_loop(
+        cond, body, (X0, R0, P0, jnp.asarray(0, jnp.int32), X0, res0)
     )
+    # return the best iterate (== the final one in ordinary runs)
     resn = jnp.linalg.norm(R)
+    final_better = jnp.isfinite(resn) & (resn <= rb)
+    X = jnp.where(final_better, X, Xb)
+    resn = jnp.where(final_better, resn, rb)
     return X, SolveInfo(k, resn, resn <= tol_eff)

@@ -176,3 +176,28 @@ def test_many_diagonal_scan_path(rng):
     # jit + rectangular via the same path
     y2 = np.asarray(jax.jit(lambda M, v: M.matvec(v))(A, jnp.asarray(x)))
     assert np.max(np.abs(y2 - dA @ x)) < 1e-12
+
+
+def test_astype_exact_bf16(rng):
+    """The production bf16-data path: exact for stencil-constant
+    coefficients (bit-identical round trip), refused for generic values."""
+    import jax.numpy as jnp
+    from sigma_tpu import DIAMatrix
+
+    n = 300
+    dense = (
+        np.diag(np.full(n, 7.0))
+        + np.diag(np.full(n - 1, -1.0), 1)
+        + np.diag(np.full(n - 1, -1.0), -1)
+    )
+    A = DIAMatrix.from_dense(dense).astype(jnp.float32)
+    Ab = A.astype_exact(jnp.bfloat16)
+    assert Ab.dtype == jnp.bfloat16
+    x = rng.standard_normal(n).astype(np.float32)
+    y32 = np.asarray(A.matvec(jnp.asarray(x)))
+    yb = np.asarray(Ab.matvec(jnp.asarray(x)))
+    np.testing.assert_allclose(yb, y32, rtol=0, atol=0)  # bit-identical
+
+    dense[3, 3] = np.pi  # not representable in bf16
+    with pytest.raises(ValueError):
+        DIAMatrix.from_dense(dense).astype(jnp.float32).astype_exact(jnp.bfloat16)
