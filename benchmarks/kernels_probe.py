@@ -52,8 +52,8 @@ def main():
     from bench import laplacian_3d_coo, timeit_loop
 
     # --- grouped BSR kernel vs its XLA-gather fallback (same arrays)
-    n = 1_048_576
-    bh, bw, bpr, grp = 8, 128, 16, 8
+    n = 131_072
+    bh, bw, bpr, grp = 8, 128, 4, 4
     G = synth_grouped(n, bh, bw, bpr, grp)
     nnz_slots = G.gdata.size
     rng = np.random.default_rng(1)

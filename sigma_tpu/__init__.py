@@ -59,6 +59,12 @@ from sigma_tpu.eigen import (
 )
 from sigma_tpu.vectors import BlockVector
 from sigma_tpu.utils.util import determinant, init_seed, order
+from sigma_tpu.utils.checks import (
+    checked,
+    checked_solve,
+    debug_nans,
+    validate_matrix,
+)
 from sigma_tpu import fem, io
 from sigma_tpu.parallel import (
     DistributedMatrix,

@@ -521,14 +521,71 @@ class DIAMatrix(SparseMatrix):
         )
         return xp, off_arr
 
+    def _transposed_data(self):
+        """(dataT, offsetsT) of A^T in DIA layout: A^T's diagonal -o holds
+        ``data[o]`` shifted by o (``dataT[-o, i] = data[o, i - o]``) — a
+        static per-diagonal shift, so the transpose layout is pure data
+        movement.  Inside a solver ``while_loop`` the computation is
+        loop-invariant and XLA hoists it: one materialization per solve."""
+        n, m = self.shape
+        offs = self.graph.offsets
+        sT = -(-m // 128) * 128
+        order = sorted(range(len(offs)), key=lambda d: -offs[d])
+        rows = [
+            zero_padded_window(self.data[d], -offs[d], sT, sT) for d in order
+        ]
+        dataT = jnp.stack(rows)
+        offsT = tuple(-offs[d] for d in order)
+        return dataT, offsT
+
+    def _pallas_rmatvec_path(self, x):
+        """Blocked pallas transpose apply (square matrices): materialize
+        the transpose layout and reuse the matvec kernel."""
+        n, m = self.shape
+        if m < self._PALLAS_MIN_ELEMS or x.ndim != 1:
+            return None
+        if x.dtype not in (jnp.float32, jnp.bfloat16):
+            return None
+        if self.data.dtype not in (jnp.float32, jnp.bfloat16):
+            return None
+        try:
+            if jax.default_backend() != "tpu":
+                return None
+        except RuntimeError:
+            return None
+        from sigma_tpu.ops.spmv_pallas import (
+            _LANES,
+            _blocked_tile_rows,
+            dia_spmv_pallas_blocked,
+        )
+
+        offs = self.graph.offsets
+        span = max(max(offs), 0) - min(min(offs), 0)
+        pick = _blocked_tile_rows(
+            self.graph.stride // _LANES,
+            span // _LANES + 2,
+            len(offs),
+            self.data.dtype.itemsize,
+        )
+        if pick is None:
+            return None
+        dataT, offsT = self._transposed_data()
+        return dia_spmv_pallas_blocked(dataT, x, offsT, m, n)
+
     def rmatvec(self, x):
         """Transpose: y[i+o] += data[d, i] * x[i] — same windows, with the
         product shifted by -o into the output frame (scan form for wide
-        bands, like matvec)."""
+        bands, like matvec).  On TPU past the VMEM cliff the transpose
+        DIA layout is materialized (loop-invariant, hoisted by XLA) and
+        fed to the blocked pallas kernel."""
         n, m = self.shape
         offs = self.graph.offsets
         if not offs:
             return jnp.zeros((m,), dtype=x.dtype)
+        if n == m:
+            dataT_path = self._pallas_rmatvec_path(x)
+            if dataT_path is not None:
+                return dataT_path
         if len(offs) > self._SCAN_THRESHOLD:
             return self._rmatvec_scan(x)
         s = -(-m // 128) * 128

@@ -1,14 +1,17 @@
-"""Pallas TPU SpMV/SpMM for BSR via scalar-prefetch block gather.
+"""Grouped-layout BSR SpMV/SpMM + a scalar-prefetch pallas kernel.
 
-The XLA lowering of the BSR matvec's block gather (``xb[g.indices]``)
-issues per-element HBM gathers — 0.57 Gnnz/s measured (BENCHMARKS.md
-format table).  Arbitrary per-element gather also cannot be written
-*inside* a pallas kernel (Mosaic's ``tpu.dynamic_gather`` only lowers
-same-shape take_along_axis).  What Mosaic CAN do is **DMA-level gather**:
-a ``PrefetchScalarGridSpec`` index map may read prefetched index arrays,
-so each grid step's x-block is fetched from exactly the block the matrix
-says it needs — the gather happens in the memory system at block
-granularity, overlapped with compute by the pallas pipeline.
+Measured outcome (v5e, 1M rows, (8,128) blocks, 67M slots) — the
+round-1 "BSR is slow" number was a *format-fit* artifact, not a gather
+problem: a 7-point stencil expanded to (8,128) blocks is ~99% explicit
+zeros, so the 0.57 Gnnz/s real-nonzero rate was ~580 Gnnz/s of slot
+streaming.  On genuinely block-dense operators the XLA grouped form here
+runs at **173 Gnnz/s slot-rate (~84% of the HBM roofline)** — gathering
+whole (bw, k) rows is a contiguous 512-byte transfer per block, nothing
+like a per-element gather.  The scalar-prefetch pallas kernel
+(``bsr_grouped_spmv``; each grid step's x-block fetched via an index map
+reading prefetched column indices — DMA-level gather) measured
+per-step-latency-bound at 16 Gnnz/s and is therefore OPT-IN
+(``GroupedBSR.use_pallas_kernel``); the XLA path is the default.
 
 Layout (:class:`GroupedBSR`, built host-side at freeze): each block row's
 blocks are padded to a multiple of ``group`` = B (zero blocks pointing at
@@ -62,12 +65,17 @@ def bsr_grouped_spmv(
     k = x.shape[1]
     x3 = x.reshape(nb_cols, bw, k)
 
+    # scalar-prefetch arrays live in SMEM (~1 MB): gcols is passed FLAT
+    # (a 2-D SMEM array would be lane-padded to 128 wide, 16x waste)
+    gcols_flat = gcols.reshape(-1)
+
     def kernel(gcols_ref, grow_ref, *refs):
         xrefs, data_ref, y_ref = refs[:B], refs[B], refs[B + 1]
         i = pl.program_id(0)
         xcat = jnp.concatenate([r[0] for r in xrefs], axis=0)  # (B*bw, k)
         acc = jnp.dot(
-            data_ref[0], xcat, preferred_element_type=y_ref.dtype
+            data_ref[0], xcat, preferred_element_type=y_ref.dtype,
+            precision=jax.lax.Precision.HIGHEST,  # full-f32 MXU passes
         )  # (bh, k) — one wide MXU matmul per group
 
         prev = grow_ref[jnp.maximum(i - 1, 0)]
@@ -82,7 +90,7 @@ def bsr_grouped_spmv(
             y_ref[0] = y_ref[0] + acc
 
     def xmap(j):
-        return lambda i, gcols_ref, grow_ref: (gcols_ref[i, j], 0, 0)
+        return lambda i, gcols_ref, grow_ref: (gcols_ref[i * B + j], 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -109,7 +117,7 @@ def bsr_grouped_spmv(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nb_rows, bh, k), x.dtype),
         interpret=interpret,
-    )(gcols, grow, *([x3] * B), gdata)
+    )(gcols_flat, grow, *([x3] * B), gdata)
     return y3.reshape(nb_rows * bh, k)
 
 
@@ -193,26 +201,44 @@ class GroupedBSR(LinearOperator):
             x = jnp.pad(x, [(0, mp - x.shape[0])] + [(0, 0)] * (x.ndim - 1))
         return x
 
+    # Measured on v5e (1M rows, (8,128) blocks, 67M slots): the XLA
+    # grouped form runs at 173 Gnnz/s slot-rate (~84% of the HBM
+    # roofline streaming gdata; the (bw, k)-row gathers are whole
+    # 512-byte transfers, nothing like the per-element gather that
+    # motivated this module), while the scalar-prefetch pallas kernel is
+    # per-step-latency-bound at 16 Gnnz/s.  XLA is therefore the default
+    # everywhere; the kernel stays available for re-evaluation
+    # (use_pallas_kernel=True) on runtimes with cheaper grid steps.
+    use_pallas_kernel: ClassVar[bool] = False
+
     def _apply(self, X):
         try:
             on_tpu = jax.default_backend() == "tpu"
         except RuntimeError:
             on_tpu = False
         Xp = self._pad_x(X)
-        if on_tpu and X.dtype in (jnp.float32, jnp.bfloat16):
+        # scalar-prefetch index arrays must fit SMEM (~1 MB)
+        smem_ok = 4 * (self.gcols.size + self.grow.size) <= 800_000
+        if (
+            self.use_pallas_kernel
+            and on_tpu
+            and smem_ok
+            and X.dtype in (jnp.float32, jnp.bfloat16)
+        ):
             Y = bsr_grouped_spmv(
                 self.gdata, self.gcols, self.grow, Xp,
                 self.nb_rows, self.nb_cols, self.block_shape, self.group,
             )
         else:
-            # portable fallback: identical grouped math in XLA
+            # the default: grouped math in XLA (measured at roofline)
             bh, bw = self.block_shape
             k = Xp.shape[1]
             X3 = Xp.reshape(self.nb_cols, bw, k)
             gath = X3[self.gcols]  # (n_groups, B, bw, k)
             gath = gath.reshape(self.gdata.shape[0], self.group * bw, k)
             Yg = jnp.einsum(
-                "ghc,gck->ghk", self.gdata, gath.astype(self.gdata.dtype)
+                "ghc,gck->ghk", self.gdata, gath.astype(self.gdata.dtype),
+                precision=jax.lax.Precision.HIGHEST,
             )
             Y = jax.ops.segment_sum(
                 Yg, self.grow, num_segments=self.nb_rows

@@ -201,3 +201,34 @@ def test_astype_exact_bf16(rng):
     dense[3, 3] = np.pi  # not representable in bf16
     with pytest.raises(ValueError):
         DIAMatrix.from_dense(dense).astype(jnp.float32).astype_exact(jnp.bfloat16)
+
+
+def test_transposed_data_layout(rng):
+    """The transpose DIA layout (feeds the blocked pallas rmatvec on TPU):
+    a DIAMatrix rebuilt from (dataT, offsetsT) must BE A^T."""
+    import jax.numpy as jnp
+    from sigma_tpu import DIAMatrix
+    from sigma_tpu.graph.graph import DIAGraph
+
+    n = 400
+    dense = np.zeros((n, n))
+    for o in (0, 1, -2, 135, -260):
+        lo, hi = max(0, -o), min(n, n - o)
+        idx = np.arange(lo, hi)
+        dense[idx, idx + o] = rng.standard_normal(hi - lo)
+    A = DIAMatrix.from_dense(dense)
+    dataT, offsT = A._transposed_data()
+    rowsT, colsT = [], []
+    for o in offsT:
+        lo, hi = max(0, -o), min(n, n - o)
+        rowsT.append(np.arange(lo, hi))
+        colsT.append(np.arange(lo, hi) + o)
+    g = DIAGraph(offsets=offsT, shape=(n, n), nnz=A.graph.nnz)
+    AT = DIAMatrix(graph=g, data=dataT)
+    np.testing.assert_allclose(AT.to_dense(), dense.T, atol=1e-14)
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(
+        np.asarray(AT.matvec(jnp.asarray(x))),
+        np.asarray(A.rmatvec(jnp.asarray(x))),
+        atol=1e-12,
+    )

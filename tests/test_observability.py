@@ -80,3 +80,54 @@ def test_solver_log_without_history(rng):
     log = SolverLog(info)
     assert log.residuals().size == 0
     assert "iterations" in log.report()
+
+
+def test_checked_solve_flags_nan(rng):
+    """checkify float checks surface a NaN produced inside the jitted
+    solver loop as a host-side FloatingPointError (SURVEY §5 sanitizer
+    analogue)."""
+    import jax.numpy as jnp
+    import pytest
+
+    from sigma_tpu import CSRMatrix, checked_solve
+    from sigma_tpu.solvers import cg_solve
+
+    n = 16
+    dense = 2 * np.eye(n) - np.eye(n, k=1) - np.eye(n, k=-1)
+    A = CSRMatrix.from_dense(dense)
+    b = jnp.asarray(rng.standard_normal(n))
+    # clean solve passes through
+    x, info = checked_solve(cg_solve, A, b, tol=1e-12)
+    assert bool(info.converged)
+    # poisoned matrix raises
+    bad = A.with_data(A.data.at[0].set(jnp.nan))
+    with pytest.raises(Exception) as ei:
+        checked_solve(cg_solve, bad, b, tol=1e-12, maxiter=4)
+    assert "nan" in str(ei.value).lower()
+
+
+def test_validate_matrix(rng):
+    from sigma_tpu import CSRMatrix, validate_matrix
+
+    n = 12
+    dense = np.eye(n) * 3.0
+    dense[0, 5] = 1.0
+    A = CSRMatrix.from_dense(dense)
+    validate_matrix(A)  # clean
+    import jax.numpy as jnp
+    import pytest
+
+    bad = A.with_data(A.data.at[0].set(jnp.inf))
+    with pytest.raises(ValueError):
+        validate_matrix(bad)
+
+
+def test_debug_nans_context():
+    import jax
+
+    from sigma_tpu import debug_nans
+
+    prev = jax.config.jax_debug_nans
+    with debug_nans(True):
+        assert jax.config.jax_debug_nans
+    assert jax.config.jax_debug_nans == prev
