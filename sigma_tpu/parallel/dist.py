@@ -476,6 +476,35 @@ class DistributedDIAMatrix(LinearOperator):
         )
         return f(x, self.vals)
 
+    def rmatvec(self, x: jax.Array) -> jax.Array:
+        """Transpose apply: per term, the local product shifts by -lo into
+        the owner block's frame and ships on the REVERSED ring (the
+        gather/scatter duality of ``cs_matrices.f90:148-149`` at the
+        distributed-layout level)."""
+        D = self.n_shards
+        nb = self.block
+
+        from sigma_tpu.matrix.formats import zero_padded_window
+
+        def local(x_local, vals):
+            y = jnp.zeros_like(x_local)
+            for i, (k, lo) in enumerate(self.terms):
+                z = vals[i] * x_local
+                w = zero_padded_window(z, -lo, nb, nb)
+                if k != 0 and D > 1:
+                    perm = [(s, (s + k) % D) for s in range(D)]
+                    w = lax.ppermute(w, self.axis, perm)
+                y = y + w
+            return y
+
+        f = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(self.axis), tuple(P(self.axis) for _ in self.vals)),
+            out_specs=P(self.axis),
+        )
+        return f(x, self.vals)
+
     def diagonal(self) -> jax.Array:
         for i, (k, lo) in enumerate(self.terms):
             if k == 0 and lo == 0:

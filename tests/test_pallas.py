@@ -116,3 +116,36 @@ def test_blocked_kernel_interpret(n, diags, monkeypatch):
         lo, hi = max(0, -o), min(n, n - o)
         ref[lo:hi] += data[d, lo:hi] * x[lo + o : hi + o]
     assert np.max(np.abs(np.asarray(y) - ref)) / np.max(np.abs(ref)) < 1e-5
+
+
+@pytest.mark.parametrize(
+    "n,diags,k",
+    [
+        (150_000, [0, 1, -1, 300, -300], 4),
+        (93_333, [0, 5, -7, 999], 3),
+    ],
+)
+def test_blocked_spmm_interpret(n, diags, k, monkeypatch):
+    """Multi-RHS blocked SpMM kernel vs oracle (small tiles force many
+    tiles + the XLA tail)."""
+    import sigma_tpu.ops.spmv_pallas as sp
+
+    monkeypatch.setattr(
+        sp, "_blocked_tile_rows",
+        lambda S, extra, D, isz, k=1: (64, 1 + -(-extra // 64)),
+    )
+    rng = np.random.default_rng(11)
+    stride = -(-n // 128) * 128
+    data = np.zeros((len(diags), stride), np.float32)
+    for d, o in enumerate(diags):
+        lo, hi = max(0, -o), min(n, n - o)
+        data[d, lo:hi] = rng.standard_normal(hi - lo)
+    X = rng.standard_normal((n, k)).astype(np.float32)
+    Y = sp.dia_spmm_pallas_blocked(
+        jnp.asarray(data), jnp.asarray(X), tuple(diags), n, n, interpret=True
+    )
+    ref = np.zeros((n, k), np.float32)
+    for d, o in enumerate(diags):
+        lo, hi = max(0, -o), min(n, n - o)
+        ref[lo:hi] += data[d, lo:hi, None] * X[lo + o : hi + o]
+    assert np.max(np.abs(np.asarray(Y) - ref)) / np.max(np.abs(ref)) < 1e-5
