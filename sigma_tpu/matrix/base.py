@@ -90,8 +90,11 @@ class SparseMatrix(LinearOperator):
         if sum_duplicates:
             keys = rows.astype(np.int64) * m + cols
             ukeys, inv = np.unique(keys, return_inverse=True)
-            acc = np.zeros(ukeys.size, dtype=np.float64)
-            np.add.at(acc, inv, vals.astype(np.float64))
+            # bincount, not np.add.at: the unbuffered ufunc is ~30x slower
+            # at the 10M-row construction scale
+            acc = np.bincount(
+                inv, weights=vals.astype(np.float64), minlength=ukeys.size
+            )
             rows, cols, vals = ukeys // m, ukeys % m, acc
         g = cls._graph_class().from_coo(n, m, rows, cols, **kw)
         A = cls.from_graph(g, dtype=dtype)
