@@ -37,7 +37,13 @@ def timeit_loop(make_f, *args, reps=3, K1=25, K2=125, samples=None):
     """Per-iteration time of a device-side loop via a two-point slope fit
     (cancels launch + readback overhead, which can be ~25 ms through
     remote-device tunnels): t_iter = (t(K2) - t(K1))/(K2-K1).  Appends
-    each rep's estimate to ``samples`` when given (spread evidence)."""
+    each rep's estimate to ``samples`` when given (spread evidence).
+
+    ``make_f(K)`` may return a jitted function; when it accepts a TRACED
+    iteration count (``make_f(None)`` convention in this file's helpers)
+    one compilation serves both K values — compiles through the remote
+    tunnel can cost minutes each, so the single-compile path is what
+    bounds this benchmark's wall-clock."""
     f1, f2 = make_f(K1), make_f(K2)
     _sync_scalar(f1(*args))
     _sync_scalar(f2(*args))
@@ -56,6 +62,12 @@ def timeit_loop(make_f, *args, reps=3, K1=25, K2=125, samples=None):
     return max(best, 1e-12)
 
 
+def _progress(msg, t0):
+    import sys
+
+    print(f"# bench {time.time()-t0:6.0f}s  {msg}", file=sys.stderr, flush=True)
+
+
 def measure_bandwidth_gbps(samples=None):
     """Streaming triad out = b + 0.5*v: 3 HBM streams per iteration —
     the same-session achievable-bandwidth probe."""
@@ -67,15 +79,16 @@ def measure_bandwidth_gbps(samples=None):
     a = jnp.ones((n,), jnp.float32)
     b = jnp.full((n,), 0.5, jnp.float32)
 
+    @jax.jit
+    def triad(a, b, K):  # traced K: ONE compile serves both slope points
+        def body(i, v):
+            return b + 0.5 * v
+
+        return lax.fori_loop(0, K, body, a)
+
     def make(K):
-        @jax.jit
-        def triad(a, b):
-            def body(i, v):
-                return b + 0.5 * v
-
-            return lax.fori_loop(0, K, body, a)
-
-        return triad
+        Kj = jnp.asarray(K, jnp.int32)
+        return lambda a, b: triad(a, b, Kj)
 
     t = timeit_loop(make, a, b, samples=samples)
     return 3 * 4 * n / t / 1e9  # read b, read v, write out per iter
@@ -112,18 +125,44 @@ def bench_spmv(A, nnz, K1=25, K2=125, samples=None):
     n = A.shape[0]
     x = jnp.ones((n,), dtype=jnp.float32)
 
+    @jax.jit
+    def many(A, x, K):  # traced K: ONE compile serves both slope points
+        def body(i, v):
+            return A.matvec(v) * jnp.asarray(0.1, v.dtype)
+
+        return lax.fori_loop(0, K, body, x)
+
     def make(K):
-        @jax.jit
-        def many(A, x):
-            def body(i, v):
-                return A.matvec(v) * jnp.asarray(0.1, v.dtype)
-
-            return lax.fori_loop(0, K, body, x)
-
-        return many
+        Kj = jnp.asarray(K, jnp.int32)
+        return lambda A, x: many(A, x, Kj)
 
     t = timeit_loop(make, A, x, K1=K1, K2=K2, samples=samples)
     return nnz / t
+
+
+def laplacian_3d_dia(nx, dtype=np.float32):
+    """7-point Laplacian + I directly in DIA layout (analytic boundary
+    masks — no 70M-entry COO sort, no device round trip): returns
+    (n, offsets, data, nnz).  Must agree entry-for-entry with building
+    via ``laplacian_3d_coo`` + ``DIAMatrix.from_coo`` (pinned by
+    tests/test_dia.py)."""
+    n = nx * nx * nx
+    stride = -(-n // 128) * 128
+    offsets = (-nx * nx, -nx, -1, 0, 1, nx, nx * nx)
+    data = np.zeros((7, stride), dtype)
+    i = np.arange(n)
+    iz = i % nx
+    iy = (i // nx) % nx
+    ix = i // (nx * nx)
+    data[3, :n] = 7.0
+    data[4, :n] = np.where(iz < nx - 1, -1.0, 0.0)
+    data[2, :n] = np.where(iz > 0, -1.0, 0.0)
+    data[5, :n] = np.where(iy < nx - 1, -1.0, 0.0)
+    data[1, :n] = np.where(iy > 0, -1.0, 0.0)
+    data[6, :n] = np.where(ix < nx - 1, -1.0, 0.0)
+    data[0, :n] = np.where(ix > 0, -1.0, 0.0)
+    nnz = int(np.count_nonzero(data))
+    return n, offsets, data, nnz
 
 
 # chip -> HBM bandwidth GB/s (public specs)
@@ -138,19 +177,25 @@ HBM_GBPS = {
 
 
 def main():
+    import time as _time
+
+    t0 = _time.time()
     import jax
     import jax.numpy as jnp
 
     from sigma_tpu import DIAMatrix
+    from sigma_tpu.graph.graph import DIAGraph
 
     dev = jax.devices()[0]
     kind = str(getattr(dev, "device_kind", dev.platform))
+    _progress(f"device {kind}", t0)
 
     spec_bw = next(
         (v for k, v in HBM_GBPS.items() if k.lower() in kind.lower()), None
     )
     triad_samples = []
     measured_bw = measure_bandwidth_gbps(samples=triad_samples)
+    _progress(f"triad {measured_bw:.0f} GB/s", t0)
 
     # session gate: a triad far below spec marks a degraded tunnel session;
     # score against what THIS session can physically stream, and say so
@@ -158,18 +203,29 @@ def main():
     bw = measured_bw if (spec_bw is None or degraded) else spec_bw
 
     nx = 216  # 10.1M rows — the north-star size (BASELINE.json)
-    n, r, c, v = laplacian_3d_coo(nx)
-    nnz = r.size
-
-    A_dia = DIAMatrix.from_coo(n, n, r, c, v, dtype=jnp.float32)
+    # analytic DIA construction: host-direct, no COO sort, no device pull
+    n, offsets, data, nnz = laplacian_3d_dia(nx)
+    g = DIAGraph(offsets=offsets, shape=(n, n), nnz=nnz)
+    A_dia = DIAMatrix(graph=g, data=jnp.asarray(data))
+    _progress("matrix on device", t0)
     dia_samples = []
     dia_nnz_s = bench_spmv(A_dia, nnz, samples=dia_samples)
+    _progress(f"dia f32 {dia_nnz_s/1e9:.1f} Gnnz/s", t0)
 
-    # bf16 matrix values halve the dominant HBM stream; astype_exact
-    # certifies the stencil coefficients round-trip exactly
-    A_bf16 = A_dia.astype_exact(jnp.bfloat16)
+    # bf16 matrix values halve the dominant HBM stream; cast host-side
+    # with an exactness certificate (stencil coefficients are bf16-exact).
+    # Self-bounding: on a session where compiles crawl, skip this detail
+    # row rather than risk the whole artifact timing out.
     bf16_samples = []
-    bf16_nnz_s = bench_spmv(A_bf16, nnz, samples=bf16_samples)
+    bf16_nnz_s = None
+    if _time.time() - t0 < 360:
+        data_bf16 = data.astype(jnp.bfloat16)
+        assert np.array_equal(data_bf16.astype(np.float32), data)
+        A_bf16 = DIAMatrix(graph=g, data=jnp.asarray(data_bf16))
+        bf16_nnz_s = bench_spmv(A_bf16, nnz, samples=bf16_samples)
+        _progress(f"dia bf16 {bf16_nnz_s/1e9:.1f} Gnnz/s", t0)
+    else:
+        _progress("skipping bf16 row (session too slow)", t0)
 
     # minimum possible traffic for DIA: each diagonal value read once (4B),
     # x read once and y written once per row (amortized over row degree)
@@ -193,7 +249,11 @@ def main():
                     "n": n,
                     "nnz": nnz,
                     "dia_gnnz_s": round(dia_nnz_s / 1e9, 4),
-                    "dia_bf16data_gnnz_s": round(bf16_nnz_s / 1e9, 4),
+                    "dia_bf16data_gnnz_s": (
+                        round(bf16_nnz_s / 1e9, 4)
+                        if bf16_nnz_s is not None
+                        else None
+                    ),
                     "hbm_gbps_spec": spec_bw,
                     "hbm_gbps_triad_measured": round(measured_bw, 1),
                     "session_degraded": bool(degraded),

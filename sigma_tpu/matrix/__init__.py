@@ -22,6 +22,7 @@ from sigma_tpu.matrix.formats import (
     CSRMatrix,
     ELLMatrix,
 )
+from sigma_tpu.matrix.symmetric import SymmetricDIAMatrix
 from sigma_tpu.matrix.factory import (
     MATRIX_FORMATS,
     choose_matrix_type,
@@ -38,6 +39,7 @@ __all__ = [
     "ELLMatrix",
     "BSRMatrix",
     "DIAMatrix",
+    "SymmetricDIAMatrix",
     "MATRIX_FORMATS",
     "num_matrix_types",
     "choose_matrix_type",

@@ -1,0 +1,178 @@
+"""Symmetric DIA storage: upper diagonals only (half the value memory).
+
+The reference names symmetric storage as one of three "critical
+optimizations" it never built (``/root/reference/README.md:81-87``; the
+other two — multi-vector products and a block format — exist here as
+SpMM and BSR).  For the DIA stencil format the symmetric form is natural:
+store only the diagonals with offset >= 0; the lower triangle is the
+mirror ``A[i, i-o] = data[o][i-o]``, applied as one extra shifted-window
+FMA per stored off-diagonal:
+
+    y  =  sum_o  data[o] * win(x, +o)          (upper + main)
+        + sum_{o>0}  win(data[o] * x, -o)      (mirror)
+
+so SpMV stays gather-free.  Storage halves (7-pt 3-D Laplacian: 4 stored
+diagonals instead of 7).  Trade-off, stated honestly: the mirror terms
+double the *x-window* reads, so past the XLA VMEM cliff (BENCHMARKS.md)
+the full-storage :class:`DIAMatrix` with the blocked pallas kernel is
+faster — use symmetric storage when value memory is the constraint and
+``to_dia()`` when throughput at 10M+ rows is.
+
+This is a :class:`LinearOperator` (matvec/matmat/solve compose with every
+Krylov solver and preconditioner), not a mutable SparseMatrix — convert
+with :meth:`from_dia` / :meth:`to_dia` for structural edits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import ClassVar, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sigma_tpu.matrix.formats import DIAMatrix, zero_padded_window
+from sigma_tpu.operators.linear_operator import LinearOperator
+
+__all__ = ["SymmetricDIAMatrix"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True, repr=False)
+class SymmetricDIAMatrix(LinearOperator):
+    """data[d, i] = A[i, i + offsets[d]] with offsets[d] >= 0 only."""
+
+    data: jax.Array  # (n_upper_diags, stride)
+    offsets: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    n: int = dataclasses.field(metadata=dict(static=True))
+
+    format: ClassVar[str] = "dia_sym"
+
+    def __post_init__(self):
+        if any(o < 0 for o in self.offsets):
+            raise ValueError(
+                f"symmetric DIA stores offsets >= 0 only, got {self.offsets}"
+            )
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n, self.n)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    @property
+    def nnz(self) -> int:
+        n = self.n
+        return sum(
+            (n - o) * (1 if o == 0 else 2) for o in self.offsets
+        )
+
+    # -- construction -----------------------------------------------------
+    @classmethod
+    def from_dia(cls, A: DIAMatrix, *, rtol: float = 1e-12):
+        """Fold a full DIAMatrix into symmetric storage; raises if A is
+        not numerically symmetric (per-diagonal mirror comparison)."""
+        n, m = A.shape
+        if n != m:
+            raise ValueError("symmetric storage requires a square matrix")
+        offs = A.graph.offsets
+        data = np.asarray(A.data)
+        rows = {}
+        for d, o in enumerate(offs):
+            rows[o] = data[d]
+        for o in offs:
+            if -o not in rows:
+                raise ValueError(f"offset {o} present without mirror {-o}")
+            if o > 0:
+                # A[i, i+o] = data[o][i]  must equal  A[i+o, i] = data[-o][i+o]
+                upper = rows[o][: n - o]
+                lower = rows[-o][o:n]
+                scale = max(float(np.abs(upper).max(initial=0.0)), 1e-300)
+                if float(np.abs(upper - lower).max(initial=0.0)) > rtol * scale:
+                    raise ValueError(
+                        f"matrix is not symmetric on diagonal +-{o}"
+                    )
+        keep = sorted(o for o in offs if o >= 0)
+        sel = [offs.index(o) for o in keep]
+        return cls(
+            data=jnp.asarray(data[sel]), offsets=tuple(keep), n=int(n)
+        )
+
+    @classmethod
+    def from_coo(cls, n, m, rows, cols, vals, dtype=None, **kw):
+        return cls.from_dia(
+            DIAMatrix.from_coo(n, m, rows, cols, vals, dtype=dtype, **kw)
+        )
+
+    @classmethod
+    def from_dense(cls, dense, **kw):
+        return cls.from_dia(DIAMatrix.from_dense(dense), **kw)
+
+    def to_dia(self) -> DIAMatrix:
+        """Expand back to full (two-triangle) DIA storage."""
+        from sigma_tpu.graph.graph import DIAGraph
+
+        n = self.n
+        full = sorted(set(self.offsets) | {-o for o in self.offsets})
+        g = DIAGraph(offsets=tuple(full), shape=(n, n), nnz=self.nnz)
+        s = g.stride
+        data = np.zeros((len(full), s), dtype=np.asarray(self.data).dtype)
+        host = np.asarray(self.data)
+        for d, o in enumerate(full):
+            if o >= 0:
+                data[d] = host[self.offsets.index(o)]
+            else:
+                src = host[self.offsets.index(-o)]
+                data[d, -o : n] = src[: n + o]
+        return DIAMatrix(graph=g, data=jnp.asarray(data))
+
+    # -- compute ----------------------------------------------------------
+    def matvec(self, x):
+        n = self.n
+        s = self.data.shape[1]
+        y2 = jnp.zeros((s // 128, 128), dtype=x.dtype)
+        for d, o in enumerate(self.offsets):
+            w = zero_padded_window(x, o, n, s).reshape(s // 128, 128)
+            y2 = y2 + self.data[d].reshape(s // 128, 128).astype(x.dtype) * w
+            if o > 0:
+                z = self.data[d, :n].astype(x.dtype) * x
+                y2 = y2 + zero_padded_window(z, -o, n, s).reshape(
+                    s // 128, 128
+                )
+        return y2.reshape(-1)[:n]
+
+    rmatvec = matvec  # symmetric
+
+    def matmat(self, X):
+        n = self.n
+        k = X.shape[1]
+        Y = jnp.zeros((n, k), dtype=X.dtype)
+        for d, o in enumerate(self.offsets):
+            W = zero_padded_window(X, o, n, n)
+            Y = Y + self.data[d, :n, None].astype(X.dtype) * W
+            if o > 0:
+                Z = self.data[d, :n, None].astype(X.dtype) * X
+                Y = Y + zero_padded_window(Z, -o, n, n)
+        return Y
+
+    rmatmat = matmat
+
+    def diagonal(self) -> jax.Array:
+        if 0 in self.offsets:
+            return self.data[self.offsets.index(0), : self.n]
+        return jnp.zeros((self.n,), dtype=self.dtype)
+
+    def to_dense(self) -> np.ndarray:
+        return self.to_dia().to_dense()
+
+    def memory_bytes(self) -> int:
+        return int(self.data.size) * self.data.dtype.itemsize
+
+    def __repr__(self) -> str:
+        return (
+            f"SymmetricDIAMatrix(n={self.n}, offsets={self.offsets}, "
+            f"dtype={self.dtype})"
+        )

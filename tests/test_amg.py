@@ -64,6 +64,7 @@ def test_amg_vcycle_jits(rng):
     assert np.isfinite(np.asarray(z)).all()
 
 
+@pytest.mark.slow
 def test_amg_stationary_iteration(rng):
     """A V-cycle used as a standalone stationary solver contracts the
     error every sweep."""
@@ -81,6 +82,7 @@ def test_amg_stationary_iteration(rng):
     assert errs[-1] < errs[0] * 1e-2  # strong contraction over 6 sweeps
 
 
+@pytest.mark.slow
 def test_amg_unsmoothed_variant(rng):
     nx = 24
     d = laplacian_2d(nx)

@@ -55,6 +55,7 @@ def test_grouped_kernel_interpret(rng):
     assert np.abs(np.asarray(y)[:n, 0] - ref).max() / scale < 1e-5
 
 
+@pytest.mark.slow
 def test_grouped_in_cg(rng):
     """GroupedBSR is a LinearOperator: usable directly in CG."""
     from sigma_tpu.solvers import cg_solve

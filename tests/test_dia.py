@@ -232,3 +232,67 @@ def test_transposed_data_layout(rng):
         np.asarray(A.rmatvec(jnp.asarray(x))),
         atol=1e-12,
     )
+
+
+def test_symmetric_dia(rng):
+    """Symmetric DIA storage (the reference's named-missing symmetric
+    optimization): half the diagonals, identical operator action."""
+    import jax.numpy as jnp
+    from sigma_tpu import DIAMatrix, SymmetricDIAMatrix
+    from sigma_tpu.solvers import cg_solve
+
+    n = 300
+    dense = np.zeros((n, n))
+    for o in (0, 2, 17, 130):
+        lo, hi = max(0, -o), min(n, n - o)
+        idx = np.arange(lo, hi)
+        vals = rng.standard_normal(hi - lo)
+        dense[idx, idx + o] = vals
+        if o > 0:
+            dense[idx + o, idx] = vals
+    dense += np.diag(np.abs(dense).sum(1) + 1.0)
+    S = SymmetricDIAMatrix.from_dense(dense)
+    assert len(S.offsets) == 4 and all(o >= 0 for o in S.offsets)
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(
+        np.asarray(S.matvec(jnp.asarray(x))), dense @ x, atol=1e-11
+    )
+    X = rng.standard_normal((n, 3))
+    np.testing.assert_allclose(
+        np.asarray(S.matmat(jnp.asarray(X))), dense @ X, atol=1e-11
+    )
+    # round trip + memory halving
+    A = DIAMatrix.from_dense(dense)
+    S2 = SymmetricDIAMatrix.from_dia(A)
+    np.testing.assert_allclose(S2.to_dia().to_dense(), dense, atol=1e-14)
+    assert S.data.size < A.data.size
+    assert S.nnz == A.graph.nnz
+    # solves compose
+    b = rng.standard_normal(n)
+    xs, info = cg_solve(S, jnp.asarray(b), tol=1e-13)
+    np.testing.assert_allclose(
+        np.asarray(xs), np.linalg.solve(dense, b), atol=1e-9
+    )
+    # asymmetric input is refused
+    bad = dense.copy()
+    bad[0, 2] *= 2.0
+    with pytest.raises(ValueError):
+        SymmetricDIAMatrix.from_dense(bad)
+
+
+def test_bench_analytic_dia_matches_coo():
+    """bench.laplacian_3d_dia (analytic boundary masks) must agree exactly
+    with the COO-built DIA matrix."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import jax.numpy as jnp
+    from bench import laplacian_3d_coo, laplacian_3d_dia
+    from sigma_tpu import DIAMatrix
+    from sigma_tpu.graph.graph import DIAGraph
+
+    nx = 7
+    n, r, c, v = laplacian_3d_coo(nx)
+    A = DIAMatrix.from_coo(n, n, r, c, v, dtype=jnp.float64)
+    n2, offs, data, nnz = laplacian_3d_dia(nx, dtype=np.float64)
+    assert n2 == n and offs == A.graph.offsets and nnz == r.size
+    np.testing.assert_array_equal(np.asarray(A.data), data)

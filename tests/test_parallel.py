@@ -299,6 +299,7 @@ def test_distributed_block_ildu(mesh, rng):
     assert int(info.iterations) * 5 < int(plain.iterations)
 
 
+@pytest.mark.slow
 def test_distributed_block_ildu_uneven(mesh, rng):
     from sigma_tpu.parallel import distribute_matrix, distributed_block_ildu
 
