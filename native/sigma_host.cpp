@@ -226,6 +226,41 @@ i64 greedy_aggregate(i64 n, const i64* indptr, const i64* indices,
     return next_agg;
 }
 
+// VMB (Vanek-Mandel-Brezina) aggregation: phase 1 seeds an aggregate at a
+// vertex only when its whole neighborhood is unaggregated (yields compact
+// ~3^d aggregates on stencils instead of the greedy pairs); phase 2
+// attaches leftovers to an adjacent aggregate; phase 3 seeds the rest
+// from whatever unaggregated neighbors remain.  Returns aggregate count.
+i64 vmb_aggregate(i64 n, const i64* indptr, const i64* indices, i64* agg) {
+    std::fill(agg, agg + n, (i64)-1);
+    i64 next_agg = 0;
+    for (i64 v = 0; v < n; ++v) {  // phase 1
+        if (agg[v] >= 0) continue;
+        bool clean = true;
+        for (i64 k = indptr[v]; k < indptr[v + 1] && clean; ++k)
+            if (indices[k] != v && agg[indices[k]] >= 0) clean = false;
+        if (!clean) continue;
+        agg[v] = next_agg;
+        for (i64 k = indptr[v]; k < indptr[v + 1]; ++k) agg[indices[k]] = next_agg;
+        ++next_agg;
+    }
+    for (i64 v = 0; v < n; ++v) {  // phase 2
+        if (agg[v] >= 0) continue;
+        for (i64 k = indptr[v]; k < indptr[v + 1]; ++k) {
+            i64 a = agg[indices[k]];
+            if (a >= 0) { agg[v] = a; break; }
+        }
+    }
+    for (i64 v = 0; v < n; ++v) {  // phase 3
+        if (agg[v] >= 0) continue;
+        agg[v] = next_agg;
+        for (i64 k = indptr[v]; k < indptr[v + 1]; ++k)
+            if (agg[indices[k]] < 0) agg[indices[k]] = next_agg;
+        ++next_agg;
+    }
+    return next_agg;
+}
+
 // Batched binary-search of (row, col) queries in a sorted CSR structure.
 // out[q] = flat position of (r, c) or -1.
 void edge_positions(i64 nq, const i64* qr, const i64* qc, i64 n,

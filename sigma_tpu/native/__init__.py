@@ -33,6 +33,7 @@ __all__ = [
     "ilu0_factorize",
     "pack_levels",
     "greedy_aggregate",
+    "vmb_aggregate",
 ]
 
 _SRC = Path(__file__).resolve().parent.parent.parent / "native" / "sigma_host.cpp"
@@ -100,6 +101,8 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.greedy_aggregate.restype = i64
         lib.greedy_aggregate.argtypes = [i64, _i64p, _i64p, _i64p]
+        lib.vmb_aggregate.restype = i64
+        lib.vmb_aggregate.argtypes = [i64, _i64p, _i64p, _i64p]
         _lib = lib
         return _lib
 
@@ -229,4 +232,16 @@ def greedy_aggregate(indptr, indices) -> Optional[Tuple[np.ndarray, int]]:
     n = indptr.size - 1
     agg = np.empty(n, dtype=np.int64)
     na = lib.greedy_aggregate(n, indptr, indices, agg)
+    return agg, int(na)
+
+
+def vmb_aggregate(indptr, indices) -> Optional[Tuple[np.ndarray, int]]:
+    """VMB three-phase aggregation ids, or None if native is off."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr, indices = _c64(indptr), _c64(indices)
+    n = indptr.size - 1
+    agg = np.empty(n, dtype=np.int64)
+    na = lib.vmb_aggregate(n, indptr, indices, agg)
     return agg, int(na)
