@@ -69,8 +69,10 @@ def _progress(msg, t0):
 
 
 def measure_bandwidth_gbps(samples=None):
-    """Streaming triad out = b + 0.5*v: 3 HBM streams per iteration —
-    the same-session achievable-bandwidth probe."""
+    """Rotating-buffer triad: per iteration write one fresh 64 MB buffer
+    from two distinct ones, then rotate roles — 3 HBM streams that XLA
+    cannot elide or fold (the earlier fixed-operand form measured 2.8x
+    the spec sheet: at least one stream was being optimized away)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -78,20 +80,22 @@ def measure_bandwidth_gbps(samples=None):
     n = 16_777_216  # 64 MB per f32 array
     a = jnp.ones((n,), jnp.float32)
     b = jnp.full((n,), 0.5, jnp.float32)
+    c = jnp.full((n,), 0.25, jnp.float32)
 
     @jax.jit
-    def triad(a, b, K):  # traced K: ONE compile serves both slope points
-        def body(i, v):
-            return b + 0.5 * v
+    def triad(a, b, c, K):  # traced K: ONE compile serves both slope points
+        def body(i, carry):
+            a, b, c = carry
+            return (b, c, a + 0.5 * b)
 
-        return lax.fori_loop(0, K, body, a)
+        return lax.fori_loop(0, K, body, (a, b, c))
 
     def make(K):
         Kj = jnp.asarray(K, jnp.int32)
-        return lambda a, b: triad(a, b, Kj)
+        return lambda a, b, c: triad(a, b, c, Kj)
 
-    t = timeit_loop(make, a, b, samples=samples)
-    return 3 * 4 * n / t / 1e9  # read b, read v, write out per iter
+    t = timeit_loop(make, a, b, c, samples=samples)
+    return 3 * 4 * n / t / 1e9  # read a, read b, write new c per iter
 
 
 def laplacian_3d_coo(nx):
@@ -259,6 +263,9 @@ def main():
                     "session_degraded": bool(degraded),
                     "hbm_gbps_scored_against": round(bw, 1),
                     "speed_of_light_gnnz_s": round(sol / 1e9, 3),
+                    "achieved_gbps_from_spmv": round(
+                        value * bytes_per_nnz / 1e9, 1
+                    ),
                     "spread": {
                         "dia_gnnz_s": _spread(dia_samples),
                         "dia_bf16_gnnz_s": _spread(bf16_samples),

@@ -654,6 +654,44 @@ class DIAMatrix(SparseMatrix):
             return None
         return dia_spmm_pallas_blocked(self.data, X, offs, n, m)
 
+    def matmat_rhs_major(self, XT):
+        """RHS-major SpMM: XT (k, m) -> (k, n) with NO layout transposes —
+        the fast multi-RHS entry for loops that keep block vectors
+        RHS-major (the (n,k)<->(k,n) transposes around :meth:`matmat`
+        cost a measurable fraction of SpMM time at 10M rows)."""
+        n, m = self.shape
+        k = XT.shape[0]
+        use_pallas = (
+            m >= self._PALLAS_MIN_ELEMS
+            and 1 <= k <= 16
+            and XT.dtype in (jnp.float32, jnp.bfloat16)
+            and self.data.dtype in (jnp.float32, jnp.bfloat16)
+        )
+        if use_pallas:
+            try:
+                use_pallas = jax.default_backend() == "tpu"
+            except RuntimeError:
+                use_pallas = False
+        if use_pallas:
+            from sigma_tpu.ops.spmv_pallas import (
+                _LANES,
+                _blocked_tile_rows,
+                dia_spmm_rhs_major,
+            )
+
+            offs = self.graph.offsets
+            span = max(max(offs), 0) - min(min(offs), 0)
+            pick = _blocked_tile_rows(
+                self.graph.stride // _LANES,
+                span // _LANES + 2,
+                len(offs),
+                self.data.dtype.itemsize,
+                k=k,
+            )
+            if pick is not None:
+                return dia_spmm_rhs_major(self.data, XT, offs, n, m)
+        return self.matmat(XT.T).T
+
     def matmat(self, X):
         n, m = self.shape
         offs = self.graph.offsets

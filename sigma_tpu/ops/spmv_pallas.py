@@ -1,32 +1,38 @@
-"""Pallas TPU SpMV kernel for the DIA (diagonal/stencil) format.
+"""Pallas TPU SpMV/SpMM kernels for the DIA (diagonal/stencil) format.
 
-Measured on a v5e chip, 2.1M-row 7-point 3-D Laplacian (14.6M nnz, f32):
+Measured on a v5e chip, 7-point 3-D Laplacian, f32 (BENCHMARKS.md holds
+the full history):
 
-=====================  ============  =========================================
-path                   Gnnz/s        notes
-=====================  ============  =========================================
-XLA DIA matvec         110-144       shifted-window FMAs in (n/128, 128) tile
-                                     layout (`DIAMatrix.matvec`); XLA fuses
-                                     the windows into a near-minimal-traffic
-                                     sweep — ~70-90% of HBM speed-of-light
-pallas DIA (this)      ~117          x resident in VMEM across the grid, one
-                                     HBM read of x per SpMV by construction
-XLA ELL matvec         0.1           per-element HBM gather: the XLA TPU
-                                     lowering of `x[cols]` — 1000x off
-=====================  ============  =========================================
+=========================  ==========  ==================================
+path                       Gnnz/s      notes
+=========================  ==========  ==================================
+blocked pallas (default)   126-325     overlapping BlockSpec row-tile
+                                       windows; O(1) x traffic per tile
+                                       at ANY n; ~100% of minimal-traffic
+                                       speed-of-light at the 10M-row
+                                       north star with the raised VMEM
+                                       limit (162 measured)
+XLA DIA windows            15-144      near-SoL while x is VMEM-resident;
+                                       re-reads x per diagonal past ~3.5M
+                                       rows (the round-1 cliff) — now the
+                                       CPU/f64/small-n path only
+VMEM-resident pallas       ~113        full-x operand re-fetched per grid
+                                       step; superseded by blocked
+XLA ELL gather             0.1         per-element HBM gather — why DIA
+                                       exists
+=========================  ==========  ==================================
 
-Conclusion encoded here: the pallas kernel *guarantees* minimal x traffic
-but measures at parity with the XLA window formulation (which already
-approaches speed-of-light), so the XLA path stays the default and this
-kernel is an opt-in alternate (`DIAMatrix` stays pallas-free).
+The blocked kernels are the default TPU path from 64K rows
+(``DIAMatrix.matvec/matmat/rmatvec`` gate on backend/dtype/band-fit);
+``dia_spmm_rhs_major`` is the transpose-free multi-RHS entry.
 
 A pallas ELL gather kernel was attempted and is NOT here: Mosaic's
 `tpu.dynamic_gather` only lowers same-shape ``take_along_axis`` (per-lane
 sublane gather or per-sublane lane gather) — an arbitrary per-element
 ``x[cols]`` cannot be expressed, which is exactly why the general-sparsity
-answer on TPU is *structural*: reorder + re-freeze into DIA (stencil), BSR
-(dense MXU tiles), or the distributed cyclic-offset layout — not a faster
-gather.
+answer on TPU is *structural*: reorder + re-freeze into DIA (stencil),
+grouped BSR (block-granular DMA), or the distributed cyclic-offset layout
+— not a faster gather.
 """
 
 from __future__ import annotations
@@ -37,7 +43,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["dia_spmv_pallas", "dia_spmv_pallas_blocked", "pallas_supported"]
+__all__ = [
+    "dia_spmv_pallas",
+    "dia_spmv_pallas_blocked",
+    "dia_spmm_pallas_blocked",
+    "dia_spmm_rhs_major",
+    "pallas_supported",
+]
 
 _LANES = 128
 # padded x must fit in VMEM alongside double-buffered data tiles
@@ -221,6 +233,18 @@ def dia_spmv_pallas_blocked(data, x, offsets, n, m, interpret=False):
 @functools.partial(
     jax.jit, static_argnames=("offsets", "n", "m", "interpret")
 )
+def dia_spmm_rhs_major(data, XT, offsets, n, m, interpret=False):
+    """RHS-major blocked SpMM: XT is (k, m), returns (k, n) — NO layout
+    transposes.  The (n, k) <-> (k, n) transposes around
+    :func:`dia_spmm_pallas_blocked` are a measurable fraction of its time
+    at 10M rows (BENCHMARKS.md); production multi-RHS loops that keep
+    their block vectors RHS-major should call this form."""
+    return _dia_spmm_core(data, XT, offsets, n, m, interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "n", "m", "interpret")
+)
 def dia_spmm_pallas_blocked(data, X, offsets, n, m, interpret=False):
     """Multi-RHS blocked DIA SpMM: y = A X for X (m, k), k small.
 
@@ -230,13 +254,21 @@ def dia_spmm_pallas_blocked(data, X, offsets, n, m, interpret=False):
     fetched ONCE per row tile and shared by all k right-hand sides — the
     whole point of the multi-vector layout (the capability the reference
     names as missing, ``README.md:83``): per-RHS traffic drops to
-    ~(4/k + 1.7) bytes/nnz.
+    ~(4/k + 1.7) bytes/nnz.  The entry/exit transposes cost a pass over
+    the RHS panels; keep block vectors RHS-major and call
+    :func:`dia_spmm_rhs_major` to skip them.
     """
+    return _dia_spmm_core(
+        data, X.T, offsets, n, m, interpret
+    ).T
+
+
+def _dia_spmm_core(data, XT, offsets, n, m, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     D = len(offsets)
-    k = X.shape[1]
+    k = XT.shape[0]
     stride = data.shape[1]
     S = stride // _LANES
     o_min = min(min(offsets), 0)
@@ -257,12 +289,11 @@ def dia_spmm_pallas_blocked(data, X, offsets, n, m, interpret=False):
     L = max(Sp, S + extra_rows) * _LANES
     left = -o_min
     right = L - left - m
-    XT = X.T  # (k, m): RHS-major so lanes stay minor in the kernel
     Xp = jnp.concatenate(
         [
-            jnp.zeros((k, left), X.dtype),
+            jnp.zeros((k, left), XT.dtype),
             XT,
-            jnp.zeros((k, max(right, 0)), X.dtype),
+            jnp.zeros((k, max(right, 0)), XT.dtype),
         ],
         axis=1,
     )
@@ -313,7 +344,7 @@ def dia_spmm_pallas_blocked(data, X, offsets, n, m, interpret=False):
         out_specs=pl.BlockSpec(
             (k, T, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((k, G * T, _LANES), X.dtype),
+        out_shape=jax.ShapeDtypeStruct((k, G * T, _LANES), XT.dtype),
         compiler_params=_compiler_params(interpret),
         interpret=interpret,
     )(*([Xp3] * nxb), data2)
@@ -321,13 +352,13 @@ def dia_spmm_pallas_blocked(data, X, offsets, n, m, interpret=False):
     if G * T * _LANES < n:
         t0 = G * T * _LANES
         tail = n - t0
-        Yt = jnp.zeros((k, tail), dtype=X.dtype)
+        Yt = jnp.zeros((k, tail), dtype=XT.dtype)
         for d, o in enumerate(offsets):
             q = o - o_min
             w = lax.dynamic_slice(Xp, (0, t0 + q), (k, tail))
-            Yt = Yt + data[d, t0 : t0 + tail][None].astype(X.dtype) * w
+            Yt = Yt + data[d, t0 : t0 + tail][None].astype(XT.dtype) * w
         Y = jnp.concatenate([Y, Yt], axis=1)
-    return Y[:, :n].T
+    return Y[:, :n]
 
 
 @functools.partial(
