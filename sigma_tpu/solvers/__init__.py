@@ -16,6 +16,7 @@ from sigma_tpu.solvers.base import (
     jacobi,
     prepare_preconditioner,
 )
+from sigma_tpu.solvers.refine import refined_solve
 from sigma_tpu.solvers.ildu import (
     ILDUPreconditioner,
     LDUSolver,
@@ -36,6 +37,7 @@ from sigma_tpu.solvers.krylov import (
 __all__ = [
     "ChebyshevSmoother",
     "chebyshev",
+    "refined_solve",
     "estimate_lmax",
     "AMGPreconditioner",
     "amg_solve",

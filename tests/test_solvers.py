@@ -375,3 +375,21 @@ def test_multicolor_ordering_reduces_ildu_levels(rng):
     f = jnp.asarray(dense[np.ix_(np.argsort(p), np.argsort(p))] @ v)
     u, info = cg(1e-14).solve_info(Ap, f, M=M_col)
     assert np.abs(np.asarray(u) - v).max() < 1e-10
+
+
+def test_refined_solve_f64_accuracy_from_f32_inner(rng):
+    """Mixed-precision iterative refinement: an f32 inner CG reaches the
+    f64 1e-12 tolerance in a few outer sweeps (the TPU-native route to the
+    reference's double-precision tolerances)."""
+    from sigma_tpu.solvers import refined_solve
+
+    n = 256
+    dense, _ = laplacian_1d(n)
+    A = CSRMatrix.from_dense(dense)  # f64 working precision
+    xstar = rng.standard_normal(n)
+    b = jnp.asarray(dense @ xstar)
+    x, info = refined_solve(A, b, tol=1e-12)
+    err = np.abs(np.asarray(x) - xstar).max()
+    assert bool(info.converged)
+    assert err < 1e-9
+    assert int(info.iterations) <= 10  # a handful of outer sweeps
