@@ -261,6 +261,14 @@ def main():
                     "hbm_gbps_spec": spec_bw,
                     "hbm_gbps_triad_measured": round(measured_bw, 1),
                     "session_degraded": bool(degraded),
+                    "session_note": (
+                        "triad << spec: this tunnel session cannot stream "
+                        "at spec; scored against the measured triad "
+                        "(a conservative lower bound — loop-carry copies "
+                        "tax it; cf. achieved_gbps_from_spmv)"
+                    )
+                    if degraded
+                    else None,
                     "hbm_gbps_scored_against": round(bw, 1),
                     "speed_of_light_gnnz_s": round(sol / 1e9, 3),
                     "achieved_gbps_from_spmv": round(
