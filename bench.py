@@ -8,11 +8,13 @@ DIA's minimal bytes-per-nonzero.  Prints ONE JSON line
 Session-robustness (the shared tunnel chip varies up to ~3x between
 sessions): the same-session streaming-triad bandwidth is ALWAYS measured
 and reported next to the spec-sheet figure, each timing is a best-of-N
-burst with the per-rep spread recorded in ``detail.spread``, and when the
-measured triad is far below spec (< 60%) the score is computed against the
-*measured* same-session bandwidth — with both numbers and a
-``session_degraded`` flag in ``detail`` so a slow session is
-distinguishable from a slow kernel in the artifact itself.
+burst with the per-rep spread recorded in ``detail.spread``, and when BOTH
+in-run bandwidth witnesses (the triad and the bandwidth the SpMV itself
+achieved) are far below spec (< 60%) the score is computed against the
+best same-session witness and capped at 1.0 (a degraded session may claim
+at most "met target") — with all numbers and a ``session_degraded`` flag
+in ``detail`` so a slow session is distinguishable from a slow kernel in
+the artifact itself.
 
 ``vs_baseline`` = DIA-achieved / (0.8 * speed-of-light) — 1.0 means
 exactly the 80%-of-SoL target; > 1.0 beats it.
@@ -121,7 +123,7 @@ def laplacian_3d_coo(nx):
     return n, np.concatenate(rows), np.concatenate(cols), np.concatenate(vals)
 
 
-def bench_spmv(A, nnz, K1=25, K2=125, samples=None):
+def bench_spmv(A, nnz, K1=25, K2=125, samples=None, reps=3):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -140,7 +142,7 @@ def bench_spmv(A, nnz, K1=25, K2=125, samples=None):
         Kj = jnp.asarray(K, jnp.int32)
         return lambda A, x: many(A, x, Kj)
 
-    t = timeit_loop(make, A, x, K1=K1, K2=K2, samples=samples)
+    t = timeit_loop(make, A, x, K1=K1, K2=K2, samples=samples, reps=reps)
     return nnz / t
 
 
@@ -201,19 +203,18 @@ def main():
     measured_bw = measure_bandwidth_gbps(samples=triad_samples)
     _progress(f"triad {measured_bw:.0f} GB/s", t0)
 
-    # session gate: a triad far below spec marks a degraded tunnel session;
-    # score against what THIS session can physically stream, and say so
-    degraded = spec_bw is not None and measured_bw < 0.6 * spec_bw
-    bw = measured_bw if (spec_bw is None or degraded) else spec_bw
-
     nx = 216  # 10.1M rows — the north-star size (BASELINE.json)
     # analytic DIA construction: host-direct, no COO sort, no device pull
     n, offsets, data, nnz = laplacian_3d_dia(nx)
     g = DIAGraph(offsets=offsets, shape=(n, n), nnz=nnz)
     A_dia = DIAMatrix(graph=g, data=jnp.asarray(data))
     _progress("matrix on device", t0)
+    # timed reps are cheap next to compiles (~150 SpMVs each); throughput
+    # fluctuates minute-to-minute WITHIN a session (observed spread
+    # 37..141 Gnnz/s in one run), so take best-of-many with the full
+    # spread recorded as evidence
     dia_samples = []
-    dia_nnz_s = bench_spmv(A_dia, nnz, samples=dia_samples)
+    dia_nnz_s = bench_spmv(A_dia, nnz, reps=10, samples=dia_samples)
     _progress(f"dia f32 {dia_nnz_s/1e9:.1f} Gnnz/s", t0)
 
     # bf16 matrix values halve the dominant HBM stream; cast host-side
@@ -235,8 +236,27 @@ def main():
     # x read once and y written once per row (amortized over row degree)
     value = dia_nnz_s
     bytes_per_nnz = 4 + (4 + 4) * n / nnz
+    achieved_gbps = value * bytes_per_nnz / 1e9
+
+    # session gate: score against the spec bandwidth unless BOTH in-run
+    # bandwidth witnesses — the streaming triad AND the bandwidth the SpMV
+    # itself achieved — are far below spec.  (The triad alone once
+    # mis-flagged a healthy session: it read 335 GB/s while the SpMV
+    # streamed 727 GB/s — the kernel is the better witness of what the
+    # session can do, and scoring a healthy session against a weak triad
+    # would overstate vs_baseline ~2.7x.)
+    session_bw = max(measured_bw, achieved_gbps)
+    degraded = spec_bw is not None and session_bw < 0.6 * spec_bw
+    bw = session_bw if (spec_bw is None or degraded) else spec_bw
     sol = bw * 1e9 / bytes_per_nnz
     target = 0.8 * sol
+    vs_baseline = value / target
+    if degraded:
+        # scoring against the SpMV's own achieved bandwidth is circular
+        # (it pins at 1/0.8 = 1.25 whenever the kernel beats the triad);
+        # a degraded session may claim at most "met the target" — beating
+        # it requires a healthy session scored against spec
+        vs_baseline = min(vs_baseline, 1.0)
 
     def _spread(s):
         return [round(nnz / x / 1e9, 1) for x in s]
@@ -247,7 +267,7 @@ def main():
                 "metric": "spmv_nnz_per_s",
                 "value": round(value / 1e9, 4),
                 "unit": "Gnnz/s",
-                "vs_baseline": round(value / target, 4),
+                "vs_baseline": round(vs_baseline, 4),
                 "detail": {
                     "device": kind,
                     "n": n,
@@ -262,18 +282,15 @@ def main():
                     "hbm_gbps_triad_measured": round(measured_bw, 1),
                     "session_degraded": bool(degraded),
                     "session_note": (
-                        "triad << spec: this tunnel session cannot stream "
-                        "at spec; scored against the measured triad "
-                        "(a conservative lower bound — loop-carry copies "
-                        "tax it; cf. achieved_gbps_from_spmv)"
+                        "both in-run bandwidth witnesses (triad, spmv) << "
+                        "spec: this tunnel session cannot stream at spec; "
+                        "scored against the best witness"
                     )
                     if degraded
                     else None,
                     "hbm_gbps_scored_against": round(bw, 1),
                     "speed_of_light_gnnz_s": round(sol / 1e9, 3),
-                    "achieved_gbps_from_spmv": round(
-                        value * bytes_per_nnz / 1e9, 1
-                    ),
+                    "achieved_gbps_from_spmv": round(achieved_gbps, 1),
                     "spread": {
                         "dia_gnnz_s": _spread(dia_samples),
                         "dia_bf16_gnnz_s": _spread(bf16_samples),
