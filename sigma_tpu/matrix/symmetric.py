@@ -12,11 +12,15 @@ FMA per stored off-diagonal:
         + sum_{o>0}  win(data[o] * x, -o)      (mirror)
 
 so SpMV stays gather-free.  Storage halves (7-pt 3-D Laplacian: 4 stored
-diagonals instead of 7).  Trade-off, stated honestly: the mirror terms
-double the *x-window* reads, so past the XLA VMEM cliff (BENCHMARKS.md)
-the full-storage :class:`DIAMatrix` with the blocked pallas kernel is
-faster — use symmetric storage when value memory is the constraint and
-``to_dia()`` when throughput at 10M+ rows is.
+diagonals instead of 7), and on TPU from 64K rows matvec runs the blocked
+symmetric pallas kernel
+(:func:`sigma_tpu.ops.spmv_pallas.dia_sym_spmv_pallas_blocked`): both the
+upper and the mirror term face forward, so the kernel needs only a small
+forward x halo per row tile and NO data halo — HBM traffic drops to
+~6.25n words vs ~10n for full-storage DIA on the 7-point Laplacian,
+making symmetric storage the FASTEST large-n SpMV path, not just the
+smallest.  (The small-n XLA window path below does pay doubled x-window
+reads; at those sizes x is VMEM-resident anyway.)
 
 This is a :class:`LinearOperator` (matvec/matmat/solve compose with every
 Krylov solver and preconditioner), not a mutable SparseMatrix — convert
@@ -130,7 +134,44 @@ class SymmetricDIAMatrix(LinearOperator):
         return DIAMatrix(graph=g, data=jnp.asarray(data))
 
     # -- compute ----------------------------------------------------------
+    def _pallas_path(self, x):
+        """Blocked symmetric pallas kernel when profitable and supported
+        (TPU backend, low precision, large n, band reach that tiles):
+        streams half the diagonal values of the full-storage kernel —
+        see :func:`sigma_tpu.ops.spmv_pallas.dia_sym_spmv_pallas_blocked`."""
+        n = self.n
+        if n < DIAMatrix._PALLAS_MIN_ELEMS or x.ndim != 1:
+            return None
+        if x.dtype not in (jnp.float32, jnp.bfloat16):
+            return None
+        if self.data.dtype not in (jnp.float32, jnp.bfloat16):
+            return None
+        try:
+            if jax.default_backend() != "tpu":
+                return None
+        except RuntimeError:
+            return None
+        from sigma_tpu.ops.spmv_pallas import (
+            _LANES,
+            _sym_tile_pick,
+            dia_sym_spmv_pallas_blocked,
+        )
+
+        o_max = max(self.offsets)
+        pick = _sym_tile_pick(
+            self.data.shape[1] // _LANES,
+            o_max // _LANES + 2,
+            len(self.offsets),
+            self.data.dtype.itemsize,
+        )
+        if pick is None:
+            return None
+        return dia_sym_spmv_pallas_blocked(self.data, x, self.offsets, n)
+
     def matvec(self, x):
+        y = self._pallas_path(x)
+        if y is not None:
+            return y
         n = self.n
         s = self.data.shape[1]
         y2 = jnp.zeros((s // 128, 128), dtype=x.dtype)

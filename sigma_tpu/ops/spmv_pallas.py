@@ -48,6 +48,7 @@ __all__ = [
     "dia_spmv_pallas_blocked",
     "dia_spmm_pallas_blocked",
     "dia_spmm_rhs_major",
+    "dia_sym_spmv_pallas_blocked",
     "pallas_supported",
 ]
 
@@ -228,6 +229,218 @@ def dia_spmv_pallas_blocked(data, x, offsets, n, m, interpret=False):
         w = lax.dynamic_slice(xp, (t0 + q,), (tail,))
         yt = yt + data[d, t0 : t0 + tail].astype(x.dtype) * w
     return jnp.concatenate([y, yt])[: n]
+
+
+def _sym_tile_pick(S: int, hrows: int, D: int, itemsize: int):
+    """(T, E) for the symmetric blocked kernel: row tile T and forward
+    halo E (E | T so the halo block's index map stays integral), chosen
+    so the double-buffered working set fits the VMEM budget and E covers
+    the band's one-sided reach.  None if nothing fits (wide bands — the
+    XLA path handles those)."""
+    for T in (2048, 1536, 1024, 768, 512, 384, 256):
+        if T > S:
+            continue
+        E = next(
+            (T // f for f in (8, 4, 2, 1) if T // f >= hrows),
+            None,
+        )
+        if E is None or E % 8:
+            continue
+        byts = (
+            2 * _LANES * (4 * (T + E + T) + itemsize * D * T)
+            + 4 * _LANES * E
+        )
+        if byts <= _VMEM_BUDGET_BYTES:
+            return T, E
+    return None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "n", "interpret", "tile_rows", "halo_rows"),
+)
+def dia_sym_spmv_pallas_blocked(
+    data, x, offsets, n, interpret=False, tile_rows=None, halo_rows=None
+):
+    """Blocked SpMV for SYMMETRIC DIA storage (upper diagonals only,
+    ``offsets`` all >= 0): y = A x with A[i, i+o] = A[i+o, i] = data[o][i].
+
+    Streams HALF the diagonal values of the full-storage blocked kernel
+    (:func:`dia_spmv_pallas_blocked`) — the dominant HBM stream for
+    stencils — by applying each stored off-diagonal twice inside the
+    tile:
+
+    - upper term  ``y[i] += data_o[i] * x[i+o]``: the usual shifted
+      window (dynamic sublane slice + static lane roll, gather-free);
+    - mirror term ``y[i+o] += data_o[i] * x[i]``: the lane-aligned
+      product ``z = data_o * x`` placed at ``+o`` — contributions past
+      the tile's last row land in a spill accumulator that the NEXT grid
+      step folds into its first rows (TPU grid steps are sequential, so
+      a revisited output block is a legal carry).
+
+    Both terms face FORWARD, so x needs only a forward halo of ``E``
+    rows per tile (delivered as an extra E-row BlockSpec, E | T) and the
+    data tiles need no halo at all: HBM traffic is
+    ``D_u*n + (1 + E/T)*n + n`` words vs ``(2*D_u - 1)*n + nxb*n + n``
+    for full storage — ~6.25n vs ~10n words for the 7-point Laplacian.
+
+    Rows past the last full tile are finished by an XLA pass that also
+    folds in the final spill block.  The symmetric-storage capability is
+    one the reference names as never built (README.md:81-87).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if min(offsets) < 0:
+        raise ValueError("symmetric kernel takes offsets >= 0 only")
+    D = len(offsets)
+    stride = data.shape[1]
+    S = stride // _LANES
+    o_max = max(offsets)
+    hrows = o_max // _LANES + 2
+
+    if tile_rows is not None:
+        T, E = tile_rows, halo_rows
+        if E is None or T % E or E < hrows or T > S:
+            raise ValueError("bad explicit (tile_rows, halo_rows)")
+    else:
+        pick = _sym_tile_pick(S, hrows, D, data.dtype.itemsize)
+        if pick is None:
+            raise ValueError(
+                f"symmetric blocked kernel cannot tile {D} upper diagonals "
+                f"of reach {o_max}; use the XLA path"
+            )
+        T, E = pick
+    G = S // T
+    F = T // E
+
+    # x frame: no left pad (all windows face forward); cover the last
+    # tile's halo and the XLA tail pass's furthest window
+    Lrows = max(G * T + E, S + hrows)
+    xp = jnp.concatenate(
+        [x, jnp.zeros((Lrows * _LANES - x.shape[0],), x.dtype)]
+    )
+    xp2 = xp.reshape(Lrows, _LANES)
+    data2 = data.reshape(D, S, _LANES)
+
+    def kernel(xm_ref, xh_ref, d_ref, y_ref, sp_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            sp_ref[...] = jnp.zeros_like(sp_ref)
+
+        xcat = jnp.concatenate([xm_ref[...], xh_ref[...]], axis=0)
+        carry = sp_ref[...]
+        acc = jnp.zeros((T, _LANES), y_ref.dtype)
+        spill = jnp.zeros((E, _LANES), y_ref.dtype)
+
+        for d, o in enumerate(offsets):
+            rowoff = o // _LANES
+            laneoff = o % _LANES
+            # upper/diag: win[t] = x[tile_start + t + o]
+            base = xcat[rowoff : rowoff + T + 1, :]
+            if laneoff == 0:
+                win = base[:T, :]
+            else:
+                rolled = pltpu.roll(base, shift=_LANES - laneoff, axis=1)
+                lanes = jax.lax.broadcasted_iota(
+                    jnp.int32, (T, _LANES), 1
+                )
+                win = jnp.where(
+                    lanes < _LANES - laneoff,
+                    rolled[:T, :],
+                    rolled[1 : T + 1, :],
+                )
+            dtile = d_ref[d].astype(acc.dtype)
+            acc = acc + dtile * win
+            if o == 0:
+                continue
+            # mirror: c[t] = z[t - o] with z = data_o * x lane-aligned;
+            # zsh[k] = z[k - rowoff - 1] so both roll branches index it
+            # without going out of bounds
+            z = dtile * xcat[:T, :]
+            zsh = jnp.concatenate(
+                [
+                    jnp.zeros((rowoff + 1, _LANES), acc.dtype),
+                    z,
+                    jnp.zeros((E - rowoff, _LANES), acc.dtype),
+                ],
+                axis=0,
+            )
+            if laneoff == 0:
+                c = zsh[1 : T + E + 1, :]
+            else:
+                rolledm = pltpu.roll(zsh, shift=laneoff, axis=1)
+                lanesm = jax.lax.broadcasted_iota(
+                    jnp.int32, (T + E, _LANES), 1
+                )
+                c = jnp.where(
+                    lanesm >= laneoff,
+                    rolledm[1 : T + E + 1, :],
+                    rolledm[: T + E, :],
+                )
+            acc = acc + c[:T, :]
+            spill = spill + c[T:, :]
+
+        pad = jnp.zeros((T - E, _LANES), acc.dtype)
+        acc = acc + jnp.concatenate([carry, pad], axis=0)
+        y_ref[...] = acc
+        sp_ref[...] = spill
+
+    y2, spill_out = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(
+                (T, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (E, _LANES),
+                lambda i: (F * i + F, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (D, T, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (T, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (E, _LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((G * T, _LANES), x.dtype),
+            jax.ShapeDtypeStruct((E, _LANES), x.dtype),
+        ),
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(xp2, xp2, data2)
+    y = y2.reshape(-1)
+    t0 = G * T * _LANES
+    if t0 >= n:
+        return y[:n]
+
+    # tail rows: XLA windows + the final spill block (mirror contributions
+    # that crossed out of the last full tile)
+    tail = n - t0
+    from sigma_tpu.matrix.formats import zero_padded_window
+
+    xt = lax.dynamic_slice(xp, (t0,), (tail,))
+    yt = jnp.zeros((tail,), dtype=x.dtype)
+    for d, o in enumerate(offsets):
+        w = lax.dynamic_slice(xp, (t0 + o,), (tail,))
+        dt = data[d, t0 : t0 + tail].astype(x.dtype)
+        yt = yt + dt * w
+        if o > 0:
+            zt = dt * xt
+            yt = yt + zero_padded_window(zt, -o, tail, tail)
+    k = min(tail, E * _LANES)
+    yt = yt.at[:k].add(spill_out.reshape(-1)[:k])
+    return jnp.concatenate([y, yt])[:n]
 
 
 @functools.partial(

@@ -31,6 +31,7 @@ from sigma_tpu.solvers.krylov import (
     bicgstab_solve,
     cg_solve,
     gmres_solve,
+    minres_solve,
     stationary_solve,
 )
 
@@ -60,6 +61,7 @@ __all__ = [
     "block_cg_solve",
     "bicgstab_solve",
     "gmres_solve",
+    "minres_solve",
     "stationary_solve",
     "ildu0_factorize",
     "ILDUPreconditioner",

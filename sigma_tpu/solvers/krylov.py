@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["SolveInfo", "cg_solve", "bicgstab_solve", "gmres_solve", "stationary_solve", "block_cg_solve"]
+__all__ = ["SolveInfo", "cg_solve", "bicgstab_solve", "minres_solve", "gmres_solve", "stationary_solve", "block_cg_solve"]
 
 
 class SolveInfo(NamedTuple):
@@ -168,6 +168,89 @@ def bicgstab_solve(
     x, r, k, hist = out[0], out[1], out[7], out[8]
     resn = jnp.linalg.norm(r)
     return x, SolveInfo(k, resn, resn <= tol_eff, hist)
+
+
+def minres_solve(
+    A, b, x0=None, *, tol=1e-12, rtol=0.0, maxiter=None, M=None, history=False
+):
+    """MINRES for symmetric (possibly INDEFINITE) A, optional SPD M.
+
+    Not present in the reference (its symmetric path is CG-only,
+    ``cg_solvers.f90``) — a named extension that closes the
+    symmetric-indefinite gap: CG breaks down on indefinite systems
+    (saddle-point / Helmholtz-shifted operators) where MINRES still
+    minimizes the residual over the same Krylov space.
+
+    TPU-first shape, same as :func:`cg_solve`: one ``lax.while_loop``
+    over a short-recurrence Lanczos + on-the-fly Givens QR of the
+    tridiagonal — three vector FMAs, one matvec, one M-apply per step,
+    no growing basis (unlike GMRES), so the carried state is O(n) and
+    the whole solve is a single compiled program.  The running residual
+    estimate ``phibar`` is exact for the preconditioned residual norm,
+    so stopping costs no extra reduction.
+    """
+    n = A.shape[0]
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    maxiter = 10 * n if maxiter is None else maxiter
+    apply_M = _apply(M)
+    matvec = A.matvec
+    tol_eff = jnp.maximum(jnp.asarray(tol, b.dtype), rtol * jnp.linalg.norm(b))
+    tiny = jnp.asarray(jnp.finfo(b.dtype).tiny, b.dtype)
+
+    r1 = b - matvec(x0)
+    y0 = apply_M(r1)
+    beta1 = jnp.sqrt(jnp.abs(jnp.vdot(r1, y0)))
+    zero = jnp.zeros((), b.dtype)
+    hist0 = (
+        jnp.full((int(maxiter),), jnp.nan, dtype=b.dtype) if history else None
+    )
+    zvec = jnp.zeros_like(b)
+
+    def cond(state):
+        phibar, k = state[8], state[12]
+        return (phibar > tol_eff) & (k < maxiter)
+
+    def body(state):
+        (x, y, r1_, r2, w, w2, oldb, beta, phibar, dbar, epsln, cs_sn, k,
+         hist) = state
+        cs, sn = cs_sn
+        v = y / jnp.where(beta > tiny, beta, 1.0)
+        y = matvec(v)
+        # k is 0-based; the beta/oldb correction applies from step 2 on
+        y = y - jnp.where(k > 0, beta / jnp.where(oldb > tiny, oldb, 1.0),
+                          zero) * r1_
+        alfa = jnp.vdot(v, y).real
+        y = y - (alfa / jnp.where(beta > tiny, beta, 1.0)) * r2
+        r1_, r2 = r2, y
+        y = apply_M(r2)
+        oldb, beta = beta, jnp.sqrt(jnp.abs(jnp.vdot(r2, y)))
+        # previous rotations applied to the new tridiagonal column, then
+        # the new Givens rotation annihilating beta
+        oldeps = epsln
+        delta = cs * dbar + sn * alfa
+        gbar = sn * dbar - cs * alfa
+        epsln = sn * beta
+        dbar = -cs * beta
+        gamma = jnp.maximum(jnp.sqrt(gbar * gbar + beta * beta), tiny)
+        cs = gbar / gamma
+        sn = beta / gamma
+        phi = cs * phibar
+        phibar = sn * phibar
+        w1, w2 = w2, w
+        w = (v - oldeps * w1 - delta * w2) / gamma
+        x = x + phi * w
+        if hist is not None:
+            hist = hist.at[k].set(jnp.abs(phibar))
+        return (x, y, r1_, r2, w, w2, oldb, beta, jnp.abs(phibar), dbar,
+                epsln, (cs, sn), k + 1, hist)
+
+    state0 = (
+        x0, y0, r1, r1, zvec, zvec, zero, beta1, beta1, zero, zero,
+        (-jnp.ones((), b.dtype), zero), jnp.asarray(0, jnp.int32), hist0,
+    )
+    out = lax.while_loop(cond, body, state0)
+    x, phibar, k, hist = out[0], out[8], out[12], out[13]
+    return x, SolveInfo(k, phibar, phibar <= tol_eff, hist)
 
 
 def gmres_solve(

@@ -149,3 +149,60 @@ def test_blocked_spmm_interpret(n, diags, k, monkeypatch):
         lo, hi = max(0, -o), min(n, n - o)
         ref[lo:hi] += data[d, lo:hi, None] * X[lo + o : hi + o]
     assert np.max(np.abs(np.asarray(Y) - ref)) / np.max(np.abs(ref)) < 1e-5
+
+
+@pytest.mark.parametrize(
+    "n,offsets,T,E",
+    [
+        (4000, (0, 1, 128, 300), 16, 8),   # all lane patterns + XLA tail
+        (4096, (0, 5), 16, 8),             # no tail (grid covers exactly n)
+        (5000, (1, 130, 259), 24, 8),      # no main diagonal
+        (3000, (0,), 8, 8),                # diagonal only, E == T
+        (9000, (0, 2, 127, 129, 383), 32, 16),
+    ],
+)
+def test_sym_blocked_kernel_interpret(n, offsets, T, E):
+    """Symmetric (upper-diagonals-only) blocked kernel vs a dense
+    symmetric oracle — tiny explicit tiles force many grid steps, the
+    cross-tile mirror spill carry, and the XLA tail."""
+    import sigma_tpu.ops.spmv_pallas as sp
+
+    rng = np.random.default_rng(13)
+    stride = -(-n // 128) * 128
+    data = np.zeros((len(offsets), stride), np.float32)
+    for d, o in enumerate(offsets):
+        data[d, : n - o] = rng.standard_normal(n - o)
+    x = rng.standard_normal(n).astype(np.float32)
+    dA = np.zeros((n, n))
+    for d, o in enumerate(offsets):
+        idx = np.arange(n - o)
+        dA[idx, idx + o] = data[d, : n - o]
+        if o > 0:
+            dA[idx + o, idx] = data[d, : n - o]
+    y = sp.dia_sym_spmv_pallas_blocked(
+        jnp.asarray(data), jnp.asarray(x), offsets, n,
+        interpret=True, tile_rows=T, halo_rows=E,
+    )
+    ref = dA @ x
+    assert (
+        np.max(np.abs(np.asarray(y, np.float64) - ref)) / np.max(np.abs(ref))
+        < 1e-5
+    )
+
+
+def test_symmetric_matrix_pallas_gate_cpu():
+    """On CPU the SymmetricDIAMatrix pallas gate must decline (falls back
+    to the XLA window path) and matvec must still be exact."""
+    from sigma_tpu.matrix.symmetric import SymmetricDIAMatrix
+
+    n = 500
+    rng = np.random.default_rng(17)
+    dA = np.diag(rng.standard_normal(n))
+    for o in (1, 7):
+        v = rng.standard_normal(n - o)
+        dA += np.diag(v, o) + np.diag(v, -o)
+    A = SymmetricDIAMatrix.from_dense(dA)
+    x = rng.standard_normal(n).astype(np.float64)
+    assert A._pallas_path(jnp.asarray(x, jnp.float32)) is None
+    y = A.matvec(jnp.asarray(x))
+    assert np.max(np.abs(np.asarray(y) - dA @ x)) < 1e-10

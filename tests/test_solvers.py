@@ -393,3 +393,49 @@ def test_refined_solve_f64_accuracy_from_f32_inner(rng):
     assert bool(info.converged)
     assert err < 1e-9
     assert int(info.iterations) <= 10  # a handful of outer sweeps
+
+
+def test_minres_indefinite_system(rng):
+    """MINRES solves a symmetric INDEFINITE system where CG breaks down —
+    the capability gap MINRES exists to close (reference is CG-only,
+    cg_solvers.f90)."""
+    from sigma_tpu.solvers import minres_solve
+
+    n = 200
+    dense, _ = laplacian_1d(n)
+    # shift past the first few eigenvalues -> indefinite but nonsingular
+    dx = 1.0 / (n + 1)
+    lam3 = 4 * np.sin(3 * np.pi * dx / 2) ** 2
+    dense = dense - 1.001 * lam3 * np.eye(n)
+    assert np.linalg.eigvalsh(dense)[0] < 0 < np.linalg.eigvalsh(dense)[-1]
+    A = CSRMatrix.from_dense(dense)
+    xstar = rng.standard_normal(n)
+    b = jnp.asarray(dense @ xstar)
+    x, info = minres_solve(A, b, tol=1e-12, maxiter=5 * n)
+    assert bool(info.converged)
+    assert np.abs(np.asarray(x) - xstar).max() < 1e-7
+
+
+def test_minres_matches_cg_on_spd(rng):
+    """On an SPD system MINRES and CG agree with the dense solve; with an
+    SPD (Jacobi) preconditioner MINRES converges in fewer iterations."""
+    from sigma_tpu.operators import DiagonalOperator
+    from sigma_tpu.solvers import minres_solve
+
+    n = 160
+    dense = random_spd_laplacian(rng, n)
+    dense[np.diag_indices(n)] += np.linspace(1, 50, n)  # skew the diagonal
+    A = CSRMatrix.from_dense(dense)
+    xstar = smoothed_manufactured_solution(rng, dense)
+    b = jnp.asarray(dense @ xstar)
+    x, info = minres_solve(A, b, tol=1e-13, history=True)
+    assert bool(info.converged)
+    assert np.abs(np.asarray(x) - xstar).max() < 1e-9
+    # history records the running residual estimate
+    h = np.asarray(info.history)
+    k = int(info.iterations)
+    assert np.isfinite(h[:k]).all() and np.isnan(h[k:]).all()
+    M = DiagonalOperator(1.0 / jnp.asarray(np.diag(dense)))
+    _, info_pc = minres_solve(A, b, tol=1e-13, M=M)
+    assert bool(info_pc.converged)
+    assert int(info_pc.iterations) < k
