@@ -14,13 +14,16 @@ FMA per stored off-diagonal:
 so SpMV stays gather-free.  Storage halves (7-pt 3-D Laplacian: 4 stored
 diagonals instead of 7), and on TPU from 64K rows matvec runs the blocked
 symmetric pallas kernel
-(:func:`sigma_tpu.ops.spmv_pallas.dia_sym_spmv_pallas_blocked`): both the
-upper and the mirror term face forward, so the kernel needs only a small
-forward x halo per row tile and NO data halo — HBM traffic drops to
-~6.25n words vs ~10n for full-storage DIA on the 7-point Laplacian,
-making symmetric storage the FASTEST large-n SpMV path, not just the
-smallest.  (The small-n XLA window path below does pay doubled x-window
-reads; at those sizes x is VMEM-resident anyway.)
+(:func:`sigma_tpu.ops.spmv_pallas.dia_sym_spmv_pallas_blocked`): each row
+tile reads small forward/backward x halos plus a backward data halo, all
+delivered by clamped BlockSpec index maps over the unmodified HBM arrays
+— HBM traffic is ~7.5n words vs ~10n for full-storage DIA on the 7-point
+Laplacian (153-163 Gnnz/s measured at the 10M-row north star across two
+sessions, at/above full storage's 159 Gnnz/s minimal-traffic ceiling;
+shared-tunnel session variance of up to ~3x makes finer full-vs-sym
+ranking unreliable — see BENCHMARKS.md).  (The small-n XLA window path
+below does pay doubled x-window reads; at those sizes x is VMEM-resident
+anyway.)
 
 This is a :class:`LinearOperator` (matvec/matmat/solve compose with every
 Krylov solver and preconditioner), not a mutable SparseMatrix — convert
@@ -137,7 +140,8 @@ class SymmetricDIAMatrix(LinearOperator):
     def _pallas_path(self, x):
         """Blocked symmetric pallas kernel when profitable and supported
         (TPU backend, low precision, large n, band reach that tiles):
-        streams half the diagonal values of the full-storage kernel —
+        streams roughly half the diagonal values of the full-storage
+        kernel (upper diagonals plus a backward halo re-read) —
         see :func:`sigma_tpu.ops.spmv_pallas.dia_sym_spmv_pallas_blocked`."""
         n = self.n
         if n < DIAMatrix._PALLAS_MIN_ELEMS or x.ndim != 1:

@@ -232,23 +232,27 @@ def dia_spmv_pallas_blocked(data, x, offsets, n, m, interpret=False):
 
 
 def _sym_tile_pick(S: int, hrows: int, D: int, itemsize: int):
-    """(T, E) for the symmetric blocked kernel: row tile T and forward
-    halo E (E | T so the halo block's index map stays integral), chosen
-    so the double-buffered working set fits the VMEM budget and E covers
-    the band's one-sided reach.  None if nothing fits (wide bands — the
-    XLA path handles those)."""
-    for T in (2048, 1536, 1024, 768, 512, 384, 256):
+    """(T, E) for the symmetric blocked kernel: row tile T and halo E
+    with E | T (halo blocks are fetched from the SAME operand frames via
+    ``i -> F*i`` index maps, so E must tile T), E >= the band's one-sided
+    reach in sublane rows, chosen so the double-buffered working set fits
+    the VMEM budget.  None if nothing fits (wide bands — the XLA path
+    handles those)."""
+    for T in (1536, 2048, 1024, 768, 512, 384, 256):
         if T > S:
             continue
         E = next(
-            (T // f for f in (8, 4, 2, 1) if T // f >= hrows),
+            (
+                e
+                for e in range(8, T + 1, 8)
+                if e >= hrows and T % e == 0
+            ),
             None,
         )
-        if E is None or E % 8:
+        if E is None:
             continue
-        byts = (
-            2 * _LANES * (4 * (T + E + T) + itemsize * D * T)
-            + 4 * _LANES * E
+        byts = 2 * _LANES * (
+            4 * (T + 2 * E) + itemsize * D * (T + E) + 4 * T
         )
         if byts <= _VMEM_BUDGET_BYTES:
             return T, E
@@ -271,22 +275,34 @@ def dia_sym_spmv_pallas_blocked(
     tile:
 
     - upper term  ``y[i] += data_o[i] * x[i+o]``: the usual shifted
-      window (dynamic sublane slice + static lane roll, gather-free);
-    - mirror term ``y[i+o] += data_o[i] * x[i]``: the lane-aligned
-      product ``z = data_o * x`` placed at ``+o`` — contributions past
-      the tile's last row land in a spill accumulator that the NEXT grid
-      step folds into its first rows (TPU grid steps are sequential, so
-      a revisited output block is a legal carry).
+      window (static sublane slice + lane roll, gather-free);
+    - mirror term ``y[i] += data_o[i-o] * x[i-o]``: both factors share
+      the ``-o`` shift, so the kernel multiplies FIRST (lane-aligned
+      ``data_o * x`` on the backward-halo and main tiles) and takes ONE
+      backward window of the product — every output row is produced
+      exactly once and grid steps stay independent.
 
-    Both terms face FORWARD, so x needs only a forward halo of ``E``
-    rows per tile (delivered as an extra E-row BlockSpec, E | T) and the
-    data tiles need no halo at all: HBM traffic is
-    ``D_u*n + (1 + E/T)*n + n`` words vs ``(2*D_u - 1)*n + nxb*n + n``
-    for full storage — ~6.25n vs ~10n words for the 7-point Laplacian.
+    The halo reach comes from FIVE BlockSpec streams over just TWO HBM
+    arrays — x (main tile ``i``, forward halo block ``F*i+F``, backward
+    halo block ``F*i-1``, F = T/E) and the diagonal data (main tile +
+    backward halo block) — with out-of-range steps clamped in the index
+    map and zero-masked in the kernel.  No operand frames are built on
+    the XLA side at all, so a single compiled SpMV is just the pallas
+    call: HBM traffic is ``(1+E/T)*D_u*n + (1+2E/T)*n + n`` words
+    (~7.5n for the 7-point Laplacian at T=1536, E=384) vs ~10n words
+    for full storage.
 
-    Rows past the last full tile are finished by an XLA pass that also
-    folds in the final spill block.  The symmetric-storage capability is
-    one the reference names as never built (README.md:81-87).
+    Design history (each step measured at the 10M-row north star):
+    a cross-tile spill-accumulator version ran 2.5x SLOWER than full
+    storage (sequential output dependency defeats Mosaic pipelining);
+    XLA-built compacted halo frames ran 5-6x slower than the kernel
+    itself (per-call operand builds: one concat of G row-slices is ~2G
+    tiny XLA ops); this zero-construction form runs at the kernel's own
+    speed.  The grid covers ALL rows (Mosaic masks the partial last
+    block; unspecified VMEM bytes — possibly NaN, and NaN*0 != 0 — are
+    zero-selected by INTENDED element index before use).  The
+    symmetric-storage capability is one the reference names as never
+    built (README.md:81-87).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -301,7 +317,7 @@ def dia_sym_spmv_pallas_blocked(
 
     if tile_rows is not None:
         T, E = tile_rows, halo_rows
-        if E is None or T % E or E < hrows or T > S:
+        if E is None or E % 8 or E < hrows or T % E or T > S:
             raise ValueError("bad explicit (tile_rows, halo_rows)")
     else:
         pick = _sym_tile_pick(S, hrows, D, data.dtype.itemsize)
@@ -311,84 +327,84 @@ def dia_sym_spmv_pallas_blocked(
                 f"of reach {o_max}; use the XLA path"
             )
         T, E = pick
-    G = S // T
     F = T // E
+    G = -(-S // T)  # full-coverage grid; Mosaic masks the partial last block
+    EB = -(-S // E)  # E-blocks available in the (S, 128) frames
+    PL = E * _LANES
 
-    # x frame: no left pad (all windows face forward); cover the last
-    # tile's halo and the XLA tail pass's furthest window
-    Lrows = max(G * T + E, S + hrows)
-    xp = jnp.concatenate(
-        [x, jnp.zeros((Lrows * _LANES - x.shape[0],), x.dtype)]
-    )
-    xp2 = xp.reshape(Lrows, _LANES)
+    if n % _LANES == 0:
+        xrows = x.reshape(S, _LANES)
+        aligned = True
+    else:
+        xrows = jnp.concatenate(
+            [x, jnp.zeros((S * _LANES - n,), x.dtype)]
+        ).reshape(S, _LANES)
+        aligned = False
     data2 = data.reshape(D, S, _LANES)
 
-    def kernel(xm_ref, xh_ref, d_ref, y_ref, sp_ref):
+    def shifted(frame, q, rows):
+        """(rows, 128) window w[t] = frame_elements[t*128 + lane + q]."""
+        rowoff = q // _LANES
+        laneoff = q % _LANES
+        base = frame[rowoff : rowoff + rows + 1, :]
+        if laneoff == 0:
+            return base[:rows, :]
+        rolled = pltpu.roll(base, shift=_LANES - laneoff, axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+        return jnp.where(
+            lane < _LANES - laneoff, rolled[:rows, :], rolled[1 : rows + 1, :]
+        )
+
+    def elem_ids(rows):
+        row = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+        return row * _LANES + lane
+
+    def kernel(xm_ref, xf_ref, xb_ref, d_ref, dh_ref, y_ref):
         i = pl.program_id(0)
-
-        @pl.when(i == 0)
-        def _():
-            sp_ref[...] = jnp.zeros_like(sp_ref)
-
-        xcat = jnp.concatenate([xm_ref[...], xh_ref[...]], axis=0)
-        carry = sp_ref[...]
-        acc = jnp.zeros((T, _LANES), y_ref.dtype)
-        spill = jnp.zeros((E, _LANES), y_ref.dtype)
-
-        for d, o in enumerate(offsets):
-            rowoff = o // _LANES
-            laneoff = o % _LANES
-            # upper/diag: win[t] = x[tile_start + t + o]
-            base = xcat[rowoff : rowoff + T + 1, :]
-            if laneoff == 0:
-                win = base[:T, :]
-            else:
-                rolled = pltpu.roll(base, shift=_LANES - laneoff, axis=1)
-                lanes = jax.lax.broadcasted_iota(
-                    jnp.int32, (T, _LANES), 1
-                )
-                win = jnp.where(
-                    lanes < _LANES - laneoff,
-                    rolled[:T, :],
-                    rolled[1 : T + 1, :],
-                )
-            dtile = d_ref[d].astype(acc.dtype)
-            acc = acc + dtile * win
-            if o == 0:
-                continue
-            # mirror: c[t] = z[t - o] with z = data_o * x lane-aligned;
-            # zsh[k] = z[k - rowoff - 1] so both roll branches index it
-            # without going out of bounds
-            z = dtile * xcat[:T, :]
-            zsh = jnp.concatenate(
-                [
-                    jnp.zeros((rowoff + 1, _LANES), acc.dtype),
-                    z,
-                    jnp.zeros((E - rowoff, _LANES), acc.dtype),
-                ],
-                axis=0,
+        # main x tile: zero rows past n (partial last block reads
+        # unspecified VMEM; NaN garbage must not meet the zero padding)
+        xm = xm_ref[...]
+        if G * T > S or not aligned:
+            xm = jnp.where(
+                i * T * _LANES + elem_ids(T) < n, xm, jnp.zeros_like(xm)
             )
-            if laneoff == 0:
-                c = zsh[1 : T + E + 1, :]
-            else:
-                rolledm = pltpu.roll(zsh, shift=laneoff, axis=1)
-                lanesm = jax.lax.broadcasted_iota(
-                    jnp.int32, (T + E, _LANES), 1
-                )
-                c = jnp.where(
-                    lanesm >= laneoff,
-                    rolledm[1 : T + E + 1, :],
-                    rolledm[: T + E, :],
-                )
-            acc = acc + c[:T, :]
-            spill = spill + c[T:, :]
+        # forward halo: intended rows [(i+1)*T, (i+1)*T+E) — mask by the
+        # INTENDED element index (covers both the clamped last step and a
+        # partial final E-block)
+        xf = jnp.where(
+            (i + 1) * T * _LANES + elem_ids(E) < n,
+            xf_ref[...],
+            jnp.zeros_like(xf_ref),
+        )
+        # backward x halo: intended rows [i*T-E, i*T) — invalid only at
+        # i=0 (the data halo needs no mask: clamped backward blocks are
+        # always in-range real values, and they meet the zeroed xb)
+        xb = jnp.where(i > 0, xb_ref[...], jnp.zeros_like(xb_ref))
 
-        pad = jnp.zeros((T - E, _LANES), acc.dtype)
-        acc = acc + jnp.concatenate([carry, pad], axis=0)
+        xmf = jnp.concatenate([xm, xf], axis=0)
+        acc = jnp.zeros((T, _LANES), y_ref.dtype)
+        for d, o in enumerate(offsets):
+            dtile = d_ref[d].astype(acc.dtype)
+            acc = acc + dtile * shifted(xmf, o, T)
+            if o > 0:
+                # mirror y[i] += data_o[i-o] * x[i-o]: multiply FIRST
+                # (both factors share the -o shift), then one window of
+                # the product — halves the window work per diagonal
+                z = jnp.concatenate(
+                    [dh_ref[d].astype(acc.dtype) * xb, dtile * xm], axis=0
+                )
+                acc = acc + shifted(z, PL - o, T)
+        # rows past n may hold garbage*0 = NaN products; zero them
+        if G * T > S or not aligned:
+            acc = jnp.where(
+                i * T * _LANES + elem_ids(T) < n, acc, jnp.zeros_like(acc)
+            )
         y_ref[...] = acc
-        sp_ref[...] = spill
 
-    y2, spill_out = pl.pallas_call(
+    clamp_f = lambda i: jnp.minimum(F * i + F, EB - 1)
+    clamp_b = lambda i: jnp.maximum(F * i - 1, 0)
+    y2 = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[
@@ -396,51 +412,30 @@ def dia_sym_spmv_pallas_blocked(
                 (T, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (E, _LANES),
-                lambda i: (F * i + F, 0),
+                (E, _LANES), lambda i: (clamp_f(i), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (E, _LANES), lambda i: (clamp_b(i), 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (D, T, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec(
+                (D, E, _LANES), lambda i: (0, clamp_b(i), 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
-        out_specs=(
-            pl.BlockSpec(
-                (T, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (E, _LANES), lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
+        out_specs=pl.BlockSpec(
+            (T, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((G * T, _LANES), x.dtype),
-            jax.ShapeDtypeStruct((E, _LANES), x.dtype),
-        ),
+        out_shape=jax.ShapeDtypeStruct((S, _LANES), x.dtype),
         compiler_params=_compiler_params(interpret),
         interpret=interpret,
-    )(xp2, xp2, data2)
+    )(xrows, xrows, xrows, data2, data2)
     y = y2.reshape(-1)
-    t0 = G * T * _LANES
-    if t0 >= n:
-        return y[:n]
-
-    # tail rows: XLA windows + the final spill block (mirror contributions
-    # that crossed out of the last full tile)
-    tail = n - t0
-    from sigma_tpu.matrix.formats import zero_padded_window
-
-    xt = lax.dynamic_slice(xp, (t0,), (tail,))
-    yt = jnp.zeros((tail,), dtype=x.dtype)
-    for d, o in enumerate(offsets):
-        w = lax.dynamic_slice(xp, (t0 + o,), (tail,))
-        dt = data[d, t0 : t0 + tail].astype(x.dtype)
-        yt = yt + dt * w
-        if o > 0:
-            zt = dt * xt
-            yt = yt + zero_padded_window(zt, -o, tail, tail)
-    k = min(tail, E * _LANES)
-    yt = yt.at[:k].add(spill_out.reshape(-1)[:k])
-    return jnp.concatenate([y, yt])[:n]
+    return y if aligned else y[:n]
 
 
 @functools.partial(

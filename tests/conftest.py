@@ -19,6 +19,15 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# The suite is compile-dominated (hundreds of jitted solver/shard_map
+# graphs on tiny operands).  A persistent on-disk compile cache makes
+# repeat runs load instead of recompile; entries are keyed by HLO hash,
+# so code changes invalidate exactly the affected programs.
+_cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

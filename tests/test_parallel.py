@@ -53,24 +53,23 @@ def test_spmv_matches_dense(mesh, rng):
     assert np.max(np.abs(y - dense @ x)) < TOL
 
 
-def test_spmv_general_sparsity(mesh, rng):
-    """Random (non-banded) sparsity exercises many ring offsets."""
+def test_spmv_and_rmatvec_general_sparsity(mesh, rng):
+    """Random (non-banded) sparsity exercises many ring offsets; one
+    matrix serves both the forward and the transpose apply (a single
+    compile — this suite is compile-dominated)."""
     n = 96
     dense = np.where(rng.random((n, n)) < 0.05, rng.standard_normal((n, n)), 0.0)
     dense += np.diag(np.full(n, 4.0))
     Ad = distribute_matrix(CSRMatrix.from_dense(dense), mesh)
     x = rng.standard_normal(n)
-    y = Ad.unshard_vector(Ad.matvec(Ad.shard_vector(x)))
-    assert np.max(np.abs(y - dense @ x)) < TOL
 
+    @jax.jit
+    def both(Ad, xs):
+        return Ad.matvec(xs), Ad.rmatvec(xs)
 
-def test_rmatvec(mesh, rng):
-    n = 120
-    dense = np.where(rng.random((n, n)) < 0.06, rng.standard_normal((n, n)), 0.0)
-    Ad = distribute_matrix(CSRMatrix.from_dense(dense), mesh)
-    x = rng.standard_normal(n)
-    y = Ad.unshard_vector(Ad.rmatvec(Ad.shard_vector(x)))
-    assert np.max(np.abs(y - dense.T @ x)) < TOL
+    y, z = both(Ad, Ad.shard_vector(x))
+    assert np.max(np.abs(Ad.unshard_vector(y) - dense @ x)) < TOL
+    assert np.max(np.abs(Ad.unshard_vector(z) - dense.T @ x)) < TOL
 
 
 def test_spmm_multivector(mesh, rng):
@@ -254,15 +253,13 @@ def test_balance_rows(mesh, rng):
     after = shard_nnz(Ab)
     assert after.max() - after.min() <= before.max() - before.min()
     assert after.max() <= after.mean() * 1.3  # balanced within 30%
-    # permuted system solves to the same answer
-    xstar = rng.standard_normal(n)
-    b = dense @ xstar
-    Ad = distribute_matrix(Ab, mesh)
-    bp = np.empty_like(b)
-    bp[p] = b
-    xs, _ = cg_solve(Ad, Ad.shard_vector(bp), tol=1e-12, maxiter=3000)
-    x = Ad.unshard_vector(xs)[np.asarray(p)]
-    assert np.max(np.abs(x - xstar)) < 1e-7
+    # the permuted operator is exactly the symmetric reindexing of A
+    # (row/col i of A lands at p[i]), so any solve on it maps back
+    # through p; the distributed solve itself is test_distributed_cg's
+    # job — repeating it here cost ~12 s of redundant shard_map compile
+    P = np.zeros((n, n))
+    P[np.arange(n), p] = 1.0
+    assert np.max(np.abs(Ab.to_dense() - P.T @ dense @ P)) < TOL
 
 
 def test_balance_rows_uneven_n(mesh):
@@ -396,10 +393,13 @@ def test_distributed_dia_rmatvec(mesh, rng):
     assert np.max(np.abs(np.asarray(z)[:n] - dense.T @ x)) < TOL
 
 
+@pytest.mark.slow
 def test_distributed_amg_vcycle_smoke(mesh, rng):
-    """Fast default-suite coverage of distributed AMG: one V-cycle apply is
-    layout-invariant vs the single-device hierarchy (the full CG
-    iteration-parity test is in the slow set)."""
+    """Distributed AMG V-cycle apply is layout-invariant vs the
+    single-device hierarchy.  Slow-marked (69 s of shard_map compile on
+    the virtual mesh): default-suite coverage of the distributed-AMG
+    path is the driver's ``dryrun_multichip`` amg case; the full CG
+    iteration-parity test is also in the slow set."""
     from sigma_tpu.parallel import distribute_amg
     from sigma_tpu.solvers.amg import smoothed_aggregation_amg
     from conftest import laplacian_2d
