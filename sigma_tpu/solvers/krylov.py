@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["SolveInfo", "cg_solve", "bicgstab_solve", "minres_solve", "gmres_solve", "stationary_solve", "block_cg_solve"]
+__all__ = ["SolveInfo", "cg_solve", "cg_fused_solve", "bicgstab_solve", "minres_solve", "gmres_solve", "stationary_solve", "block_cg_solve"]
 
 
 class SolveInfo(NamedTuple):
@@ -106,6 +106,87 @@ def cg_solve(
         body,
         (x0, r0, z0, z0, rho0, res0, jnp.asarray(0, jnp.int32), hist0),
     )
+    resn = jnp.sqrt(res2)
+    return x, SolveInfo(k, resn, resn <= tol_eff, hist)
+
+
+def cg_fused_solve(
+    A, b, x0=None, *, tol=1e-15, rtol=0.0, maxiter=None, M=None, history=False
+):
+    """Chronopoulos-Gear (single-reduction) preconditioned CG.
+
+    Mathematically the same Krylov iterates as :func:`cg_solve`
+    (cg_solvers.f90:116-194) reorganized for memory-bound hardware: the
+    search-direction matvec is replaced by the recurrence
+    ``s_{k+1} = w_{k+1} + beta s_k`` (with ``w = A z``, exact by
+    linearity of A), so one iteration is
+
+        ONE matvec (on z, the freshest vector) -> all dot products
+        (gamma = r.z, delta = w.z, ||r||^2) in one reduction point ->
+        one elementwise block updating x, r, p, s together
+
+    instead of classic CG's dot -> update -> dot -> update chain.  On
+    TPU the elementwise block fuses into a single HBM pass under XLA
+    (~19n words/iteration vs ~21n classic) and halves the number of
+    reduction barriers between matvecs.  The alpha recurrence
+    ``alpha = gamma / (delta - beta * gamma / alpha_prev)`` is algebraic
+    CG (Chronopoulos & Gear 1989, s-step methods literature); in exact
+    arithmetic iterates match classic CG, in f32 the residual histories
+    track each other to the usual Krylov rounding (pinned by
+    tests/test_solvers.py::test_cg_fused_matches_classic).
+
+    Use when the per-iteration wall-clock is HBM/latency bound (large n,
+    distributed meshes — fewer psum barriers); classic ``cg_solve``
+    remains the default for maximum numerical robustness.
+    """
+    n = A.shape[0]
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    maxiter = 10 * n if maxiter is None else maxiter
+    apply_M = _apply(M)
+    matvec = A.matvec
+    tol_eff = jnp.maximum(jnp.asarray(tol, b.dtype), rtol * jnp.linalg.norm(b))
+
+    r0 = b - matvec(x0)
+    z0 = apply_M(r0)
+    w0 = matvec(z0)
+    gamma0 = jnp.vdot(r0, z0)
+    delta0 = jnp.vdot(w0, z0)
+    res0 = jnp.vdot(r0, r0)
+    # first step is steepest descent: alpha = gamma/delta, beta = 0
+    alpha0 = gamma0 / delta0
+    hist0 = (
+        jnp.full((int(maxiter),), jnp.nan, dtype=b.dtype) if history else None
+    )
+
+    def cond(state):
+        res2, k = state[8], state[9]
+        return (jnp.sqrt(res2) > tol_eff) & (k < maxiter)
+
+    def body(state):
+        x, r, z, w, p, s, gamma, alpha, _, k, hist = state
+        # fused elementwise block: x, r advance; p, s fold in the fresh
+        # z, w (s = A p by linearity — no second matvec)
+        x = x + alpha * p
+        r = r - alpha * s
+        z_new = apply_M(r)
+        w_new = matvec(z_new)
+        gamma_new = jnp.vdot(r, z_new)
+        delta_new = jnp.vdot(w_new, z_new)
+        res2 = jnp.vdot(r, r)
+        beta = gamma_new / gamma
+        alpha_new = gamma_new / (delta_new - beta * gamma_new / alpha)
+        p = z_new + beta * p
+        s = w_new + beta * s
+        if hist is not None:
+            hist = hist.at[k].set(jnp.sqrt(res2))
+        return (x, r, z_new, w_new, p, s, gamma_new, alpha_new, res2, k + 1, hist)
+
+    state0 = (
+        x0, r0, z0, w0, z0, w0, gamma0, alpha0, res0,
+        jnp.asarray(0, jnp.int32), hist0,
+    )
+    out = lax.while_loop(cond, body, state0)
+    x, res2, k, hist = out[0], out[8], out[9], out[10]
     resn = jnp.sqrt(res2)
     return x, SolveInfo(k, resn, resn <= tol_eff, hist)
 

@@ -439,3 +439,33 @@ def test_minres_matches_cg_on_spd(rng):
     _, info_pc = minres_solve(A, b, tol=1e-13, M=M)
     assert bool(info_pc.converged)
     assert int(info_pc.iterations) < k
+
+
+def test_cg_fused_matches_classic(rng):
+    """Chronopoulos-Gear CG (one reduction point + fused update block per
+    iteration) produces the same Krylov iterates as classic CG: identical
+    iteration counts (+-2 for f64 rounding) and the same solution, with
+    and without a preconditioner."""
+    from sigma_tpu.solvers import cg_fused_solve, incomplete_cholesky
+    from sigma_tpu.solvers.base import prepare_preconditioner
+
+    n = 196
+    dense = random_spd_laplacian(rng, n)
+    A = CSRMatrix.from_dense(dense)
+    xstar = smoothed_manufactured_solution(rng, dense)
+    b = jnp.asarray(dense @ xstar)
+
+    x1, i1 = cg_solve(A, b, tol=1e-13, history=True)
+    x2, i2 = cg_fused_solve(A, b, tol=1e-13, history=True)
+    assert np.abs(np.asarray(x2) - xstar).max() < 1e-9
+    assert abs(int(i1.iterations) - int(i2.iterations)) <= 2
+    # residual histories track each other while both are defined
+    k = min(int(i1.iterations), int(i2.iterations)) - 1
+    h1, h2 = np.asarray(i1.history)[:k], np.asarray(i2.history)[:k]
+    assert np.allclose(h1, h2, rtol=1e-6, atol=1e-12)
+
+    M = prepare_preconditioner(incomplete_cholesky(), A)
+    x3, i3 = cg_solve(A, b, tol=1e-13, M=M)
+    x4, i4 = cg_fused_solve(A, b, tol=1e-13, M=M)
+    assert np.abs(np.asarray(x4) - xstar).max() < 1e-9
+    assert abs(int(i3.iterations) - int(i4.iterations)) <= 2
