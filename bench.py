@@ -207,7 +207,7 @@ def main():
     # analytic DIA construction: host-direct, no COO sort, no device pull
     n, offsets, data, nnz = laplacian_3d_dia(nx)
     g = DIAGraph(offsets=offsets, shape=(n, n), nnz=nnz)
-    A_dia = DIAMatrix(graph=g, data=jnp.asarray(data))
+    A_dia = DIAMatrix(graph=g, data=jnp.asarray(data.reshape(7, -1, 128)))
     _progress("matrix on device", t0)
     # timed reps are cheap next to compiles (~150 SpMVs each); throughput
     # fluctuates minute-to-minute WITHIN a session (observed spread
@@ -227,7 +227,7 @@ def main():
 
         keep = [d for d, o in enumerate(offsets) if o >= 0]
         A_sym = SymmetricDIAMatrix(
-            data=jnp.asarray(data[keep]),
+            data=jnp.asarray(data[keep].reshape(len(keep), -1, 128)),
             offsets=tuple(offsets[d] for d in keep),
             n=n,
         )
@@ -245,7 +245,7 @@ def main():
     if _time.time() - t0 < 360:
         data_bf16 = data.astype(jnp.bfloat16)
         assert np.array_equal(data_bf16.astype(np.float32), data)
-        A_bf16 = DIAMatrix(graph=g, data=jnp.asarray(data_bf16))
+        A_bf16 = DIAMatrix(graph=g, data=jnp.asarray(data_bf16.reshape(7, -1, 128)))
         bf16_nnz_s = bench_spmv(A_bf16, nnz, samples=bf16_samples)
         _progress(f"dia bf16 {bf16_nnz_s/1e9:.1f} Gnnz/s", t0)
     else:

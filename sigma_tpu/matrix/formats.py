@@ -381,7 +381,15 @@ class DIAMatrix(SparseMatrix):
     """
 
     graph: "DIAGraph"
-    data: jax.Array  # (n_diags, stride), stride = n rounded up to 128
+    data: jax.Array  # (n_diags, stride/128, 128) — the kernel-native tile
+    # layout.  Storing the tiles 3-D (not (n_diags, stride)) matters: a
+    # 2-D jit ARGUMENT gets a (sublane, 128)-tiled device layout that the
+    # pallas custom call cannot consume, and XLA inserts the relayout
+    # AFTER loop-invariant code motion — i.e. INSIDE every solver
+    # iteration (measured 2.03 -> 0.55 ms per 10M-row SpMV).  Flat element
+    # order is unchanged, so flat-position machinery (set_values/entries/
+    # edge_positions) is layout-agnostic; use :attr:`data2d` for
+    # per-diagonal row views.
 
     format: ClassVar[str] = "dia"
     is_get_row_fast: ClassVar[bool] = True
@@ -395,7 +403,12 @@ class DIAMatrix(SparseMatrix):
 
     @classmethod
     def _data_shape(cls, graph):
-        return (graph.n_diags, graph.stride)
+        return (graph.n_diags, graph.stride // 128, 128)
+
+    @property
+    def data2d(self) -> jax.Array:
+        """(n_diags, stride) view: data2d[d, i] = A[i, i + offsets[d]]."""
+        return self.data.reshape(self.graph.n_diags, self.graph.stride)
 
     def _window(self, x, o: int, length: int, total: int):
         return zero_padded_window(x, o, length, total)
@@ -432,15 +445,15 @@ class DIAMatrix(SparseMatrix):
             return None
         from sigma_tpu.ops.spmv_pallas import (
             _LANES,
-            _blocked_tile_rows,
+            _full_tile_pick,
             dia_spmv_pallas_blocked,
         )
 
         offs = self.graph.offsets
-        span = max(max(offs), 0) - min(min(offs), 0)
-        pick = _blocked_tile_rows(
+        reach = max(max(max(offs), 0), -min(min(offs), 0))
+        pick = _full_tile_pick(
             self.graph.stride // _LANES,
-            span // _LANES + 2,
+            reach // _LANES + 2,
             len(offs),
             self.data.dtype.itemsize,
         )
@@ -465,7 +478,7 @@ class DIAMatrix(SparseMatrix):
         y2 = jnp.zeros((s // 128, 128), dtype=x.dtype)
         for d, o in enumerate(offs):
             w = self._window(x, o, n, s).reshape(s // 128, 128)
-            y2 = y2 + self.data[d].reshape(s // 128, 128).astype(x.dtype) * w
+            y2 = y2 + self.data[d].astype(x.dtype) * w
         return y2.reshape(-1)[:n]
 
     def _matvec_scan(self, x):
@@ -495,7 +508,7 @@ class DIAMatrix(SparseMatrix):
             return y + drow.astype(y.dtype) * w, None
 
         y, _ = lax.scan(
-            step, jnp.zeros((s,), x.dtype), (off_arr, self.data)
+            step, jnp.zeros((s,), x.dtype), (off_arr, self.data2d)
         )
         return y[:n]
 
@@ -532,9 +545,9 @@ class DIAMatrix(SparseMatrix):
         sT = -(-m // 128) * 128
         order = sorted(range(len(offs)), key=lambda d: -offs[d])
         rows = [
-            zero_padded_window(self.data[d], -offs[d], sT, sT) for d in order
+            zero_padded_window(self.data2d[d], -offs[d], sT, sT) for d in order
         ]
-        dataT = jnp.stack(rows)
+        dataT = jnp.stack(rows).reshape(len(order), sT // 128, 128)
         offsT = tuple(-offs[d] for d in order)
         return dataT, offsT
 
@@ -555,15 +568,15 @@ class DIAMatrix(SparseMatrix):
             return None
         from sigma_tpu.ops.spmv_pallas import (
             _LANES,
-            _blocked_tile_rows,
+            _full_tile_pick,
             dia_spmv_pallas_blocked,
         )
 
         offs = self.graph.offsets
-        span = max(max(offs), 0) - min(min(offs), 0)
-        pick = _blocked_tile_rows(
+        reach = max(max(max(offs), 0), -min(min(offs), 0))
+        pick = _full_tile_pick(
             self.graph.stride // _LANES,
-            span // _LANES + 2,
+            reach // _LANES + 2,
             len(offs),
             self.data.dtype.itemsize,
         )
@@ -591,7 +604,7 @@ class DIAMatrix(SparseMatrix):
         s = -(-m // 128) * 128
         y2 = jnp.zeros((s // 128, 128), dtype=x.dtype)
         for d, o in enumerate(offs):
-            z = self.data[d, :n].astype(x.dtype) * x
+            z = self.data2d[d, :n].astype(x.dtype) * x
             w = self._window(z, -o, m, s).reshape(s // 128, 128)
             y2 = y2 + w
         return y2.reshape(-1)[:m]
@@ -614,7 +627,7 @@ class DIAMatrix(SparseMatrix):
             return lax.dynamic_update_slice(acc, win + z, (start,)), None
 
         acc, _ = lax.scan(
-            step, jnp.zeros((L,), x.dtype), (off_arr, self.data)
+            step, jnp.zeros((L,), x.dtype), (off_arr, self.data2d)
         )
         # frame position t holds y[t + o_min]
         return lax.dynamic_slice(acc, (left,), (m,))
@@ -710,13 +723,13 @@ class DIAMatrix(SparseMatrix):
                 return Y + drow[:n, None].astype(X.dtype) * W, None
 
             Y, _ = lax.scan(
-                step, jnp.zeros((n, k), X.dtype), (off_arr, self.data)
+                step, jnp.zeros((n, k), X.dtype), (off_arr, self.data2d)
             )
             return Y
         Y = jnp.zeros((n, k), dtype=X.dtype)
         for d, o in enumerate(offs):
             W = self._window(X, o, n, n)
-            Y = Y + self.data[d, :n, None].astype(X.dtype) * W
+            Y = Y + self.data2d[d, :n, None].astype(X.dtype) * W
         return Y
 
     def rmatmat(self, X):
@@ -742,12 +755,12 @@ class DIAMatrix(SparseMatrix):
                 return lax.dynamic_update_slice(acc, win + Z, (start, zero)), None
 
             acc, _ = lax.scan(
-                step, jnp.zeros((L, k), X.dtype), (off_arr, self.data)
+                step, jnp.zeros((L, k), X.dtype), (off_arr, self.data2d)
             )
             return lax.dynamic_slice(acc, (left, 0), (m, k))
         Y = jnp.zeros((m, k), dtype=X.dtype)
         for d, o in enumerate(offs):
-            Z = self.data[d, :n, None].astype(X.dtype) * X
+            Z = self.data2d[d, :n, None].astype(X.dtype) * X
             Y = Y + self._window(Z, -o, m, m)
         return Y
 
@@ -758,5 +771,5 @@ class DIAMatrix(SparseMatrix):
     def diagonal(self) -> jax.Array:
         if 0 in self.graph.offsets:
             d = self.graph.offsets.index(0)
-            return self.data[d, : min(self.shape)]
+            return self.data2d[d, : min(self.shape)]
         return jnp.zeros((min(self.shape),), dtype=self.dtype)

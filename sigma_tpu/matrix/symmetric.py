@@ -18,12 +18,12 @@ symmetric pallas kernel
 tile reads small forward/backward x halos plus a backward data halo, all
 delivered by clamped BlockSpec index maps over the unmodified HBM arrays
 — HBM traffic is ~7.5n words vs ~10n for full-storage DIA on the 7-point
-Laplacian (153-163 Gnnz/s measured at the 10M-row north star across two
-sessions, at/above full storage's 159 Gnnz/s minimal-traffic ceiling;
-shared-tunnel session variance of up to ~3x makes finer full-vs-sym
-ranking unreliable — see BENCHMARKS.md).  (The small-n XLA window path
-below does pay doubled x-window reads; at those sizes x is VMEM-resident
-anyway.)
+Laplacian, making this the FASTEST SpMV path in the repo: 126.6 vs
+107.8 Gnnz/s sustained (absolute chain timing, operators passed as jit
+arguments) at the 10M-row north star — see BENCHMARKS.md's
+argument-relayout section for why the (D, S, 128) storage layout is
+load-bearing.  (The small-n XLA window path below does pay doubled
+x-window reads; at those sizes x is VMEM-resident anyway.)
 
 This is a :class:`LinearOperator` (matvec/matmat/solve compose with every
 Krylov solver and preconditioner), not a mutable SparseMatrix — convert
@@ -50,7 +50,7 @@ __all__ = ["SymmetricDIAMatrix"]
 class SymmetricDIAMatrix(LinearOperator):
     """data[d, i] = A[i, i + offsets[d]] with offsets[d] >= 0 only."""
 
-    data: jax.Array  # (n_upper_diags, stride)
+    data: jax.Array  # (n_upper_diags, stride/128, 128) kernel-native tiles
     offsets: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     n: int = dataclasses.field(metadata=dict(static=True))
 
@@ -71,6 +71,11 @@ class SymmetricDIAMatrix(LinearOperator):
         return self.data.dtype
 
     @property
+    def data2d(self) -> jax.Array:
+        """(n_upper_diags, stride) view: data2d[d, i] = A[i, i+offsets[d]]."""
+        return self.data.reshape(self.data.shape[0], -1)
+
+    @property
     def nnz(self) -> int:
         n = self.n
         return sum(
@@ -86,7 +91,7 @@ class SymmetricDIAMatrix(LinearOperator):
         if n != m:
             raise ValueError("symmetric storage requires a square matrix")
         offs = A.graph.offsets
-        data = np.asarray(A.data)
+        data = np.asarray(A.data2d)
         rows = {}
         for d, o in enumerate(offs):
             rows[o] = data[d]
@@ -105,7 +110,9 @@ class SymmetricDIAMatrix(LinearOperator):
         keep = sorted(o for o in offs if o >= 0)
         sel = [offs.index(o) for o in keep]
         return cls(
-            data=jnp.asarray(data[sel]), offsets=tuple(keep), n=int(n)
+            data=jnp.asarray(data[sel].reshape(len(keep), -1, 128)),
+            offsets=tuple(keep),
+            n=int(n),
         )
 
     @classmethod
@@ -127,14 +134,14 @@ class SymmetricDIAMatrix(LinearOperator):
         g = DIAGraph(offsets=tuple(full), shape=(n, n), nnz=self.nnz)
         s = g.stride
         data = np.zeros((len(full), s), dtype=np.asarray(self.data).dtype)
-        host = np.asarray(self.data)
+        host = np.asarray(self.data2d)
         for d, o in enumerate(full):
             if o >= 0:
                 data[d] = host[self.offsets.index(o)]
             else:
                 src = host[self.offsets.index(-o)]
                 data[d, -o : n] = src[: n + o]
-        return DIAMatrix(graph=g, data=jnp.asarray(data))
+        return DIAMatrix(graph=g, data=jnp.asarray(data.reshape(len(full), -1, 128)))
 
     # -- compute ----------------------------------------------------------
     def _pallas_path(self, x):
@@ -163,7 +170,7 @@ class SymmetricDIAMatrix(LinearOperator):
 
         o_max = max(self.offsets)
         pick = _sym_tile_pick(
-            self.data.shape[1] // _LANES,
+            self.data.shape[1],
             o_max // _LANES + 2,
             len(self.offsets),
             self.data.dtype.itemsize,
@@ -177,13 +184,14 @@ class SymmetricDIAMatrix(LinearOperator):
         if y is not None:
             return y
         n = self.n
-        s = self.data.shape[1]
+        s = self.data.shape[1] * 128
+        d2 = self.data2d
         y2 = jnp.zeros((s // 128, 128), dtype=x.dtype)
         for d, o in enumerate(self.offsets):
             w = zero_padded_window(x, o, n, s).reshape(s // 128, 128)
-            y2 = y2 + self.data[d].reshape(s // 128, 128).astype(x.dtype) * w
+            y2 = y2 + self.data[d].astype(x.dtype) * w
             if o > 0:
-                z = self.data[d, :n].astype(x.dtype) * x
+                z = d2[d, :n].astype(x.dtype) * x
                 y2 = y2 + zero_padded_window(z, -o, n, s).reshape(
                     s // 128, 128
                 )
@@ -195,11 +203,12 @@ class SymmetricDIAMatrix(LinearOperator):
         n = self.n
         k = X.shape[1]
         Y = jnp.zeros((n, k), dtype=X.dtype)
+        d2 = self.data2d
         for d, o in enumerate(self.offsets):
             W = zero_padded_window(X, o, n, n)
-            Y = Y + self.data[d, :n, None].astype(X.dtype) * W
+            Y = Y + d2[d, :n, None].astype(X.dtype) * W
             if o > 0:
-                Z = self.data[d, :n, None].astype(X.dtype) * X
+                Z = d2[d, :n, None].astype(X.dtype) * X
                 Y = Y + zero_padded_window(Z, -o, n, n)
         return Y
 
@@ -207,7 +216,7 @@ class SymmetricDIAMatrix(LinearOperator):
 
     def diagonal(self) -> jax.Array:
         if 0 in self.offsets:
-            return self.data[self.offsets.index(0), : self.n]
+            return self.data2d[self.offsets.index(0), : self.n]
         return jnp.zeros((self.n,), dtype=self.dtype)
 
     def to_dense(self) -> np.ndarray:

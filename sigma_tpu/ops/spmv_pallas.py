@@ -6,13 +6,15 @@ the full history):
 =========================  ==========  ==================================
 path                       Gnnz/s      notes
 =========================  ==========  ==================================
-blocked pallas (default)   126-325     overlapping BlockSpec row-tile
-                                       windows; O(1) x traffic per tile
-                                       at ANY n; ~100% of minimal-traffic
-                                       speed-of-light at the 10M-row
-                                       north star with the raised VMEM
-                                       limit (162 measured)
-XLA DIA windows            15-144      near-SoL while x is VMEM-resident;
+blocked sym (default for   127         zero-construction clamped-halo
+SymmetricDIAMatrix)                    BlockSpecs; ~7.5n words/SpMV —
+                                       the fastest path (sustained,
+                                       arg-passed, 10M rows)
+blocked pallas (default)   108         same structure, full storage
+                                       (~10n words); O(1) x traffic per
+                                       tile at ANY n (sustained; round-1
+                                       cliff was 15)
+XLA DIA windows            15-40       near-SoL while x is VMEM-resident;
                                        re-reads x per diagonal past ~3.5M
                                        rows (the round-1 cliff) — now the
                                        CPU/f64/small-n path only
@@ -21,6 +23,12 @@ VMEM-resident pallas       ~113        full-x operand re-fetched per grid
 XLA ELL gather             0.1         per-element HBM gather — why DIA
                                        exists
 =========================  ==========  ==================================
+
+Operand layout is part of the design: all kernels take DIA values in the
+(D, S, 128) tile shape (``DIAMatrix``'s storage layout) because a 2-D
+(D, stride) JIT argument costs a full-array relayout INSIDE every solver
+iteration — XLA's layout assignment runs after loop-invariant code
+motion (measured 2.03 -> 0.55 ms/SpMV; BENCHMARKS.md).
 
 The blocked kernels are the default TPU path from 64K rows
 (``DIAMatrix.matvec/matmat/rmatvec`` gate on backend/dtype/band-fit);
@@ -130,6 +138,40 @@ def _make_compute(offsets, o_min, T):
     return compute
 
 
+def _dia3(data):
+    """Normalize DIA values to the kernel-native (D, S, 128) tile shape.
+    Pass data already 3-D (the :class:`DIAMatrix` storage layout) to make
+    a jitted solver loop conversion-free: XLA's layout assignment runs
+    AFTER loop-invariant code motion, so a 2-D (D, stride) jit argument
+    costs a full-array relayout INSIDE every solver iteration (measured:
+    2.03 -> 0.55 ms per 10M-row symmetric SpMV once removed)."""
+    if data.ndim == 3:
+        return data
+    D, stride = data.shape
+    return data.reshape(D, stride // _LANES, _LANES)
+
+
+def _full_tile_pick(S: int, hrows: int, D: int, itemsize: int):
+    """(T, E) for the zero-construction blocked kernel: row tile T, halo
+    E with E | T (halo blocks are fetched from the same x frame via
+    ``i -> F*i`` index maps), E*128 >= the band's one-sided reach both
+    ways, working set (x tile + 2 halos + data tile + y tile, double
+    buffered) within the VMEM budget.  None if nothing fits."""
+    for T in (1536, 2048, 1024, 768, 512, 384, 256):
+        if T > S:
+            continue
+        E = next(
+            (e for e in range(8, T + 1, 8) if e >= hrows and T % e == 0),
+            None,
+        )
+        if E is None:
+            continue
+        byts = 2 * _LANES * (4 * (T + 2 * E) + itemsize * D * T + 4 * T)
+        if byts <= _VMEM_BUDGET_BYTES:
+            return T, E
+    return None
+
+
 @functools.partial(
     jax.jit, static_argnames=("offsets", "n", "m", "interpret")
 )
@@ -138,97 +180,142 @@ def dia_spmv_pallas_blocked(data, x, offsets, n, m, interpret=False):
     windows via BlockSpec pipelining alone — the fix for the XLA windowed
     formulation's per-diagonal x re-read past VMEM size (the >3.5M-row
     cliff, BENCHMARKS.md), built without ``make_async_copy`` (manual-DMA
-    kernels fault the axon TPU runtime stack).
+    kernels fault the axon runtime stack).
 
-    Grid over tiles of ``T`` sublane-rows.  The padded x is passed ``nxb``
-    times with index maps ``i -> i + j``; the kernel concatenates the
-    blocks into a (nxb*T, 128) VMEM window covering every diagonal's
-    reach, so x is fetched from HBM ~nxb times per SpMV regardless of n
-    (vs once per *diagonal* for XLA windows).  Rows past the last full
-    tile (at most T*128) are finished by an XLA window pass on the host
-    program side.
+    ZERO-CONSTRUCTION form: no padded-x operand is built on the XLA side
+    (the padded-frame concat of an earlier revision was a full x copy per
+    call — inside a solver's ``while_loop`` that is per-ITERATION HBM
+    traffic).  Each grid step fetches the x tile plus one backward and
+    one forward halo block from the UNMODIFIED x frame through clamped
+    index maps (``i -> F*i - 1`` / ``F*i + F``, F = T/E); out-of-range
+    or past-``m`` elements are zero-masked in-kernel by their INTENDED
+    element index (unspecified VMEM bytes may be NaN, and NaN*0 != 0, so
+    masking selects rather than multiplies).  The grid covers ALL rows —
+    no XLA tail pass.  Pass ``data`` in the (D, S, 128) tile layout (see
+    :func:`_dia3`) to keep jitted solver loops conversion-free.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     D = len(offsets)
-    stride = data.shape[1]
-    S = stride // _LANES
+    data3 = _dia3(data)
+    S = data3.shape[1]
     o_min = min(min(offsets), 0)
     o_max = max(max(offsets), 0)
-    span = o_max - o_min
-    extra_rows = span // _LANES + 2
+    hrows = max(-o_min, o_max) // _LANES + 2
 
-    pick = _blocked_tile_rows(S, extra_rows, D, data.dtype.itemsize)
+    pick = _full_tile_pick(S, hrows, D, data.dtype.itemsize)
     if pick is None:
         raise ValueError(
-            f"blocked pallas path cannot fit {D} diagonals of span {span} "
-            "in VMEM; use DIAMatrix.matvec (XLA scan path)"
+            f"blocked pallas path cannot fit {D} diagonals of reach "
+            f"{max(-o_min, o_max)} in VMEM; use DIAMatrix.matvec (XLA "
+            "scan path)"
         )
-    T, nxb = pick
-    G = S // T  # full tiles; tail rows handled by XLA below
+    T, E = pick
+    F = T // E
+    G = -(-S // T)  # full coverage; Mosaic masks the partial last block
+    PL = E * _LANES
 
-    # padded x frame: xp[t] = x[t + o_min]; right-padded so every shifted
-    # block index i + j (i < G, j < nxb) is fully in bounds AND the XLA
-    # tail pass below can slice windows up to n + span
-    Sp = (G + nxb - 1) * T
-    L = max(Sp, S + extra_rows) * _LANES
-    left = -o_min
-    right = L - left - m
-    xp = jnp.concatenate(
-        [jnp.zeros((left,), x.dtype), x, jnp.zeros((max(right, 0),), x.dtype)]
-    )
-    xp2 = xp[: Sp * _LANES].reshape(Sp, _LANES)
+    if m % _LANES == 0:
+        Sx = m // _LANES
+        xrows = x.reshape(Sx, _LANES)
+    else:
+        Sx = -(-m // _LANES)
+        xrows = jnp.concatenate(
+            [x, jnp.zeros((Sx * _LANES - m,), x.dtype)]
+        ).reshape(Sx, _LANES)
+    EBx = -(-Sx // E)
+    TBx = -(-Sx // T)
 
-    data2 = data.reshape(D, S, _LANES)
-    compute = _make_compute(offsets, o_min, T)
-
-    def kernel(*refs):
-        xrefs, data_ref, y_ref = refs[:nxb], refs[nxb], refs[nxb + 1]
-        xcat = jnp.concatenate([r[...] for r in xrefs], axis=0)
-        y_ref[:, :] = compute(
-            lambda rowoff: xcat[rowoff : rowoff + T + 1, :],
-            data_ref,
-            y_ref.dtype,
+    def shifted(frame, q, rows):
+        """(rows, 128) window w[t] = frame_elements[t*128 + lane + q]."""
+        rowoff = q // _LANES
+        laneoff = q % _LANES
+        base = frame[rowoff : rowoff + rows + 1, :]
+        if laneoff == 0:
+            return base[:rows, :]
+        rolled = pltpu.roll(base, shift=_LANES - laneoff, axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+        return jnp.where(
+            lane < _LANES - laneoff, rolled[:rows, :], rolled[1 : rows + 1, :]
         )
 
-    x_specs = [
-        pl.BlockSpec(
-            (T, _LANES),
-            functools.partial(lambda j, i: (i + j, 0), j),
-            memory_space=pltpu.VMEM,
+    def elem_ids(rows):
+        row = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+        return row * _LANES + lane
+
+    # masks can be skipped entirely when x-tile indices line up with the
+    # output grid and every fetched element is in range
+    exact = (m % _LANES == 0) and (S == Sx) and (G * T == S)
+
+    def kernel(xm_ref, xf_ref, xb_ref, d_ref, y_ref):
+        i = pl.program_id(0)
+        base = i * T * _LANES
+        xm = xm_ref[...]
+        if not exact:
+            xm = jnp.where(
+                base + elem_ids(T) < m, xm, jnp.zeros_like(xm)
+            )
+        xf = xf_ref[...]
+        if not exact or o_max > 0:
+            xf = jnp.where(
+                (i + 1) * T * _LANES + elem_ids(E) < m,
+                xf,
+                jnp.zeros_like(xf),
+            )
+        # backward halo: intended rows [i*T-E, i*T) — invalid at i=0 AND
+        # (tall-rectangular) when the clamped fetch lands on the partial
+        # last x-frame block, so mask by the intended element index
+        xb_idx = base - PL + elem_ids(E)
+        xb = jnp.where(
+            (xb_idx >= 0) & (xb_idx < m),
+            xb_ref[...],
+            jnp.zeros_like(xb_ref),
         )
-        for j in range(nxb)
-    ]
+
+        xcat = jnp.concatenate([xb, xm, xf], axis=0)
+        acc = jnp.zeros((T, _LANES), y_ref.dtype)
+        for d, o in enumerate(offsets):
+            acc = acc + d_ref[d].astype(acc.dtype) * shifted(
+                xcat, PL + o, T
+            )
+        if not exact:
+            # rows past n may hold garbage*0 = NaN products; zero them
+            acc = jnp.where(
+                base + elem_ids(T) < n, acc, jnp.zeros_like(acc)
+            )
+        y_ref[...] = acc
+
+    clamp_m = lambda i: (jnp.minimum(i, TBx - 1), 0)
+    clamp_f = lambda i: (jnp.minimum(F * i + F, EBx - 1), 0)
+    clamp_b = lambda i: (jnp.maximum(jnp.minimum(F * i - 1, EBx - 1), 0), 0)
     y2 = pl.pallas_call(
         kernel,
         grid=(G,),
-        in_specs=x_specs
-        + [
+        in_specs=[
+            pl.BlockSpec(
+                (T, _LANES), clamp_m, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (E, _LANES), clamp_f, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (E, _LANES), clamp_b, memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(
                 (D, T, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-            )
+            ),
         ],
         out_specs=pl.BlockSpec(
             (T, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((G * T, _LANES), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((S, _LANES), x.dtype),
         compiler_params=_compiler_params(interpret),
         interpret=interpret,
-    )(*([xp2] * nxb), data2)
+    )(xrows, xrows, xrows, data3)
     y = y2.reshape(-1)
-    if G * T * _LANES >= n:
-        return y[:n]
-
-    # tail: the rows the tile grid didn't cover, finished with XLA windows
-    t0 = G * T * _LANES
-    tail = n - t0
-    yt = jnp.zeros((tail,), dtype=x.dtype)
-    for d, o in enumerate(offsets):
-        q = o - o_min
-        w = lax.dynamic_slice(xp, (t0 + q,), (tail,))
-        yt = yt + data[d, t0 : t0 + tail].astype(x.dtype) * w
-    return jnp.concatenate([y, yt])[: n]
+    return y if S * _LANES == n else y[:n]
 
 
 def _sym_tile_pick(S: int, hrows: int, D: int, itemsize: int):
@@ -310,8 +397,8 @@ def dia_sym_spmv_pallas_blocked(
     if min(offsets) < 0:
         raise ValueError("symmetric kernel takes offsets >= 0 only")
     D = len(offsets)
-    stride = data.shape[1]
-    S = stride // _LANES
+    data3 = _dia3(data)
+    S = data3.shape[1]
     o_max = max(offsets)
     hrows = o_max // _LANES + 2
 
@@ -340,7 +427,7 @@ def dia_sym_spmv_pallas_blocked(
             [x, jnp.zeros((S * _LANES - n,), x.dtype)]
         ).reshape(S, _LANES)
         aligned = False
-    data2 = data.reshape(D, S, _LANES)
+    data2 = data3
 
     def shifted(frame, q, rows):
         """(rows, 128) window w[t] = frame_elements[t*128 + lane + q]."""
@@ -477,8 +564,8 @@ def _dia_spmm_core(data, XT, offsets, n, m, interpret):
 
     D = len(offsets)
     k = XT.shape[0]
-    stride = data.shape[1]
-    S = stride // _LANES
+    data = _dia3(data)
+    S = data.shape[1]
     o_min = min(min(offsets), 0)
     o_max = max(max(offsets), 0)
     span = o_max - o_min
@@ -506,7 +593,7 @@ def _dia_spmm_core(data, XT, offsets, n, m, interpret):
         axis=1,
     )
     Xp3 = Xp[:, : Sp * _LANES].reshape(k, Sp, _LANES)
-    data2 = data.reshape(D, S, _LANES)
+    data2 = data
 
     def kernel(*refs):
         xrefs, data_ref, y_ref = refs[:nxb], refs[nxb], refs[nxb + 1]
@@ -561,10 +648,11 @@ def _dia_spmm_core(data, XT, offsets, n, m, interpret):
         t0 = G * T * _LANES
         tail = n - t0
         Yt = jnp.zeros((k, tail), dtype=XT.dtype)
+        data2d = data.reshape(D, S * _LANES)
         for d, o in enumerate(offsets):
             q = o - o_min
             w = lax.dynamic_slice(Xp, (0, t0 + q), (k, tail))
-            Yt = Yt + data[d, t0 : t0 + tail][None].astype(XT.dtype) * w
+            Yt = Yt + data2d[d, t0 : t0 + tail][None].astype(XT.dtype) * w
         Y = jnp.concatenate([Y, Yt], axis=1)
     return Y[:, :n]
 
@@ -593,8 +681,8 @@ def dia_spmv_pallas(
     from jax.experimental.pallas import tpu as pltpu
 
     D = len(offsets)
-    stride = data.shape[1]
-    S = stride // _LANES  # sublane-rows of y
+    data = _dia3(data)
+    S = data.shape[1]  # sublane-rows of y
     o_min = min(min(offsets), 0)
     o_max = max(max(offsets), 0)
     span = o_max - o_min
@@ -627,7 +715,7 @@ def dia_spmv_pallas(
         ]
     ).reshape(Sp, _LANES)
 
-    data2 = data.reshape(D, S, _LANES)
+    data2 = data
     compute = _make_compute(offsets, o_min, T)
 
     vmem_resident = Sp * _LANES <= _MAX_X_ELEMS

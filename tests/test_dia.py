@@ -53,13 +53,15 @@ def test_graph_semantics(rng):
 
 
 def test_stride_layout(rng):
-    """Value layout is (n_diags, stride) with stride = ceil(n/128)*128 and
-    positions d*stride + i."""
+    """Values are stored in the kernel-native (n_diags, stride/128, 128)
+    tile layout (stride = ceil(n/128)*128) with flat positions
+    d*stride + i unchanged; data2d exposes the per-diagonal rows."""
     n = 200
     dA = random_banded(rng, n, n, [-1, 0, 2])
     A = DIAMatrix.from_dense(dA)
     assert A.graph.stride == 256
-    assert A.data.shape == (3, 256)
+    assert A.data.shape == (3, 2, 128)
+    assert A.data2d.shape == (3, 256)
     i, j = 57, 59  # offset +2
     pos = A.graph.edge_positions([i], [j])[0]
     d = A.graph.offsets.index(2)
@@ -295,4 +297,4 @@ def test_bench_analytic_dia_matches_coo():
     A = DIAMatrix.from_coo(n, n, r, c, v, dtype=jnp.float64)
     n2, offs, data, nnz = laplacian_3d_dia(nx, dtype=np.float64)
     assert n2 == n and offs == A.graph.offsets and nnz == r.size
-    np.testing.assert_array_equal(np.asarray(A.data), data)
+    np.testing.assert_array_equal(np.asarray(A.data2d), data)

@@ -98,8 +98,11 @@ def test_blocked_kernel_interpret(n, diags, monkeypatch):
     import sigma_tpu.ops.spmv_pallas as sp
 
     monkeypatch.setattr(
-        sp, "_blocked_tile_rows",
-        lambda S, extra, D, isz: (64, 1 + -(-extra // 64)),
+        sp, "_full_tile_pick",
+        lambda S, hrows, D, isz: (
+            64,
+            next(e for e in range(8, 65, 8) if e >= hrows and 64 % e == 0),
+        ),
     )
     rng = np.random.default_rng(7)
     stride = -(-n // 128) * 128
@@ -116,6 +119,48 @@ def test_blocked_kernel_interpret(n, diags, monkeypatch):
         lo, hi = max(0, -o), min(n, n - o)
         ref[lo:hi] += data[d, lo:hi] * x[lo + o : hi + o]
     assert np.max(np.abs(np.asarray(y) - ref)) / np.max(np.abs(ref)) < 1e-5
+
+
+@pytest.mark.parametrize(
+    "n,m,diags",
+    [
+        (90_000, 70_123, [0, 4, -300, 2000]),  # tall: x frame shorter
+        (70_123, 90_000, [0, -4, 300, 2000]),  # wide: x beyond last row
+    ],
+)
+def test_blocked_kernel_rectangular_interpret(n, m, diags, monkeypatch):
+    """Rectangular DIA (AMG restriction/prolongation shapes) through the
+    zero-construction blocked kernel: the clamped x-tile index maps and
+    intended-index masks must handle an x frame shorter or longer than
+    the output grid."""
+    import sigma_tpu.ops.spmv_pallas as sp
+
+    monkeypatch.setattr(
+        sp, "_full_tile_pick",
+        lambda S, hrows, D, isz: (
+            64,
+            next(e for e in range(8, 65, 8) if e >= hrows and 64 % e == 0),
+        ),
+    )
+    rng = np.random.default_rng(13)
+    stride = -(-n // 128) * 128
+    data = np.zeros((len(diags), stride), np.float32)
+    for d, o in enumerate(diags):
+        lo = max(0, -o)
+        hi = min(n, m - o)
+        if hi > lo:
+            data[d, lo:hi] = rng.standard_normal(hi - lo)
+    x = rng.standard_normal(m).astype(np.float32)
+    y = sp.dia_spmv_pallas_blocked(
+        jnp.asarray(data), jnp.asarray(x), tuple(diags), n, m, interpret=True
+    )
+    ref = np.zeros(n, np.float64)
+    for d, o in enumerate(diags):
+        lo = max(0, -o)
+        hi = min(n, m - o)
+        if hi > lo:
+            ref[lo:hi] += data[d, lo:hi].astype(np.float64) * x[lo + o : hi + o]
+    assert np.max(np.abs(np.asarray(y) - ref)) / max(np.max(np.abs(ref)), 1e-30) < 1e-5
 
 
 @pytest.mark.parametrize(
