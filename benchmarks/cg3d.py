@@ -72,6 +72,16 @@ def main():
         help="pad grid index strides to this (0 = natural strides; padding "
         "measured slower at 10M rows, see BENCHMARKS.md)",
     )
+    ap.add_argument(
+        "--symmetric", action="store_true",
+        help="use SymmetricDIAMatrix (upper diagonals only, ~7.5n vs ~10n "
+        "words/SpMV — the fastest path)",
+    )
+    ap.add_argument(
+        "--fused", action="store_true",
+        help="use Chronopoulos-Gear fused CG (one reduction point + one "
+        "fused update block per iteration)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -80,7 +90,7 @@ def main():
 
     from bench import laplacian_3d_coo, timeit_loop
     from sigma_tpu import DIAMatrix
-    from sigma_tpu.solvers import cg_solve
+    from sigma_tpu.solvers import cg_fused_solve, cg_solve
 
     nx = args.nx
     if args.pad_strides and args.pad_strides > nx:
@@ -94,6 +104,10 @@ def main():
     )
 
     A = DIAMatrix.from_coo(n, n, r, c, v, dtype=jnp.float32)
+    if args.symmetric:
+        from sigma_tpu.matrix.symmetric import SymmetricDIAMatrix
+
+        A = SymmetricDIAMatrix.from_dia(A)
     x = jnp.ones((n,), jnp.float32)
 
     # SpMV throughput
@@ -140,7 +154,9 @@ def main():
     )
     b = A.matvec(xstar)
     solve = jax.jit(
-        lambda A, b: cg_solve(A, b, tol=0.0, rtol=1e-6, maxiter=args.iters)
+        lambda A, b: (cg_fused_solve if args.fused else cg_solve)(
+            A, b, tol=0.0, rtol=1e-6, maxiter=args.iters
+        )
     )
     t0 = time.perf_counter()
     xs, info = solve(A, b)
