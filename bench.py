@@ -7,8 +7,9 @@ DIA's minimal bytes-per-nonzero.  Prints ONE JSON line
 
 Session-robustness (the shared tunnel chip varies up to ~3x between
 sessions): the same-session streaming-triad bandwidth is ALWAYS measured
-and reported next to the spec-sheet figure, each timing is a best-of-N
-burst with the per-rep spread recorded in ``detail.spread``, and when BOTH
+and reported next to the spec-sheet figure, each timing is the median of
+N slope fits capped by the absolute chain floor (see ``timeit_loop``)
+with the per-rep spread recorded in ``detail.spread``, and when BOTH
 in-run bandwidth witnesses (the triad and the bandwidth the SpMV itself
 achieved) are far below spec (< 60%) the score is computed against the
 best same-session witness and capped at 1.0 (a degraded session may claim
@@ -343,8 +344,13 @@ def main():
                             for t in triad_samples
                         ],
                     },
-                    "kernel": "dia_spmv_pallas_blocked (overlapping "
-                    "BlockSpec windows; see sigma_tpu/ops/spmv_pallas.py)",
+                    "kernel": (
+                        "dia_sym_spmv_pallas_blocked"
+                        if value == (sym_nnz_s or 0.0)
+                        else "dia_spmv_pallas_blocked"
+                    )
+                    + " (zero-construction clamped-halo BlockSpecs; "
+                    "see sigma_tpu/ops/spmv_pallas.py)",
                 },
             }
         )

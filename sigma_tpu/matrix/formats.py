@@ -650,15 +650,15 @@ class DIAMatrix(SparseMatrix):
             return None
         from sigma_tpu.ops.spmv_pallas import (
             _LANES,
-            _blocked_tile_rows,
+            _spmm_tile_pick,
             dia_spmm_pallas_blocked,
         )
 
         offs = self.graph.offsets
-        span = max(max(offs), 0) - min(min(offs), 0)
-        pick = _blocked_tile_rows(
+        reach = max(max(max(offs), 0), -min(min(offs), 0))
+        pick = _spmm_tile_pick(
             self.graph.stride // _LANES,
-            span // _LANES + 2,
+            reach // _LANES + 2,
             len(offs),
             self.data.dtype.itemsize,
             k=k,
@@ -688,15 +688,15 @@ class DIAMatrix(SparseMatrix):
         if use_pallas:
             from sigma_tpu.ops.spmv_pallas import (
                 _LANES,
-                _blocked_tile_rows,
+                _spmm_tile_pick,
                 dia_spmm_rhs_major,
             )
 
             offs = self.graph.offsets
-            span = max(max(offs), 0) - min(min(offs), 0)
-            pick = _blocked_tile_rows(
+            reach = max(max(max(offs), 0), -min(min(offs), 0))
+            pick = _spmm_tile_pick(
                 self.graph.stride // _LANES,
-                span // _LANES + 2,
+                reach // _LANES + 2,
                 len(offs),
                 self.data.dtype.itemsize,
                 k=k,

@@ -199,7 +199,51 @@ class SymmetricDIAMatrix(LinearOperator):
 
     rmatvec = matvec  # symmetric
 
+    def _pallas_spmm_path(self, XT):
+        """Symmetric blocked SpMM (RHS-major) when profitable: same gate
+        conditions as the matvec path plus small k."""
+        n = self.n
+        k = XT.shape[0]
+        if n < DIAMatrix._PALLAS_MIN_ELEMS or not (1 <= k <= 16):
+            return None
+        if XT.dtype not in (jnp.float32, jnp.bfloat16):
+            return None
+        if self.data.dtype not in (jnp.float32, jnp.bfloat16):
+            return None
+        try:
+            if jax.default_backend() != "tpu":
+                return None
+        except RuntimeError:
+            return None
+        from sigma_tpu.ops.spmv_pallas import (
+            _LANES,
+            _sym_spmm_tile_pick,
+            dia_sym_spmm_rhs_major,
+        )
+
+        pick = _sym_spmm_tile_pick(
+            self.data.shape[1],
+            max(self.offsets) // _LANES + 2,
+            len(self.offsets),
+            self.data.dtype.itemsize,
+            k,
+        )
+        if pick is None:
+            return None
+        return dia_sym_spmm_rhs_major(self.data, XT, self.offsets, n)
+
+    def matmat_rhs_major(self, XT):
+        """RHS-major multi-RHS apply (k, n) -> (k, n): the transpose-free
+        fast path (see :meth:`DIAMatrix.matmat_rhs_major`)."""
+        Y = self._pallas_spmm_path(XT)
+        if Y is not None:
+            return Y
+        return self.matmat(XT.T).T
+
     def matmat(self, X):
+        Y = self._pallas_spmm_path(X.T)
+        if Y is not None:
+            return Y.T
         n = self.n
         k = X.shape[1]
         Y = jnp.zeros((n, k), dtype=X.dtype)

@@ -57,6 +57,7 @@ __all__ = [
     "dia_spmm_pallas_blocked",
     "dia_spmm_rhs_major",
     "dia_sym_spmv_pallas_blocked",
+    "dia_sym_spmm_rhs_major",
     "pallas_supported",
 ]
 
@@ -71,21 +72,6 @@ _MAX_X_ELEMS = 3 * 1024 * 1024
 # scoped allocation).
 _VMEM_BUDGET_BYTES = 24 * 1024 * 1024
 _VMEM_LIMIT_BYTES = 64 * 1024 * 1024
-
-
-def _blocked_tile_rows(S: int, extra_rows: int, D: int, itemsize: int, k: int = 1):
-    """Pick the row-tile size T for the blocked path: the largest candidate
-    whose double-buffered working set (k RHS panels x nxb x-blocks + data
-    tile + k y panels) fits the VMEM budget.  Returns (T, nxb) or None if
-    nothing fits (very wide bands — the XLA scan path handles those)."""
-    for T in (2048, 1536, 1024, 768, 512, 384, 256):
-        if T > S:
-            continue
-        nxb = 1 + -(-extra_rows // T)
-        byts = 2 * _LANES * T * (4 * k * (nxb + 1) + itemsize * D)
-        if byts <= _VMEM_BUDGET_BYTES and nxb <= 8:
-            return T, nxb
-    return None
 
 
 def pallas_supported(n: int, m: int | None = None) -> bool:
@@ -525,6 +511,161 @@ def dia_sym_spmv_pallas_blocked(
     return y if aligned else y[:n]
 
 
+def _sym_spmm_tile_pick(S: int, hrows: int, D: int, itemsize: int, k: int):
+    """(T, E) for the symmetric SpMM kernel: k RHS panels (tile + 2
+    halos), data tile + backward data halo, k output panels — double
+    buffered within the VMEM budget."""
+    for T in (1536, 2048, 1024, 768, 512, 384, 256):
+        if T > S:
+            continue
+        E = next(
+            (e for e in range(8, T + 1, 8) if e >= hrows and T % e == 0),
+            None,
+        )
+        if E is None:
+            continue
+        byts = 2 * _LANES * (
+            4 * k * (T + 2 * E) + itemsize * D * (T + E) + 4 * k * T
+        )
+        if byts <= _VMEM_BUDGET_BYTES:
+            return T, E
+    return None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "n", "interpret")
+)
+def dia_sym_spmm_rhs_major(data, XT, offsets, n, interpret=False):
+    """RHS-major multi-RHS SpMM for SYMMETRIC DIA storage: XT is (k, n),
+    returns (k, n).  The symmetric matvec kernel
+    (:func:`dia_sym_spmv_pallas_blocked`) with a leading RHS dimension:
+    upper term as a forward window per diagonal, mirror term as ONE
+    backward window of the lane-aligned ``data_o * X`` product, halos
+    via clamped BlockSpec index maps — zero operand construction, and
+    the diagonal values (the dominant stream for small k) are fetched
+    once for all k right-hand sides at HALF full storage's volume."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if min(offsets) < 0:
+        raise ValueError("symmetric kernel takes offsets >= 0 only")
+    D = len(offsets)
+    k = XT.shape[0]
+    data3 = _dia3(data)
+    S = data3.shape[1]
+    o_max = max(offsets)
+    hrows = o_max // _LANES + 2
+
+    pick = _sym_spmm_tile_pick(S, hrows, D, data.dtype.itemsize, k)
+    if pick is None:
+        raise ValueError(
+            f"symmetric blocked SpMM cannot tile {D} upper diagonals x "
+            f"{k} RHS; use the XLA path"
+        )
+    T, E = pick
+    F = T // E
+    G = -(-S // T)
+    EB = -(-S // E)
+    PL = E * _LANES
+
+    if n % _LANES == 0:
+        X3 = XT.reshape(k, S, _LANES)
+        aligned = True
+    else:
+        X3 = jnp.concatenate(
+            [XT, jnp.zeros((k, S * _LANES - n), XT.dtype)], axis=1
+        ).reshape(k, S, _LANES)
+        aligned = False
+
+    def shifted(frame, q, rows):
+        rowoff = q // _LANES
+        laneoff = q % _LANES
+        base = frame[:, rowoff : rowoff + rows + 1, :]
+        if laneoff == 0:
+            return base[:, :rows, :]
+        rolled = pltpu.roll(base, shift=_LANES - laneoff, axis=2)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (k, rows, _LANES), 2)
+        return jnp.where(
+            lane < _LANES - laneoff,
+            rolled[:, :rows, :],
+            rolled[:, 1 : rows + 1, :],
+        )
+
+    def elem_ids(rows):
+        row = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+        return row * _LANES + lane
+
+    def kernel(xm_ref, xf_ref, xb_ref, d_ref, dh_ref, y_ref):
+        i = pl.program_id(0)
+        xm = xm_ref[...]
+        if G * T > S or not aligned:
+            xm = jnp.where(
+                (i * T * _LANES + elem_ids(T) < n)[None],
+                xm,
+                jnp.zeros_like(xm),
+            )
+        xf = jnp.where(
+            ((i + 1) * T * _LANES + elem_ids(E) < n)[None],
+            xf_ref[...],
+            jnp.zeros_like(xf_ref),
+        )
+        xb = jnp.where(i > 0, xb_ref[...], jnp.zeros_like(xb_ref))
+
+        xmf = jnp.concatenate([xm, xf], axis=1)
+        acc = jnp.zeros((k, T, _LANES), y_ref.dtype)
+        for d, o in enumerate(offsets):
+            dtile = d_ref[d][None].astype(acc.dtype)
+            acc = acc + dtile * shifted(xmf, o, T)
+            if o > 0:
+                z = jnp.concatenate(
+                    [dh_ref[d][None].astype(acc.dtype) * xb, dtile * xm],
+                    axis=1,
+                )
+                acc = acc + shifted(z, PL - o, T)
+        if G * T > S or not aligned:
+            acc = jnp.where(
+                (i * T * _LANES + elem_ids(T) < n)[None],
+                acc,
+                jnp.zeros_like(acc),
+            )
+        y_ref[...] = acc
+
+    clamp_f = lambda i: (0, jnp.minimum(F * i + F, EB - 1), 0)
+    clamp_b = lambda i: (0, jnp.maximum(F * i - 1, 0), 0)
+    y3 = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(
+                (k, T, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (k, E, _LANES), clamp_f, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (k, E, _LANES), clamp_b, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (D, T, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (D, E, _LANES),
+                lambda i: (0, jnp.maximum(F * i - 1, 0), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (k, T, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((k, S, _LANES), XT.dtype),
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(X3, X3, X3, data3, data3)
+    Y = y3.reshape(k, S * _LANES)
+    return Y if aligned else Y[:, :n]
+
+
 @functools.partial(
     jax.jit, static_argnames=("offsets", "n", "m", "interpret")
 )
@@ -558,7 +699,31 @@ def dia_spmm_pallas_blocked(data, X, offsets, n, m, interpret=False):
     ).T
 
 
+def _spmm_tile_pick(S: int, hrows: int, D: int, itemsize: int, k: int):
+    """(T, E) for the zero-construction SpMM kernel (k RHS panels of
+    tile + 2 halos + data tile + k output panels, double buffered)."""
+    for T in (1536, 2048, 1024, 768, 512, 384, 256):
+        if T > S:
+            continue
+        E = next(
+            (e for e in range(8, T + 1, 8) if e >= hrows and T % e == 0),
+            None,
+        )
+        if E is None:
+            continue
+        byts = 2 * _LANES * (
+            4 * k * (T + 2 * E) + itemsize * D * T + 4 * k * T
+        )
+        if byts <= _VMEM_BUDGET_BYTES:
+            return T, E
+    return None
+
+
 def _dia_spmm_core(data, XT, offsets, n, m, interpret):
+    """ZERO-CONSTRUCTION multi-RHS core (same clamped-halo structure as
+    :func:`dia_spmv_pallas_blocked`, with a leading RHS dim): no padded
+    panel build — in block-solver loops the old frame concat was a full
+    per-iteration copy of the RHS panel."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -568,46 +733,69 @@ def _dia_spmm_core(data, XT, offsets, n, m, interpret):
     S = data.shape[1]
     o_min = min(min(offsets), 0)
     o_max = max(max(offsets), 0)
-    span = o_max - o_min
-    extra_rows = span // _LANES + 2
+    hrows = max(-o_min, o_max) // _LANES + 2
 
-    pick = _blocked_tile_rows(S, extra_rows, D, data.dtype.itemsize, k=k)
+    pick = _spmm_tile_pick(S, hrows, D, data.dtype.itemsize, k=k)
     if pick is None:
         raise ValueError(
             f"blocked SpMM cannot fit {D} diagonals x {k} RHS in VMEM; "
             "use DIAMatrix.matmat (XLA paths)"
         )
-    T, nxb = pick
-    G = S // T
+    T, E = pick
+    F = T // E
+    G = -(-S // T)
+    PL = E * _LANES
 
-    Sp = (G + nxb - 1) * T
-    L = max(Sp, S + extra_rows) * _LANES
-    left = -o_min
-    right = L - left - m
-    Xp = jnp.concatenate(
-        [
-            jnp.zeros((k, left), XT.dtype),
-            XT,
-            jnp.zeros((k, max(right, 0)), XT.dtype),
-        ],
-        axis=1,
-    )
-    Xp3 = Xp[:, : Sp * _LANES].reshape(k, Sp, _LANES)
-    data2 = data
+    if m % _LANES == 0:
+        Sx = m // _LANES
+        X3 = XT.reshape(k, Sx, _LANES)
+    else:
+        Sx = -(-m // _LANES)
+        X3 = jnp.concatenate(
+            [XT, jnp.zeros((k, Sx * _LANES - m), XT.dtype)], axis=1
+        ).reshape(k, Sx, _LANES)
+    EBx = -(-Sx // E)
+    TBx = -(-Sx // T)
+    exact = (m % _LANES == 0) and (S == Sx) and (G * T == S)
 
-    def kernel(*refs):
-        xrefs, data_ref, y_ref = refs[:nxb], refs[nxb], refs[nxb + 1]
-        xcat = jnp.concatenate([r[...] for r in xrefs], axis=1)
+    def elem_ids(rows):
+        row = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
+        return row * _LANES + lane
+
+    def kernel(xm_ref, xf_ref, xb_ref, d_ref, y_ref):
+        i = pl.program_id(0)
+        base = i * T * _LANES
+        xm = xm_ref[...]
+        if not exact:
+            xm = jnp.where(
+                (base + elem_ids(T) < m)[None], xm, jnp.zeros_like(xm)
+            )
+        xf = xf_ref[...]
+        if not exact or o_max > 0:
+            xf = jnp.where(
+                ((i + 1) * T * _LANES + elem_ids(E) < m)[None],
+                xf,
+                jnp.zeros_like(xf),
+            )
+        xb_idx = base - PL + elem_ids(E)
+        xb = jnp.where(
+            ((xb_idx >= 0) & (xb_idx < m))[None],
+            xb_ref[...],
+            jnp.zeros_like(xb_ref),
+        )
+
+        xcat = jnp.concatenate([xb, xm, xf], axis=1)
         acc = jnp.zeros((k, T, _LANES), dtype=y_ref.dtype)
         for d, o in enumerate(offsets):
-            q = o - o_min
+            q = PL + o
             rowoff = q // _LANES
             laneoff = q % _LANES
-            base = xcat[:, rowoff : rowoff + T + 1, :]
+            base3 = xcat[:, rowoff : rowoff + T + 1, :]
             if laneoff == 0:
-                win = base[:, :T, :]
+                win = base3[:, :T, :]
             else:
-                rolled = pltpu.roll(base, shift=_LANES - laneoff, axis=2)
+                rolled = pltpu.roll(base3, shift=_LANES - laneoff, axis=2)
                 lane = jax.lax.broadcasted_iota(
                     jnp.int32, (k, T, _LANES), 2
                 )
@@ -616,45 +804,46 @@ def _dia_spmm_core(data, XT, offsets, n, m, interpret):
                     rolled[:, :T, :],
                     rolled[:, 1 : T + 1, :],
                 )
-            acc = acc + data_ref[d][None].astype(acc.dtype) * win
+            acc = acc + d_ref[d][None].astype(acc.dtype) * win
+        if not exact:
+            acc = jnp.where(
+                (base + elem_ids(T) < n)[None], acc, jnp.zeros_like(acc)
+            )
         y_ref[...] = acc
 
-    x_specs = [
-        pl.BlockSpec(
-            (k, T, _LANES),
-            functools.partial(lambda j, i: (0, i + j, 0), j),
-            memory_space=pltpu.VMEM,
-        )
-        for j in range(nxb)
-    ]
+    clamp_m = lambda i: (0, jnp.minimum(i, TBx - 1), 0)
+    clamp_f = lambda i: (0, jnp.minimum(F * i + F, EBx - 1), 0)
+    clamp_b = lambda i: (
+        0,
+        jnp.maximum(jnp.minimum(F * i - 1, EBx - 1), 0),
+        0,
+    )
     y3 = pl.pallas_call(
         kernel,
         grid=(G,),
-        in_specs=x_specs
-        + [
+        in_specs=[
+            pl.BlockSpec(
+                (k, T, _LANES), clamp_m, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (k, E, _LANES), clamp_f, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (k, E, _LANES), clamp_b, memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(
                 (D, T, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-            )
+            ),
         ],
         out_specs=pl.BlockSpec(
             (k, T, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((k, G * T, _LANES), XT.dtype),
+        out_shape=jax.ShapeDtypeStruct((k, S, _LANES), XT.dtype),
         compiler_params=_compiler_params(interpret),
         interpret=interpret,
-    )(*([Xp3] * nxb), data2)
-    Y = y3.reshape(k, G * T * _LANES)
-    if G * T * _LANES < n:
-        t0 = G * T * _LANES
-        tail = n - t0
-        Yt = jnp.zeros((k, tail), dtype=XT.dtype)
-        data2d = data.reshape(D, S * _LANES)
-        for d, o in enumerate(offsets):
-            q = o - o_min
-            w = lax.dynamic_slice(Xp, (0, t0 + q), (k, tail))
-            Yt = Yt + data2d[d, t0 : t0 + tail][None].astype(XT.dtype) * w
-        Y = jnp.concatenate([Y, Yt], axis=1)
-    return Y[:, :n]
+    )(X3, X3, X3, data)
+    Y = y3.reshape(k, S * _LANES)
+    return Y if S * _LANES == n else Y[:, :n]
 
 
 @functools.partial(

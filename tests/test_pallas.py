@@ -176,8 +176,11 @@ def test_blocked_spmm_interpret(n, diags, k, monkeypatch):
     import sigma_tpu.ops.spmv_pallas as sp
 
     monkeypatch.setattr(
-        sp, "_blocked_tile_rows",
-        lambda S, extra, D, isz, k=1: (64, 1 + -(-extra // 64)),
+        sp, "_spmm_tile_pick",
+        lambda S, hrows, D, isz, k=1: (
+            64,
+            next(e for e in range(8, 65, 8) if e >= hrows and 64 % e == 0),
+        ),
     )
     rng = np.random.default_rng(11)
     stride = -(-n // 128) * 128
@@ -251,3 +254,48 @@ def test_symmetric_matrix_pallas_gate_cpu():
     assert A._pallas_path(jnp.asarray(x, jnp.float32)) is None
     y = A.matvec(jnp.asarray(x))
     assert np.max(np.abs(np.asarray(y) - dA @ x)) < 1e-10
+
+
+@pytest.mark.parametrize(
+    "n,offsets,k",
+    [
+        (3000, (0, 1, 128, 300), 3),
+        (4096, (0, 5), 4),
+        (5000, (1, 130, 259), 2),  # no main diagonal
+    ],
+)
+def test_sym_blocked_spmm_interpret(n, offsets, k):
+    """Symmetric multi-RHS kernel vs a dense symmetric oracle (RHS-major
+    in and out)."""
+    import sigma_tpu.ops.spmv_pallas as sp
+
+    rng = np.random.default_rng(17)
+    stride = -(-n // 128) * 128
+    data = np.zeros((len(offsets), stride), np.float32)
+    for d, o in enumerate(offsets):
+        data[d, : n - o] = rng.standard_normal(n - o)
+    XT = rng.standard_normal((k, n)).astype(np.float32)
+    # tiny tiles via the pick monkeypatch are unnecessary: explicit small
+    # shapes already exercise several grid steps with the default pick
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        sp, "_sym_spmm_tile_pick",
+        lambda S, hrows, D, isz, kk: (
+            64,
+            next(e for e in range(8, 65, 8) if e >= hrows and 64 % e == 0),
+        ),
+    ):
+        Y = sp.dia_sym_spmm_rhs_major(
+            jnp.asarray(data), jnp.asarray(XT), tuple(offsets), n,
+            interpret=True,
+        )
+    dense = np.zeros((n, n))
+    for d, o in enumerate(offsets):
+        i = np.arange(n - o)
+        dense[i, i + o] = data[d, : n - o]
+        if o > 0:
+            dense[i + o, i] = data[d, : n - o]
+    ref = dense @ XT.T.astype(np.float64)
+    err = np.max(np.abs(np.asarray(Y).T - ref)) / np.max(np.abs(ref))
+    assert err < 1e-5
