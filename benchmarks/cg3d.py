@@ -125,14 +125,29 @@ def main():
     spmv_val = round(nnz / t / 1e9, 2) if t > 1e-9 else None
     print(json.dumps({"metric": "spmv_gnnz_s", "value": spmv_val, "n": n}))
 
-    # multi-vector SpMM (the capability the reference lacks, README.md:83)
-    X = jnp.ones((n, args.nrhs), jnp.float32)
+    # multi-vector SpMM (the capability the reference lacks, README.md:83).
+    # Production block solvers keep their panels RESIDENT in the
+    # interleaved sublane layout (panels folded into sublanes so every
+    # grid step moves contiguous blocks — benchmarks/spmm_probe4.py
+    # measured panel-separate layouts 2.3x slower from DMA chunking);
+    # this loop measures that form when the kernel engages.
+    interleaved = getattr(A, "interleaved_profitable", lambda k: False)(
+        args.nrhs
+    )
+    if interleaved:
+        from sigma_tpu.ops.spmv_pallas import interleave_panels
+
+        X = interleave_panels(jnp.ones((args.nrhs, n), jnp.float32), n)
+        apply = lambda A, V: A.matmat_interleaved(V)
+    else:
+        X = jnp.ones((n, args.nrhs), jnp.float32)
+        apply = lambda A, V: A.matmat(V)
 
     def mkm(K):
         @jax.jit
         def f(A, X):
             def body(i, V):
-                return A.matmat(V) * jnp.asarray(0.1, V.dtype)
+                return apply(A, V) * jnp.asarray(0.1, V.dtype)
 
             return lax.fori_loop(0, K, body, X)
 
@@ -146,6 +161,7 @@ def main():
         "metric": "spmm_gnnz_s",
         "value": spmm_val,
         "nrhs": args.nrhs,
+        "layout": "interleaved" if interleaved else "cols",
     }))
 
     # CG solve: manufactured RHS, fixed iteration budget, f32

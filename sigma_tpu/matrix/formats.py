@@ -705,6 +705,92 @@ class DIAMatrix(SparseMatrix):
                 return dia_spmm_rhs_major(self.data, XT, offs, n, m)
         return self.matmat(XT.T).T
 
+    def interleaved_profitable(self, k):
+        """True when :meth:`matmat_interleaved` will hit the pallas kernel
+        for k panels (TPU backend, low precision, band fits VMEM) — block
+        solvers use this to decide whether to keep their panels resident
+        in the interleaved layout for the whole loop."""
+        n, m = self.shape
+        offs = self.graph.offsets
+        if not offs or m < self._PALLAS_MIN_ELEMS or not (1 <= k <= 16):
+            return False
+        if self.data.dtype not in (jnp.float32, jnp.bfloat16):
+            return False
+        try:
+            if jax.default_backend() != "tpu":
+                return False
+        except RuntimeError:
+            return False
+        from sigma_tpu.ops.spmv_pallas import _LANES, _spmm_tile_pick
+
+        reach = max(max(max(offs), 0), -min(min(offs), 0))
+        return (
+            _spmm_tile_pick(
+                self.graph.stride // _LANES,
+                reach // _LANES + 2,
+                len(offs),
+                self.data.dtype.itemsize,
+                k=k,
+            )
+            is not None
+        )
+
+    def matmat_interleaved(self, XI, interpret=False):
+        """Multi-RHS apply on INTERLEAVED panels: XI is (k*ceil(m/128),
+        128) from :func:`sigma_tpu.ops.spmv_pallas.interleave_panels`;
+        returns the product in the same layout ((k*ceil(n/128), 128)).
+
+        THE fast multi-RHS path on TPU (0.40 vs 0.91 ms/RHS at the 10M-row
+        north star): per grid step the kernel moves five contiguous blocks
+        — panel-separate layouts decompose each block into k strided
+        chunks and run ~2.3x slower regardless of tile shape
+        (benchmarks/spmm_probe4.py).  Keep panels interleaved across the
+        whole solver loop; the entry/exit transposes cost ~2 ms at 10M
+        rows and would cancel the win if paid per product."""
+        n, m = self.shape
+        Sx = -(-m // 128)
+        Sy = -(-n // 128)
+        k = XI.shape[0] // max(Sx, 1)
+        offs = self.graph.offsets
+        use_pallas = offs and (
+            m >= self._PALLAS_MIN_ELEMS
+            and 1 <= k <= 16
+            and XI.dtype in (jnp.float32, jnp.bfloat16)
+            and self.data.dtype in (jnp.float32, jnp.bfloat16)
+        )
+        if use_pallas and not interpret:
+            try:
+                use_pallas = jax.default_backend() == "tpu"
+            except RuntimeError:
+                use_pallas = False
+        if use_pallas:
+            from sigma_tpu.ops.spmv_pallas import (
+                _LANES,
+                _spmm_tile_pick,
+                dia_spmm_interleaved,
+            )
+
+            reach = max(max(max(offs), 0), -min(min(offs), 0))
+            pick = _spmm_tile_pick(
+                self.graph.stride // _LANES,
+                reach // _LANES + 2,
+                len(offs),
+                self.data.dtype.itemsize,
+                k=k,
+            )
+            if pick is not None:
+                YI = dia_spmm_interleaved(
+                    self.data, XI, offs, n, m, interpret=interpret
+                )
+                return YI[: k * Sy]
+        from sigma_tpu.ops.spmv_pallas import (
+            deinterleave_panels,
+            interleave_panels,
+        )
+
+        XT = deinterleave_panels(XI, k, m)
+        return interleave_panels(self.matmat(XT.T).T, n)
+
     def matmat(self, X):
         n, m = self.shape
         offs = self.graph.offsets

@@ -240,6 +240,77 @@ class SymmetricDIAMatrix(LinearOperator):
             return Y
         return self.matmat(XT.T).T
 
+    def interleaved_profitable(self, k):
+        """True when :meth:`matmat_interleaved` will hit the pallas kernel
+        for k panels (see :meth:`DIAMatrix.interleaved_profitable`)."""
+        n = self.n
+        if n < DIAMatrix._PALLAS_MIN_ELEMS or not (1 <= k <= 16):
+            return False
+        if self.data.dtype not in (jnp.float32, jnp.bfloat16):
+            return False
+        try:
+            if jax.default_backend() != "tpu":
+                return False
+        except RuntimeError:
+            return False
+        from sigma_tpu.ops.spmv_pallas import _LANES, _sym_spmm_tile_pick
+
+        return (
+            _sym_spmm_tile_pick(
+                self.data.shape[1],
+                max(self.offsets) // _LANES + 2,
+                len(self.offsets),
+                self.data.dtype.itemsize,
+                k,
+            )
+            is not None
+        )
+
+    def matmat_interleaved(self, XI, interpret=False):
+        """Multi-RHS apply on INTERLEAVED panels (k*S, 128) -> (k*S, 128)
+        (see :meth:`DIAMatrix.matmat_interleaved`): the fastest multi-RHS
+        path — HALF the diagonal stream of full storage, fetched once for
+        all k panels, with the SpMV kernel's contiguous-block grid step."""
+        n = self.n
+        S = self.data.shape[1]
+        k = XI.shape[0] // S
+        use_pallas = (
+            n >= DIAMatrix._PALLAS_MIN_ELEMS
+            and 1 <= k <= 16
+            and XI.dtype in (jnp.float32, jnp.bfloat16)
+            and self.data.dtype in (jnp.float32, jnp.bfloat16)
+        )
+        if use_pallas and not interpret:
+            try:
+                use_pallas = jax.default_backend() == "tpu"
+            except RuntimeError:
+                use_pallas = False
+        if use_pallas:
+            from sigma_tpu.ops.spmv_pallas import (
+                _LANES,
+                _sym_spmm_tile_pick,
+                dia_sym_spmm_interleaved,
+            )
+
+            pick = _sym_spmm_tile_pick(
+                S,
+                max(self.offsets) // _LANES + 2,
+                len(self.offsets),
+                self.data.dtype.itemsize,
+                k,
+            )
+            if pick is not None:
+                return dia_sym_spmm_interleaved(
+                    self.data, XI, self.offsets, n, interpret=interpret
+                )
+        from sigma_tpu.ops.spmv_pallas import (
+            deinterleave_panels,
+            interleave_panels,
+        )
+
+        XT = deinterleave_panels(XI, k, n)
+        return interleave_panels(self.matmat(XT.T).T, n)
+
     def matmat(self, X):
         Y = self._pallas_spmm_path(X.T)
         if Y is not None:

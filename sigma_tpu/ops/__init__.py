@@ -10,15 +10,19 @@
 """
 
 from sigma_tpu.ops.spmv_pallas import (
+    deinterleave_panels,
     dia_spmv_pallas,
     dia_spmv_pallas_blocked,
+    interleave_panels,
     pallas_supported,
 )
 from sigma_tpu.ops.bsr_pallas import GroupedBSR, bsr_grouped_spmv
 
 __all__ = [
+    "deinterleave_panels",
     "dia_spmv_pallas",
     "dia_spmv_pallas_blocked",
+    "interleave_panels",
     "pallas_supported",
     "GroupedBSR",
     "bsr_grouped_spmv",

@@ -32,7 +32,11 @@ motion (measured 2.03 -> 0.55 ms/SpMV; BENCHMARKS.md).
 
 The blocked kernels are the default TPU path from 64K rows
 (``DIAMatrix.matvec/matmat/rmatvec`` gate on backend/dtype/band-fit);
-``dia_spmm_rhs_major`` is the transpose-free multi-RHS entry.
+``dia_spmm_rhs_major`` is the transpose-free multi-RHS entry, and
+``dia_spmm_interleaved``/``dia_sym_spmm_interleaved`` are the FAST
+multi-RHS path (0.40 vs 0.91 ms/RHS at the north star) for loops that
+keep their panels in the interleaved sublane layout (see the
+"Interleaved-panel SpMM" section below).
 
 A pallas ELL gather kernel was attempted and is NOT here: Mosaic's
 `tpu.dynamic_gather` only lowers same-shape ``take_along_axis`` (per-lane
@@ -56,8 +60,12 @@ __all__ = [
     "dia_spmv_pallas_blocked",
     "dia_spmm_pallas_blocked",
     "dia_spmm_rhs_major",
+    "dia_spmm_interleaved",
     "dia_sym_spmv_pallas_blocked",
     "dia_sym_spmm_rhs_major",
+    "dia_sym_spmm_interleaved",
+    "interleave_panels",
+    "deinterleave_panels",
     "pallas_supported",
 ]
 
@@ -970,3 +978,302 @@ def dia_spmv_pallas(
         interpret=interpret,
     )(xp, data2)
     return y2.reshape(-1)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Interleaved-panel SpMM: the RHS dimension folded into the SUBLANE axis.
+#
+# Why this layout exists (measured, one session each, nx=216, k=4,
+# benchmarks/spmm_probe*.py): every SpMM formulation that keeps the k
+# right-hand sides as separate panels — fused (k, T, 128) blocks, a
+# k-unrolled 2-D kernel body, a grid=(G, k) split running the proven SpMV
+# body per step — lands at ~0.9 ms/RHS, while the plain blocked SpMV runs
+# 0.53 ms; even k=1 through a (1, T, 128)-block kernel costs 0.99 ms.
+# The wall time tracks the number of DISTINCT transfer chunks per grid
+# step (each (k, T, 128) operand block decomposes into k strided chunks),
+# not bytes and not VPU roll shape.  Interleaving the panels into the
+# sublane axis — row s*k + j holds element-row s of RHS j — restores the
+# SpMV kernel's 5-contiguous-transfer grid step at k times the rows:
+# measured 0.40 ms/RHS resident (177 G-eff vs the fused core's 77).
+#
+# The layout only pays while panels STAY interleaved: the (k, n) <->
+# interleaved transposes cost ~2 ms at the north star (XLA transpose),
+# which is exactly the win.  Block solvers should interleave once at
+# entry, run every iteration in the layout, and deinterleave at exit
+# (panel-wise algebra — Gram matrices, panel linear combinations — works
+# directly on the layout; see solvers/krylov.py block_cg_solve).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def interleave_panels(XT, m=None):
+    """(k, m) RHS-major panels -> interleaved (k*ceil(m/128), 128): row
+    ``s*k + j`` holds element-row ``s`` (elements ``s*128..s*128+127``,
+    zero-padded past m) of RHS ``j``.  One XLA transpose — do it ONCE per
+    solve, not per product."""
+    k, m_in = XT.shape
+    m = m_in if m is None else m
+    Sx = -(-m // _LANES)
+    if Sx * _LANES != m:
+        XT = jnp.concatenate(
+            [XT, jnp.zeros((k, Sx * _LANES - m), XT.dtype)], axis=1
+        )
+    return jnp.transpose(XT.reshape(k, Sx, _LANES), (1, 0, 2)).reshape(
+        k * Sx, _LANES
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n"))
+def deinterleave_panels(YI, k, n):
+    """Inverse of :func:`interleave_panels`: (k*S, 128) -> (k, n)."""
+    S = YI.shape[0] // k
+    return jnp.transpose(YI.reshape(S, k, _LANES), (1, 0, 2)).reshape(
+        k, S * _LANES
+    )[:, :n]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "n", "m", "interpret")
+)
+def dia_spmm_interleaved(data, XI, offsets, n, m, interpret=False):
+    """Multi-RHS DIA SpMM on INTERLEAVED panels: XI is (k*ceil(m/128),
+    128) from :func:`interleave_panels`; returns the product in the same
+    layout ((k*S, 128), S = data.shape[1]).
+
+    Structurally this is :func:`dia_spmv_pallas_blocked` with every x/y
+    row count multiplied by k: each grid step still moves exactly five
+    contiguous blocks (x tile, forward halo, backward halo, data tile,
+    y tile), the per-diagonal window is still one static sublane slice +
+    one lane roll (shifts scale by k sublanes: element-row s of every
+    panel lives at interleaved row s*k + j), and the diagonal values are
+    fetched ONCE for all k right-hand sides — broadcast k-fold across
+    sublanes in-kernel (``jnp.repeat``), which is VMEM-local and free of
+    HBM traffic.  This is the multi-vector capability the reference names
+    as a missing critical optimization (README.md:83), in the layout the
+    hardware's DMA engines want.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    D = len(offsets)
+    data3 = _dia3(data)
+    S = data3.shape[1]
+    o_min = min(min(offsets), 0)
+    o_max = max(max(offsets), 0)
+    hrows = max(-o_min, o_max) // _LANES + 2
+
+    Sx = -(-m // _LANES)
+    k = XI.shape[0] // Sx
+    if k * Sx != XI.shape[0] or XI.shape[1] != _LANES:
+        raise ValueError(
+            f"XI shape {XI.shape} is not (k*{Sx}, {_LANES}) — pass panels "
+            "through interleave_panels"
+        )
+
+    pick = _spmm_tile_pick(S, hrows, D, data.dtype.itemsize, k=k)
+    if pick is None:
+        raise ValueError(
+            f"interleaved SpMM cannot fit {D} diagonals x {k} RHS in "
+            "VMEM; use DIAMatrix.matmat (XLA paths)"
+        )
+    T, E = pick
+    F = T // E
+    G = -(-S // T)
+    PL = E * _LANES
+
+    EBx = -(-Sx // E)
+    TBx = -(-Sx // T)
+    exact = (m % _LANES == 0) and (S == Sx) and (G * T == S)
+
+    def elem_ids(rows):
+        # per-panel element index of interleaved row r = (r//k)*128 + lane
+        row = jax.lax.broadcasted_iota(jnp.int32, (k * rows, _LANES), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (k * rows, _LANES), 1)
+        return (row // k) * _LANES + lane
+
+    def shifted(frame, q, rows):
+        """(k*rows, 128) window: every panel's elements shifted by q."""
+        rowoff = q // _LANES
+        laneoff = q % _LANES
+        base = frame[k * rowoff : k * rowoff + k * rows + k, :]
+        if laneoff == 0:
+            return base[: k * rows, :]
+        rolled = pltpu.roll(base, shift=_LANES - laneoff, axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (k * rows, _LANES), 1)
+        return jnp.where(
+            lane < _LANES - laneoff,
+            rolled[: k * rows, :],
+            rolled[k : k * rows + k, :],
+        )
+
+    def kernel(xm_ref, xf_ref, xb_ref, d_ref, y_ref):
+        i = pl.program_id(0)
+        base = i * T * _LANES
+        xm = xm_ref[...]
+        if not exact:
+            xm = jnp.where(base + elem_ids(T) < m, xm, jnp.zeros_like(xm))
+        xf = xf_ref[...]
+        if not exact or o_max > 0:
+            xf = jnp.where(
+                (i + 1) * T * _LANES + elem_ids(E) < m,
+                xf,
+                jnp.zeros_like(xf),
+            )
+        xb_idx = base - PL + elem_ids(E)
+        xb = jnp.where(
+            (xb_idx >= 0) & (xb_idx < m),
+            xb_ref[...],
+            jnp.zeros_like(xb_ref),
+        )
+        xcat = jnp.concatenate([xb, xm, xf], axis=0)
+        acc = jnp.zeros((k * T, _LANES), y_ref.dtype)
+        for d, o in enumerate(offsets):
+            dk = jnp.repeat(d_ref[d].astype(acc.dtype), k, axis=0)
+            acc = acc + dk * shifted(xcat, PL + o, T)
+        if not exact:
+            acc = jnp.where(base + elem_ids(T) < n, acc, jnp.zeros_like(acc))
+        y_ref[...] = acc
+
+    clamp_m = lambda i: (jnp.minimum(i, TBx - 1), 0)
+    clamp_f = lambda i: (jnp.minimum(F * i + F, EBx - 1), 0)
+    clamp_b = lambda i: (jnp.maximum(jnp.minimum(F * i - 1, EBx - 1), 0), 0)
+    return pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((k * T, _LANES), clamp_m, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * E, _LANES), clamp_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * E, _LANES), clamp_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (D, T, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (k * T, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((k * S, _LANES), XI.dtype),
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(XI, XI, XI, data3)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "n", "interpret"))
+def dia_sym_spmm_interleaved(data, XI, offsets, n, interpret=False):
+    """Multi-RHS SpMM for SYMMETRIC DIA storage (upper diagonals only,
+    ``offsets`` all >= 0) on INTERLEAVED panels: XI is (k*S, 128) from
+    :func:`interleave_panels`; returns the product in the same layout.
+
+    :func:`dia_sym_spmv_pallas_blocked`'s upper-window + product-mirror
+    structure with every x/y row count multiplied by k (see
+    :func:`dia_spmm_interleaved` for why interleaving beats per-panel
+    blocks): upper term from a forward window of the interleaved frame,
+    mirror term from ONE backward window of the lane-aligned
+    ``data_o * X`` product, with the k-fold sublane broadcast of each
+    diagonal hoisted once and shared by both terms.  Streams HALF of full
+    storage's diagonal values, once for all k right-hand sides."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if min(offsets) < 0:
+        raise ValueError("symmetric kernel takes offsets >= 0 only")
+    D = len(offsets)
+    data3 = _dia3(data)
+    S = data3.shape[1]
+    o_max = max(offsets)
+    hrows = o_max // _LANES + 2
+
+    if XI.shape[0] % S or XI.shape[1] != _LANES:
+        raise ValueError(
+            f"XI shape {XI.shape} is not (k*{S}, {_LANES}) — pass panels "
+            "through interleave_panels"
+        )
+    k = XI.shape[0] // S
+
+    pick = _sym_spmm_tile_pick(S, hrows, D, data.dtype.itemsize, k)
+    if pick is None:
+        raise ValueError(
+            f"symmetric interleaved SpMM cannot tile {D} upper diagonals "
+            f"x {k} RHS; use the XLA path"
+        )
+    T, E = pick
+    F = T // E
+    G = -(-S // T)
+    EB = -(-S // E)
+    PL = E * _LANES
+    aligned = n % _LANES == 0
+
+    def elem_ids(rows):
+        row = jax.lax.broadcasted_iota(jnp.int32, (k * rows, _LANES), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (k * rows, _LANES), 1)
+        return (row // k) * _LANES + lane
+
+    def shifted(frame, q, rows):
+        rowoff = q // _LANES
+        laneoff = q % _LANES
+        base = frame[k * rowoff : k * rowoff + k * rows + k, :]
+        if laneoff == 0:
+            return base[: k * rows, :]
+        rolled = pltpu.roll(base, shift=_LANES - laneoff, axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (k * rows, _LANES), 1)
+        return jnp.where(
+            lane < _LANES - laneoff,
+            rolled[: k * rows, :],
+            rolled[k : k * rows + k, :],
+        )
+
+    def kernel(xm_ref, xf_ref, xb_ref, d_ref, dh_ref, y_ref):
+        i = pl.program_id(0)
+        xm = xm_ref[...]
+        if G * T > S or not aligned:
+            xm = jnp.where(
+                i * T * _LANES + elem_ids(T) < n, xm, jnp.zeros_like(xm)
+            )
+        xf = jnp.where(
+            (i + 1) * T * _LANES + elem_ids(E) < n,
+            xf_ref[...],
+            jnp.zeros_like(xf_ref),
+        )
+        xb = jnp.where(i > 0, xb_ref[...], jnp.zeros_like(xb_ref))
+
+        xmf = jnp.concatenate([xm, xf], axis=0)
+        acc = jnp.zeros((k * T, _LANES), y_ref.dtype)
+        for d, o in enumerate(offsets):
+            dk = jnp.repeat(d_ref[d].astype(acc.dtype), k, axis=0)
+            acc = acc + dk * shifted(xmf, o, T)
+            if o > 0:
+                dhk = jnp.repeat(dh_ref[d].astype(acc.dtype), k, axis=0)
+                z = jnp.concatenate([dhk * xb, dk * xm], axis=0)
+                acc = acc + shifted(z, PL - o, T)
+        if G * T > S or not aligned:
+            acc = jnp.where(
+                i * T * _LANES + elem_ids(T) < n, acc, jnp.zeros_like(acc)
+            )
+        y_ref[...] = acc
+
+    clamp_f = lambda i: (jnp.minimum(F * i + F, EB - 1), 0)
+    clamp_b = lambda i: (jnp.maximum(F * i - 1, 0), 0)
+    return pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(
+                (k * T, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((k * E, _LANES), clamp_f, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k * E, _LANES), clamp_b, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (D, T, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (D, E, _LANES),
+                lambda i: (0, jnp.maximum(F * i - 1, 0), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (k * T, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((k * S, _LANES), XI.dtype),
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(XI, XI, XI, data3, data3)

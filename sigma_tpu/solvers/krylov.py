@@ -462,7 +462,10 @@ def stationary_solve(A, b, M, x0=None, *, steps: int):
     return x, SolveInfo(jnp.asarray(steps, jnp.int32), resn, jnp.isfinite(resn))
 
 
-def block_cg_solve(A, B, X0=None, *, tol=1e-12, rtol=0.0, maxiter=None, M=None):
+def block_cg_solve(
+    A, B, X0=None, *, tol=1e-12, rtol=0.0, maxiter=None, M=None,
+    panels="auto",
+):
     """Block (multi-RHS) conjugate gradients: solve A X = B for an (n, s)
     block of right-hand sides simultaneously.
 
@@ -471,6 +474,20 @@ def block_cg_solve(A, B, X0=None, *, tol=1e-12, rtol=0.0, maxiter=None, M=None):
     ONE SpMM (``A.matmat``) instead of s SpMVs, sharing the matrix traffic
     across all right-hand sides (the whole point of the multi-vector
     layout), plus small (s, s) Gram solves that run on the MXU.
+
+    ``panels`` selects the resident panel layout for the loop:
+
+    - ``"cols"``: column-major (n, s) blocks (the portable form).
+    - ``"interleaved"``: panels interleaved into the sublane axis
+      (:func:`sigma_tpu.ops.spmv_pallas.interleave_panels`), applied via
+      ``A.matmat_interleaved`` — every SpMM grid step moves contiguous
+      blocks instead of s strided chunks (measured 2.3x per-product at
+      the 10M-row north star; panel-separate layouts are DMA-chunk-bound
+      regardless of tile shape, benchmarks/spmm_probe4.py).  The Gram /
+      panel-combination algebra runs directly on the layout, so the
+      (n, s) transposes are paid once at entry/exit, not per iteration.
+    - ``"auto"``: interleaved when ``A.interleaved_profitable(s)`` says
+      the pallas kernel will engage and M (if any) can apply in-layout.
 
     Uses the **breakdown-free** block recurrences (BFBCG, Ji & Li style):
     the direction block P is kept column-orthonormal (Cholesky-QR — two
@@ -483,8 +500,63 @@ def block_cg_solve(A, B, X0=None, *, tol=1e-12, rtol=0.0, maxiter=None, M=None):
     n, s = B.shape
     X0 = jnp.zeros_like(B) if X0 is None else X0
     maxiter = 10 * n if maxiter is None else maxiter
-    matmat = A.matmat
-    apply_M = (lambda R: M.matmat(R)) if M is not None else (lambda R: R)
+
+    if panels == "auto":
+        use_int = getattr(A, "interleaved_profitable", lambda k: False)(
+            s
+        ) and (M is None or hasattr(M, "matmat_interleaved"))
+    elif panels == "interleaved":
+        use_int = True
+    elif panels == "cols":
+        use_int = False
+    else:
+        raise ValueError(f"panels must be auto|cols|interleaved: {panels!r}")
+
+    if use_int:
+        from sigma_tpu.ops.spmv_pallas import (
+            deinterleave_panels,
+            interleave_panels,
+        )
+
+        Sy = -(-n // 128)
+        to_layout = lambda Z: interleave_panels(Z.T, n)
+        from_layout = lambda Zp: deinterleave_panels(Zp, s, n).T
+        matmat = A.matmat_interleaved
+        if M is None:
+            apply_M = lambda R: R
+        elif hasattr(M, "matmat_interleaved"):
+            apply_M = M.matmat_interleaved
+        else:
+            apply_M = lambda R: to_layout(M.matmat(from_layout(R)))
+
+        def gram(Xp, Yp):
+            return jnp.einsum(
+                "ral,rbl->ab", Xp.reshape(Sy, s, 128), Yp.reshape(Sy, s, 128)
+            )
+
+        def comb(Xp, C):
+            return jnp.einsum(
+                "ral,ab->rbl", Xp.reshape(Sy, s, 128), C.astype(Xp.dtype)
+            ).reshape(Sy * s, 128)
+
+        def scale_cols(Xp, w):
+            return (Xp.reshape(Sy, s, 128) * w[None, :, None]).reshape(
+                Sy * s, 128
+            )
+
+        def colnorms(Xp):
+            X3 = Xp.reshape(Sy, s, 128)
+            return jnp.sqrt(jnp.einsum("ral,ral->a", X3, X3))
+
+    else:
+        to_layout = from_layout = lambda Z: Z
+        matmat = A.matmat
+        apply_M = (lambda R: M.matmat(R)) if M is not None else (lambda R: R)
+        gram = lambda Xp, Yp: Xp.T @ Yp
+        comb = lambda Xp, C: Xp @ C.astype(Xp.dtype)
+        scale_cols = lambda Xp, w: Xp * w[None, :]
+        colnorms = lambda Xp: jnp.sqrt(jnp.sum(Xp * Xp, axis=0))
+
     tol_eff = jnp.maximum(
         jnp.asarray(tol, B.dtype), rtol * jnp.linalg.norm(B)
     )
@@ -492,6 +564,7 @@ def block_cg_solve(A, B, X0=None, *, tol=1e-12, rtol=0.0, maxiter=None, M=None):
     tiny = jnp.asarray(jnp.finfo(B.dtype).tiny, B.dtype)
 
     shift = jnp.sqrt(eps)  # shifted CholQR ridge (bounds column amplification to eps^-1/4)
+    eye = jnp.eye(s, dtype=B.dtype)
 
     def _orth(P):
         # column-normalized shifted Cholesky-QR: P <- P L^{-T} — two GEMMs
@@ -499,20 +572,23 @@ def block_cg_solve(A, B, X0=None, *, tol=1e-12, rtol=0.0, maxiter=None, M=None):
         # Householder).  Columns are unit-normalized FIRST: without this a
         # scale-disparate panel has its small columns crushed below the
         # ridge and comes out rank-deficient (measured f32 divergence).
-        cn = jnp.sqrt(jnp.sum(P * P, axis=0))
-        P = P / jnp.where(cn > tiny, cn, 1.0)
-        G = P.T @ P
-        L = jnp.linalg.cholesky(G + shift * jnp.eye(s, dtype=G.dtype))
-        Pt = jax.scipy.linalg.solve_triangular(L, P.T, lower=True)
-        return Pt.T
+        cn = colnorms(P)
+        P = scale_cols(P, 1.0 / jnp.where(cn > tiny, cn, 1.0))
+        G = gram(P, P)
+        L = jnp.linalg.cholesky(G + shift * eye)
+        # P @ L^{-T} via the explicit (s, s) triangular inverse: one tiny
+        # host-free inversion + a panel combination in EITHER layout (a
+        # tall triangular solve would force the column-major form)
+        Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+        return comb(P, Linv.T)
 
     def _solve_w(W, C):
         scale = jnp.max(jnp.abs(jnp.diagonal(W))) + tiny
-        return jnp.linalg.solve(
-            W + (eps * scale) * jnp.eye(s, dtype=W.dtype), C
-        )
+        return jnp.linalg.solve(W + (eps * scale) * eye, C)
 
-    R0 = B - matmat(X0)
+    Bp = to_layout(B)
+    X0p = to_layout(X0)
+    R0 = Bp - matmat(X0p)
     P0 = _orth(apply_M(R0))
 
     res0 = jnp.linalg.norm(R0)
@@ -532,25 +608,25 @@ def block_cg_solve(A, B, X0=None, *, tol=1e-12, rtol=0.0, maxiter=None, M=None):
     def body(state):
         X, R, P, k, Xb, rb = state
         Q = matmat(P)
-        W = P.T @ Q
-        alpha = _solve_w(W, P.T @ R)
-        X = X + P @ alpha
-        R = R - Q @ alpha
+        W = gram(P, Q)
+        alpha = _solve_w(W, gram(P, R))
+        X = X + comb(P, alpha)
+        R = R - comb(Q, alpha)
         resn = jnp.linalg.norm(R)
         better = jnp.isfinite(resn) & (resn < rb)
         Xb = jnp.where(better, X, Xb)
         rb = jnp.where(better, resn, rb)
         Z = apply_M(R)
-        beta = _solve_w(W, Q.T @ Z)
-        P = _orth(Z - P @ beta)
+        beta = _solve_w(W, gram(Q, Z))
+        P = _orth(Z - comb(P, beta))
         return (X, R, P, k + 1, Xb, rb)
 
     X, R, _, k, Xb, rb = lax.while_loop(
-        cond, body, (X0, R0, P0, jnp.asarray(0, jnp.int32), X0, res0)
+        cond, body, (X0p, R0, P0, jnp.asarray(0, jnp.int32), X0p, res0)
     )
     # return the best iterate (== the final one in ordinary runs)
     resn = jnp.linalg.norm(R)
     final_better = jnp.isfinite(resn) & (resn <= rb)
     X = jnp.where(final_better, X, Xb)
     resn = jnp.where(final_better, resn, rb)
-    return X, SolveInfo(k, resn, resn <= tol_eff)
+    return from_layout(X), SolveInfo(k, resn, resn <= tol_eff)

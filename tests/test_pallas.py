@@ -299,3 +299,127 @@ def test_sym_blocked_spmm_interpret(n, offsets, k):
     ref = dense @ XT.T.astype(np.float64)
     err = np.max(np.abs(np.asarray(Y).T - ref)) / np.max(np.abs(ref))
     assert err < 1e-5
+
+
+def test_interleave_roundtrip():
+    """interleave_panels/deinterleave_panels are exact inverses, with
+    zero padding past m."""
+    import sigma_tpu.ops.spmv_pallas as sp
+
+    rng = np.random.default_rng(23)
+    for k, m in ((1, 640), (4, 1000), (3, 127)):
+        XT = rng.standard_normal((k, m)).astype(np.float32)
+        XI = sp.interleave_panels(jnp.asarray(XT), m)
+        Sx = -(-m // 128)
+        assert XI.shape == (k * Sx, 128)
+        # row s*k + j holds elements s*128.. of panel j
+        xi = np.asarray(XI)
+        for j in range(k):
+            flat = xi[j::k].reshape(-1)
+            assert np.array_equal(flat[:m], XT[j])
+            assert not flat[m:].any()
+        back = np.asarray(sp.deinterleave_panels(XI, k, m))
+        assert np.array_equal(back, XT)
+
+
+@pytest.mark.parametrize(
+    "n,diags,k",
+    [
+        (150_000, [0, 1, -1, 300, -300], 4),
+        (93_333, [0, 5, -7, 999], 3),
+        (120_000, [0, -2, 131], 1),
+    ],
+)
+def test_interleaved_spmm_interpret(n, diags, k, monkeypatch):
+    """Interleaved-panel SpMM kernel vs oracle: the fast multi-RHS layout
+    (panels folded into sublanes so every grid step moves contiguous
+    blocks — benchmarks/spmm_probe4.py measured panel-separate layouts
+    2.3x slower from DMA chunking alone)."""
+    import sigma_tpu.ops.spmv_pallas as sp
+
+    monkeypatch.setattr(
+        sp, "_spmm_tile_pick",
+        lambda S, hrows, D, isz, k=1: (
+            64,
+            next(e for e in range(8, 65, 8) if e >= hrows and 64 % e == 0),
+        ),
+    )
+    rng = np.random.default_rng(29)
+    stride = -(-n // 128) * 128
+    data = np.zeros((len(diags), stride), np.float32)
+    for d, o in enumerate(diags):
+        lo, hi = max(0, -o), min(n, n - o)
+        data[d, lo:hi] = rng.standard_normal(hi - lo)
+    XT = rng.standard_normal((k, n)).astype(np.float32)
+    XI = sp.interleave_panels(jnp.asarray(XT), n)
+    YI = sp.dia_spmm_interleaved(
+        jnp.asarray(data), XI, tuple(diags), n, n, interpret=True
+    )
+    Y = np.asarray(sp.deinterleave_panels(YI, k, n))
+    ref = np.zeros((k, n), np.float32)
+    for d, o in enumerate(diags):
+        lo, hi = max(0, -o), min(n, n - o)
+        ref[:, lo:hi] += data[None, d, lo:hi] * XT[:, lo + o : hi + o]
+    assert np.max(np.abs(Y - ref)) / np.max(np.abs(ref)) < 1e-5
+
+
+@pytest.mark.parametrize(
+    "n,offsets,k",
+    [
+        (3000, (0, 1, 128, 300), 3),
+        (4096, (0, 5), 4),
+        (5000, (1, 130, 259), 2),  # no main diagonal
+    ],
+)
+def test_sym_interleaved_spmm_interpret(n, offsets, k):
+    """Symmetric interleaved-panel SpMM vs a dense symmetric oracle."""
+    import unittest.mock as mock
+
+    import sigma_tpu.ops.spmv_pallas as sp
+
+    rng = np.random.default_rng(31)
+    stride = -(-n // 128) * 128
+    data = np.zeros((len(offsets), stride), np.float32)
+    for d, o in enumerate(offsets):
+        data[d, : n - o] = rng.standard_normal(n - o)
+    XT = rng.standard_normal((k, n)).astype(np.float32)
+    XI = sp.interleave_panels(jnp.asarray(XT), n)
+    with mock.patch.object(
+        sp, "_sym_spmm_tile_pick",
+        lambda S, hrows, D, isz, kk: (
+            64,
+            next(e for e in range(8, 65, 8) if e >= hrows and 64 % e == 0),
+        ),
+    ):
+        YI = sp.dia_sym_spmm_interleaved(
+            jnp.asarray(data), XI, tuple(offsets), n, interpret=True
+        )
+    Y = np.asarray(sp.deinterleave_panels(YI, k, n))
+    dense = np.zeros((n, n))
+    for d, o in enumerate(offsets):
+        i = np.arange(n - o)
+        dense[i, i + o] = data[d, : n - o]
+        if o > 0:
+            dense[i + o, i] = data[d, : n - o]
+    ref = (dense @ XT.T.astype(np.float64)).T
+    assert np.max(np.abs(Y - ref)) / np.max(np.abs(ref)) < 1e-5
+
+
+def test_matmat_interleaved_cpu_fallback():
+    """On CPU DIAMatrix.matmat_interleaved falls back through matmat and
+    stays layout-consistent with interleave_panels(matmat(X).T)."""
+    from sigma_tpu import DIAMatrix
+    import sigma_tpu.ops.spmv_pallas as sp
+
+    n, k = 700, 3
+    rng = np.random.default_rng(37)
+    dA = np.diag(rng.standard_normal(n))
+    v = rng.standard_normal(n - 1)
+    dA += np.diag(v, 1) + np.diag(v, -1)
+    A = DIAMatrix.from_dense(dA)
+    XT = rng.standard_normal((k, n))
+    XI = sp.interleave_panels(jnp.asarray(XT), n)
+    YI = A.matmat_interleaved(XI)
+    Y = np.asarray(sp.deinterleave_panels(YI, k, n))
+    ref = (dA @ XT.T).T
+    assert np.max(np.abs(Y - ref)) < 1e-10

@@ -333,6 +333,38 @@ def test_block_cg_preconditioned(rng):
     assert np.max(np.abs(np.asarray(X) - Xstar)) < 1e-8
 
 
+def test_block_cg_interleaved_layout_matches_cols(rng):
+    """The interleaved panel layout (the TPU fast path: panels folded
+    into sublanes so every SpMM grid step moves contiguous blocks) must
+    reproduce the column-major recurrence exactly — same iterate, same
+    iteration count — since its Gram/combination algebra is the same
+    arithmetic in a different layout."""
+    from sigma_tpu import DIAMatrix
+    from sigma_tpu.solvers import block_cg_solve
+
+    n, s = 300, 4
+    dA = np.zeros((n, n))
+    i = np.arange(n)
+    dA[i, i] = 2.0 + (i % 5) * 0.1
+    dA[i[:-1], i[:-1] + 1] = -1.0
+    dA[i[:-1] + 1, i[:-1]] = -1.0
+    A = DIAMatrix.from_dense(dA)
+    B = jnp.asarray(rng.standard_normal((n, s)))
+    Xc, ic = block_cg_solve(A, B, tol=1e-10, panels="cols")
+    Xi, ii = block_cg_solve(A, B, tol=1e-10, panels="interleaved")
+    assert int(ic.iterations) == int(ii.iterations)
+    assert bool(ic.converged) and bool(ii.converged)
+    assert np.max(np.abs(np.asarray(Xc) - np.asarray(Xi))) < 1e-8
+    # true residual of the interleaved solve
+    assert np.linalg.norm(np.asarray(B) - dA @ np.asarray(Xi)) < 1e-8
+    # preconditioned interleaved path (M applied through the layout wrap)
+    from sigma_tpu.solvers import jacobi
+
+    M = jacobi().setup(A)
+    Xp, ip = block_cg_solve(A, B, tol=1e-10, panels="interleaved", M=M)
+    assert np.linalg.norm(np.asarray(B) - dA @ np.asarray(Xp)) < 1e-8
+
+
 def test_block_cg_single_rhs_matches_cg(rng):
     from sigma_tpu.solvers import block_cg_solve
 
