@@ -162,6 +162,34 @@ def bench_spmv(A, nnz, K1=40, K2=240, samples=None, reps=3):
     return nnz / t
 
 
+def bench_spmm_interleaved(A, nnz, k=8, K1=20, K2=100, samples=None, reps=3):
+    """Effective nnz/s of the resident interleaved-panel SpMM (the block
+    solvers' layout: RHS folded into sublanes, see
+    sigma_tpu/ops/spmv_pallas.py 'Interleaved-panel SpMM')."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from sigma_tpu.ops.spmv_pallas import interleave_panels
+
+    n = A.shape[0]
+    XI = interleave_panels(jnp.ones((k, n), dtype=jnp.float32), n)
+
+    @jax.jit
+    def many(A, XI, K):
+        def body(i, V):
+            return A.matmat_interleaved(V) * jnp.asarray(0.1, V.dtype)
+
+        return lax.fori_loop(0, K, body, XI)
+
+    def make(K):
+        Kj = jnp.asarray(K, jnp.int32)
+        return lambda A, XI: many(A, XI, Kj)
+
+    t = timeit_loop(make, A, XI, K1=K1, K2=K2, samples=samples, reps=reps)
+    return k * nnz / t
+
+
 def laplacian_3d_dia(nx, dtype=np.float32):
     """7-point Laplacian + I directly in DIA layout (analytic boundary
     masks — no 70M-entry COO sort, no device round trip): returns
@@ -267,6 +295,18 @@ def main():
     else:
         _progress("skipping bf16 row (session too slow)", t0)
 
+    # multi-RHS SpMM on resident interleaved panels (k=8): the block
+    # solvers' layout.  Detail row, self-bounding like the rows above.
+    spmm_samples = []
+    spmm_eff = None
+    if _time.time() - t0 < 390 and A_dia.interleaved_profitable(8):
+        spmm_eff = bench_spmm_interleaved(
+            A_dia, nnz, k=8, samples=spmm_samples
+        )
+        _progress(f"spmm interleaved k=8 {spmm_eff/1e9:.1f} G-eff", t0)
+    else:
+        _progress("skipping spmm row (session too slow)", t0)
+
     # minimum possible traffic for DIA: each diagonal value read once (4B),
     # x read once and y written once per row (amortized over row degree).
     # The scored value is the best measured SpMV of this operator at f32
@@ -322,6 +362,11 @@ def main():
                         if bf16_nnz_s is not None
                         else None
                     ),
+                    "spmm_interleaved_k8_geff": (
+                        round(spmm_eff / 1e9, 4)
+                        if spmm_eff is not None
+                        else None
+                    ),
                     "hbm_gbps_spec": spec_bw,
                     "hbm_gbps_triad_measured": round(measured_bw, 1),
                     "session_degraded": bool(degraded),
@@ -339,6 +384,10 @@ def main():
                         "dia_gnnz_s": _spread(dia_samples),
                         "dia_sym_gnnz_s": _spread(sym_samples),
                         "dia_bf16_gnnz_s": _spread(bf16_samples),
+                        "spmm_k8_geff": [
+                            round(8 * nnz / t / 1e9, 1)
+                            for t in spmm_samples
+                        ],
                         "triad_gbps": [
                             round(3 * 4 * 16_777_216 / t / 1e9, 1)
                             for t in triad_samples

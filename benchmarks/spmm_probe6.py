@@ -57,38 +57,44 @@ def main():
         ).reshape(Sy * s, 128)
 
     def chain(step):
+        # A is a pytree ARGUMENT (closing over it bakes the 322 MB data
+        # array into the HLO as a constant — the remote compile service
+        # rejects the request body)
         @jax.jit
-        def many(P, Q, K):
+        def many(A, P, Q, K):
             def body(i, carry):
-                return step(carry, Q)
+                return step(A, carry, Q)
 
             return lax.fori_loop(0, K, body, P)
 
         def make(K):
             Kj = jnp.asarray(K, jnp.int32)
-            return lambda P, Q: many(P, Q, Kj)
+            return lambda A, PQ: many(A, PQ[0], PQ[1], Kj)
 
         return make
 
     rows = [
-        ("spmm (reference)", chain(lambda P, Q: A.matmat_interleaved(P) * 0.1)),
+        (
+            "spmm (reference)",
+            chain(lambda A, P, Q: A.matmat_interleaved(P) * 0.1),
+        ),
         (
             "gram+feedback",
-            chain(lambda P, Q: P * (1.0 + 1e-12 * gram(P, Q)[0, 0])),
+            chain(lambda A, P, Q: P * (1.0 + 1e-12 * gram(P, Q)[0, 0])),
         ),
-        ("comb", chain(lambda P, Q: comb(P, C0 * 0.01) + Q * 0.1)),
+        ("comb", chain(lambda A, P, Q: comb(P, C0 * 0.01) + Q * 0.1)),
         (
             "axpy (scale ref)",
-            chain(lambda P, Q: P * 0.999 + Q * 1e-6),
+            chain(lambda A, P, Q: P * 0.999 + Q * 1e-6),
         ),
         (
             "norm+feedback",
-            chain(lambda P, Q: P * (1.0 + 1e-12 * jnp.linalg.norm(P))),
+            chain(lambda A, P, Q: P * (1.0 + 1e-12 * jnp.linalg.norm(P))),
         ),
         (
             "cholesky+trisolve",
             chain(
-                lambda P, Q: P
+                lambda A, P, Q: P
                 * (
                     1.0
                     + 1e-12
@@ -105,7 +111,7 @@ def main():
         (
             "linalg.solve",
             chain(
-                lambda P, Q: P
+                lambda A, P, Q: P
                 * (
                     1.0
                     + 1e-12
@@ -118,7 +124,7 @@ def main():
         ),
     ]
     for name, make in rows:
-        t = timeit_loop(make, P, Q, reps=3, K1=10, K2=50)
+        t = timeit_loop(make, A, (P, Q), reps=3, K1=10, K2=50)
         print(f"{name:20s} {t*1e3:9.3f} ms/step", flush=True)
 
 
