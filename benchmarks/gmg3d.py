@@ -1,0 +1,139 @@
+"""North-star multigrid benchmark: pure 3-D Dirichlet Poisson at nx^3
+(default 216 -> 10.1M rows), f32, one chip.
+
+Unlike benchmarks/cg3d.py (Laplacian + I, kappa ~ 60, 17 CG iterations)
+this drops the identity shift: kappa ~ 4(nx/pi)^2 ~ 1.9e4, the regime
+where a preconditioner decides the wall clock.  Compares jitted plain CG
+against CG + structured pair-aggregation AMG (solvers/gmg.py) — the
+gather-free multilevel hierarchy whose every level is a DIA stencil.
+
+Usage: python benchmarks/gmg3d.py [--nx 216] [--rtol 1e-6] [--nsmooth 1]
+"""
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nx", type=int, default=216)
+    ap.add_argument("--rtol", type=float, default=1e-6)
+    ap.add_argument("--nsmooth", type=int, default=1)
+    ap.add_argument("--ppl", type=int, default=3,
+                    help="axis pairings fused per level (3 = 2x2x2 aggregates)")
+    ap.add_argument("--maxiter", type=int, default=3000)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    print("devices:", jax.devices(), file=sys.stderr, flush=True)
+
+    from bench import laplacian_3d_dia
+    from sigma_tpu import DIAMatrix
+    from sigma_tpu.graph.graph import DIAGraph
+    from sigma_tpu.solvers import cg_solve, structured_pair_amg
+
+    nx = args.nx
+    n, offsets, data, nnz = laplacian_3d_dia(nx)
+    data[3, :n] = 6.0  # drop the +I shift: pure Dirichlet Laplacian
+    g = DIAGraph(offsets=offsets, shape=(n, n), nnz=nnz)
+    A = DIAMatrix(graph=g, data=jnp.asarray(data.reshape(7, -1, 128)))
+
+    t0 = time.perf_counter()
+    M = structured_pair_amg(
+        A,
+        (nx, nx, nx),
+        n_smooth=args.nsmooth,
+        pairs_per_level=args.ppl,
+        host_data=data,
+    )
+    t_setup = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "metric": "gmg_setup_s",
+                "value": round(t_setup, 2),
+                "levels": len(M.levels) + 1,
+                "level_diags": [len(l.A.graph.offsets) for l in M.levels],
+            }
+        ),
+        flush=True,
+    )
+
+    # random manufactured solution: the RHS carries ALL spectral modes (a
+    # smooth RHS lets plain CG converge far faster than kappa suggests,
+    # understating what the preconditioner buys)
+    xstar = jnp.asarray(
+        np.random.default_rng(0).standard_normal(n).astype(np.float32)
+    )
+    b = A.matvec(xstar)
+
+    def timed(solve, *extra):
+        t0 = time.perf_counter()
+        x, info = solve(A, b, *extra)
+        resn = float(info.residual_norm)
+        t_cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        x, info = solve(A, b, *extra)
+        resn = float(info.residual_norm)
+        t_warm = time.perf_counter() - t0
+        return x, info, resn, t_cold, t_warm
+
+    nb = float(jnp.linalg.norm(b))
+
+    plain = jax.jit(
+        functools.partial(
+            cg_solve, tol=0.0, rtol=args.rtol, maxiter=args.maxiter
+        )
+    )
+    x0, i0, r0, c0, w0 = timed(plain)
+    print(
+        json.dumps(
+            {
+                "metric": "poisson_cg_plain",
+                "iterations": int(i0.iterations),
+                "relative_residual": f"{r0 / nb:.3e}",
+                "wall_s_warm": round(w0, 3),
+                "s_per_iteration": round(w0 / max(int(i0.iterations), 1), 5),
+            }
+        ),
+        flush=True,
+    )
+
+    # M must be a jit ARGUMENT: closing over it would embed the whole
+    # hierarchy (~350 MB with level-0 A) in the compile request, which
+    # the axon remote-compile service rejects (HTTP 413)
+    pre = jax.jit(
+        lambda A, b, M: cg_solve(
+            A, b, tol=0.0, rtol=args.rtol, maxiter=args.maxiter, M=M
+        )
+    )
+    x1, i1, r1, c1, w1 = timed(pre, M)
+    print(
+        json.dumps(
+            {
+                "metric": "poisson_cg_structured_amg",
+                "iterations": int(i1.iterations),
+                "relative_residual": f"{r1 / nb:.3e}",
+                "wall_s_warm": round(w1, 3),
+                "s_per_iteration": round(w1 / max(int(i1.iterations), 1), 5),
+                "speedup_vs_plain": round(w0 / w1, 2) if w1 > 0 else None,
+            }
+        ),
+        flush=True,
+    )
+
+    err = float(jnp.max(jnp.abs(x1 - x0)))
+    print(f"# solutions max-abs diff: {err:.3e}", file=sys.stderr, flush=True)
+
+
+if __name__ == "__main__":
+    main()

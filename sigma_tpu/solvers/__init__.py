@@ -4,6 +4,10 @@ from sigma_tpu.solvers.amg import (
     smoothed_aggregation_amg,
 )
 from sigma_tpu.solvers.chebyshev import ChebyshevSmoother, chebyshev, estimate_lmax
+from sigma_tpu.solvers.gmg import (
+    StructuredAMGPreconditioner,
+    structured_pair_amg,
+)
 from sigma_tpu.solvers.base import (
     BiCGStabSolver,
     CGSolver,
@@ -44,6 +48,8 @@ __all__ = [
     "AMGPreconditioner",
     "amg_solve",
     "smoothed_aggregation_amg",
+    "StructuredAMGPreconditioner",
+    "structured_pair_amg",
     "LinearSolver",
     "CGSolver",
     "BiCGStabSolver",
