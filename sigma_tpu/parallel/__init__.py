@@ -1,5 +1,9 @@
 from sigma_tpu.parallel.precond import DistributedBlockILDU, distributed_block_ildu
-from sigma_tpu.parallel.amg import distribute_amg, distributed_amg
+from sigma_tpu.parallel.amg import (
+    distribute_amg,
+    distribute_structured_amg,
+    distributed_amg,
+)
 from sigma_tpu.parallel.dist import (
     balance_rows,
     DistributedDIAMatrix,
@@ -15,6 +19,7 @@ __all__ = [
     "DistributedBlockILDU",
     "distributed_block_ildu",
     "distribute_amg",
+    "distribute_structured_amg",
     "distributed_amg",
     "DistributedMatrix",
     "DistributedDIAMatrix",

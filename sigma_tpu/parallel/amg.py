@@ -36,7 +36,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from sigma_tpu.parallel.dist import distribute_matrix, distribute_vector
 from sigma_tpu.solvers.amg import AMGPreconditioner, _Level
 
-__all__ = ["distribute_amg", "distributed_amg"]
+__all__ = ["distribute_amg", "distributed_amg", "distribute_structured_amg"]
 
 
 def distribute_amg(
@@ -74,3 +74,55 @@ def distributed_amg(
     from sigma_tpu.solvers.amg import smoothed_aggregation_amg
 
     return distribute_amg(smoothed_aggregation_amg(A, **kwargs), mesh, axis)
+
+
+def distribute_structured_amg(M, mesh: Mesh, axis: str = "rows"):
+    """Re-shard a structured pair-aggregation hierarchy
+    (:func:`sigma_tpu.solvers.gmg.structured_pair_amg`, built with
+    ``freeze_axes=(0,)``) over a 1-D device mesh, slab-partitioned along
+    grid axis 0.
+
+    Because the frozen axis is never paired, EVERY transfer in the
+    V-cycle (the strided even/odd sums and repeats along axes >= 1) is
+    shard-local under GSPMD — zero collectives beyond the level SpMVs'
+    own ``ppermute`` ring shifts (the stencil's +/-1 couplings along
+    axis 0 become nearest-neighbor ICI hops in the
+    :class:`~sigma_tpu.parallel.dist.DistributedDIAMatrix` layout) and
+    the all-gather feeding the replicated coarsest LU solve.  Same
+    numerics as the single-device hierarchy: iteration parity is pinned
+    in tests/test_parallel.py.
+    """
+    from sigma_tpu.parallel.dist import distribute_matrix_dia
+    from sigma_tpu.solvers.gmg import (
+        StructuredAMGPreconditioner,
+        _SLevel,
+    )
+
+    D = mesh.shape[axis]
+    levels = []
+    for lvl in M.levels:
+        if 0 in lvl.axes:
+            raise ValueError(
+                "hierarchy pairs the sharded axis — build it with "
+                "structured_pair_amg(..., freeze_axes=(0,))"
+            )
+        if lvl.dims[0] % D:
+            raise ValueError(
+                f"grid axis 0 ({lvl.dims[0]}) must divide evenly over "
+                f"{D} shards"
+            )
+        Ad = distribute_matrix_dia(lvl.A, mesh, axis)
+        dinv = distribute_vector(np.asarray(lvl.dinv), mesh, axis, Ad.n_pad)
+        levels.append(
+            _SLevel(
+                A=Ad, dinv=dinv, dims=lvl.dims, axes=lvl.axes,
+                omega=lvl.omega,
+            )
+        )
+    rep = NamedSharding(mesh, P())
+    return StructuredAMGPreconditioner(
+        levels=tuple(levels),
+        coarse_lu=jax.device_put(np.asarray(M.coarse_lu), rep),
+        coarse_piv=jax.device_put(np.asarray(M.coarse_piv), rep),
+        n_smooth=M.n_smooth,
+    )

@@ -273,6 +273,7 @@ def structured_pair_amg(
     n_smooth: int = 1,
     max_levels: int = 64,
     pairs_per_level: int | None = None,
+    freeze_axes: Tuple[int, ...] = (),
     host_data=None,
 ) -> StructuredAMGPreconditioner:
     """Build the structured pair-aggregation hierarchy for a stencil
@@ -289,6 +290,12 @@ def structured_pair_amg(
     (default 1 = Notay-style pairwise aggregates of 2; ``len(dims)``
     gives 2^d cube aggregates — a hierarchy with d-fold fewer levels and
     fewer smoothing matvecs per cycle, at somewhat more iterations).
+
+    ``freeze_axes``: grid axes never paired — used by
+    :func:`distribute_structured_amg` to keep the row-sharded axis
+    intact, so every transfer in the distributed cycle stays
+    shard-local (the frozen direction is resolved exactly by the
+    coarsest dense solve).
 
     ``host_data``: optional numpy (D, stride) or (D, S, 128) copy of
     A's diagonal values; pass it when you built A from host arrays to
@@ -315,6 +322,15 @@ def structured_pair_amg(
         pairs_per_level = 1
 
     # phase 1: all-numpy hierarchy construction
+    def _pick_axis(d2):
+        best = -1
+        for k, e in enumerate(d2):
+            if k in freeze_axes or e < 2:
+                continue
+            if best < 0 or e > d2[best]:
+                best = k
+        return best
+
     specs = []  # (grids, dims, axes) per level
     while n > coarse_size and len(specs) < max_levels - 1:
         axes = []
@@ -322,8 +338,8 @@ def structured_pair_amg(
         for _ in range(pairs_per_level):
             if int(np.prod(d2)) <= coarse_size:
                 break
-            ax = int(np.argmax(d2))
-            if d2[ax] < 2:
+            ax = _pick_axis(d2)
+            if ax < 0:
                 break
             axes.append(ax)
             g2, d2 = _coarsen(g2, d2, ax)

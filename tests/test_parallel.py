@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from sigma_tpu import CSRMatrix, ELLMatrix
+from sigma_tpu import CSRMatrix, DIAMatrix, ELLMatrix
 from sigma_tpu.parallel import (
     distribute_matrix,
     distribute_vector,
@@ -415,3 +415,58 @@ def test_distributed_amg_vcycle_smoke(mesh, rng):
     z1 = np.asarray(M.matvec(jnp.asarray(r)))
     z2 = Ad.unshard_vector(Md.matvec(Ad.shard_vector(r)))
     assert np.max(np.abs(z1 - z2)) < 1e-11
+
+
+def test_distributed_structured_gmg_matches_single_device(mesh, rng):
+    """Structured pair-aggregation multigrid over the mesh: axis 0 is
+    frozen from pairing (slab-sharded), so every V-cycle transfer is
+    shard-local; CG iteration count and iterates must match the
+    single-device hierarchy exactly (same numerics, different layout)."""
+    from sigma_tpu.parallel import (
+        distribute_matrix_dia,
+        distribute_structured_amg,
+    )
+    from sigma_tpu.solvers import structured_pair_amg
+    from test_gmg import poisson
+
+    dims = (16, 12, 10)  # axis 0 divides the 8-device mesh evenly
+    Asp = poisson(dims)
+    n = Asp.shape[0]
+    coo = Asp.tocoo()
+    A = DIAMatrix.from_coo(n, n, coo.row, coo.col, coo.data, dtype=jnp.float64)
+
+    M = structured_pair_amg(
+        A, dims, freeze_axes=(0,), pairs_per_level=2, coarse_size=128
+    )
+    assert all(0 not in lvl.axes for lvl in M.levels)
+    b = rng.standard_normal(n)
+    x_ref, info_ref = cg_solve(A, jnp.asarray(b), tol=1e-11, M=M)
+    assert bool(info_ref.converged)
+
+    Ad = distribute_matrix_dia(A, mesh)
+    Md = distribute_structured_amg(M, mesh)
+    bd = Ad.shard_vector(b)
+    x_d, info_d = cg_solve(Ad, bd, tol=1e-11, M=Md)
+
+    assert abs(int(info_d.iterations) - int(info_ref.iterations)) <= 1
+    assert bool(info_d.converged)
+    err = np.max(np.abs(Ad.unshard_vector(x_d) - np.asarray(x_ref)))
+    assert err < 1e-9
+
+
+def test_distribute_structured_gmg_rejects_paired_shard_axis(mesh):
+    """A hierarchy that paired axis 0 cannot be slab-sharded."""
+    from sigma_tpu.parallel import distribute_structured_amg
+    from sigma_tpu.solvers import structured_pair_amg
+    from test_gmg import poisson
+
+    dims = (16, 4, 4)
+    Asp = poisson(dims)
+    coo = Asp.tocoo()
+    A = DIAMatrix.from_coo(
+        Asp.shape[0], Asp.shape[0], coo.row, coo.col, coo.data,
+        dtype=jnp.float64,
+    )
+    M = structured_pair_amg(A, dims, coarse_size=32)  # pairs axis 0
+    with pytest.raises(ValueError, match="freeze_axes"):
+        distribute_structured_amg(M, mesh)
