@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--nsmooth", type=int, default=1)
     ap.add_argument("--ppl", type=int, default=3,
                     help="axis pairings fused per level (3 = 2x2x2 aggregates)")
+    ap.add_argument("--bf16-levels", action="store_true",
+                    help="store level matrices in bfloat16 (halves the "
+                    "V-cycle's dominant HBM stream; preconditioner quality "
+                    "is value-precision-insensitive)")
     ap.add_argument("--maxiter", type=int, default=3000)
     args = ap.parse_args()
 
@@ -53,6 +57,7 @@ def main():
         (nx, nx, nx),
         n_smooth=args.nsmooth,
         pairs_per_level=args.ppl,
+        level_dtype=jnp.bfloat16 if args.bf16_levels else None,
         host_data=data,
     )
     t_setup = time.perf_counter() - t0

@@ -274,6 +274,7 @@ def structured_pair_amg(
     max_levels: int = 64,
     pairs_per_level: int | None = None,
     freeze_axes: Tuple[int, ...] = (),
+    level_dtype=None,
     host_data=None,
 ) -> StructuredAMGPreconditioner:
     """Build the structured pair-aggregation hierarchy for a stencil
@@ -296,6 +297,12 @@ def structured_pair_amg(
     intact, so every transfer in the distributed cycle stays
     shard-local (the frozen direction is resolved exactly by the
     coarsest dense solve).
+
+    ``level_dtype``: storage dtype for the LEVEL matrices (including a
+    re-frozen copy of the fine level); ``jnp.bfloat16`` halves the
+    V-cycle's dominant HBM stream — a preconditioner tolerates
+    low-precision operator values, and the smoothers' dinv and the
+    coarsest LU stay in working precision.  Default: A's dtype.
 
     ``host_data``: optional numpy (D, stride) or (D, S, 128) copy of
     A's diagonal values; pass it when you built A from host arrays to
@@ -362,18 +369,23 @@ def structured_pair_amg(
 
     lu, piv = sla.lu_factor(coarse.astype(np.float64))
 
-    # phase 2: ONE host->device transfer for the whole hierarchy (each
-    # jnp.asarray costs ~0.5 s base latency through a TPU tunnel; a
-    # 13-level hierarchy was 7 s in per-level pushes vs ~1 in one)
+    # phase 2: ONE host->device transfer per dtype for the whole
+    # hierarchy (each jnp.asarray costs ~0.5 s base latency through a TPU
+    # tunnel; a 13-level hierarchy was 7 s in per-level pushes vs ~1 in
+    # one).  Level matrices go in ``level_dtype`` (bf16 halves the
+    # V-cycle's dominant data stream — 215 vs 133 Gnnz/s measured SpMV —
+    # and a preconditioner tolerates low-precision values); dinv and the
+    # coarse LU stay in working precision.
+    lvl_np = np.dtype(level_dtype) if level_dtype is not None else dtype
     pieces = []  # (kind, level_index, shape, numpy array)
     for li, (g, d, axes) in enumerate(specs):
         nl = int(np.prod(d))
         stride = -(-nl // 128) * 128
-        if li > 0:
+        if li > 0 or lvl_np != dtype:
             items = sorted(g.items(), key=lambda kv: _flat_offset(kv[0], d))
-            dat = np.zeros((len(items), stride), dtype)
+            dat = np.zeros((len(items), stride), lvl_np)
             for k, (_, V) in enumerate(items):
-                dat[k, :nl] = V.reshape(-1)
+                dat[k, :nl] = V.reshape(-1).astype(lvl_np)
             pieces.append(("data", li, dat.shape, dat))
         diag = g.get((0,) * len(d))
         dvec = diag.reshape(-1) if diag is not None else np.zeros(nl, dtype)
@@ -381,25 +393,25 @@ def structured_pair_amg(
         pieces.append(("dinv", li, (nl,), dinv.astype(dtype)))
     pieces.append(("lu", -1, lu.shape, lu.astype(dtype)))
 
-    big = (
-        np.concatenate([p[3].reshape(-1) for p in pieces])
-        if pieces
-        else np.zeros((0,), dtype)
-    )
-    dev = jnp.asarray(big)
     carved = {}
-    off = 0
-    for kind, li, shape, arr in pieces:
-        size = arr.size
-        carved[(kind, li)] = dev[off : off + size].reshape(shape)
-        off += size
+    for buf_dtype in {lvl_np, dtype}:
+        mine = [p for p in pieces if p[3].dtype == buf_dtype]
+        if not mine:
+            continue
+        big = np.concatenate([p[3].reshape(-1) for p in mine])
+        dev = jnp.asarray(big)
+        off = 0
+        for kind, li, shape, arr in mine:
+            size = arr.size
+            carved[(kind, li)] = dev[off : off + size].reshape(shape)
+            off += size
 
     from sigma_tpu.graph.graph import DIAGraph
 
     levels = []
     for li, (g, d, axes) in enumerate(specs):
         nl = int(np.prod(d))
-        if li == 0:
+        if li == 0 and ("data", 0) not in carved:
             Alvl = A
         else:
             items = sorted(g.items(), key=lambda kv: _flat_offset(kv[0], d))

@@ -177,3 +177,30 @@ def test_out_of_reach_offset_rejected():
     A = DIAMatrix.from_coo(n, n, rows, cols, vals, dtype=jnp.float64)
     with pytest.raises(ValueError):
         structured_pair_amg(A, (4, 4))
+
+
+def test_bf16_level_storage():
+    """level_dtype=bfloat16 halves level storage without changing the
+    iteration count here (Poisson Galerkin values are dyadic, hence
+    bf16-exact; generally a preconditioner tolerates low-precision
+    operator values)."""
+    dims = (12, 12, 12)
+    Asp = poisson(dims)
+    n = Asp.shape[0]
+    coo = Asp.tocoo()
+    A = DIAMatrix.from_coo(n, n, coo.row, coo.col, coo.data, dtype=jnp.float32)
+    b = jnp.asarray(
+        np.random.default_rng(9).standard_normal(n).astype(np.float32)
+    )
+    M32 = structured_pair_amg(A, dims, pairs_per_level=3)
+    Mbf = structured_pair_amg(
+        A, dims, pairs_per_level=3, level_dtype=jnp.bfloat16
+    )
+    assert Mbf.levels[0].A.dtype == jnp.bfloat16
+    assert Mbf.levels[0].dinv.dtype == jnp.float32  # working precision
+    x32, i32 = cg_solve(A, b, tol=0.0, rtol=1e-5, M=M32, maxiter=500)
+    xbf, ibf = cg_solve(A, b, tol=0.0, rtol=1e-5, M=Mbf, maxiter=500)
+    assert bool(ibf.converged)
+    assert abs(int(ibf.iterations) - int(i32.iterations)) <= 2
+    r = np.linalg.norm(np.asarray(b) - Asp @ np.asarray(xbf))
+    assert r / np.linalg.norm(np.asarray(b)) < 2e-5
