@@ -417,11 +417,7 @@ def test_distributed_amg_vcycle_smoke(mesh, rng):
     assert np.max(np.abs(z1 - z2)) < 1e-11
 
 
-def test_distributed_structured_gmg_matches_single_device(mesh, rng):
-    """Structured pair-aggregation multigrid over the mesh: axis 0 is
-    frozen from pairing (slab-sharded), so every V-cycle transfer is
-    shard-local; CG iteration count and iterates must match the
-    single-device hierarchy exactly (same numerics, different layout)."""
+def _structured_pair(mesh):
     from sigma_tpu.parallel import (
         distribute_matrix_dia,
         distribute_structured_amg,
@@ -434,20 +430,38 @@ def test_distributed_structured_gmg_matches_single_device(mesh, rng):
     n = Asp.shape[0]
     coo = Asp.tocoo()
     A = DIAMatrix.from_coo(n, n, coo.row, coo.col, coo.data, dtype=jnp.float64)
-
     M = structured_pair_amg(
         A, dims, freeze_axes=(0,), pairs_per_level=2, coarse_size=128
     )
     assert all(0 not in lvl.axes for lvl in M.levels)
+    Ad = distribute_matrix_dia(A, mesh)
+    Md = distribute_structured_amg(M, mesh)
+    return A, M, Ad, Md, n
+
+
+def test_distributed_structured_gmg_vcycle_matches(mesh, rng):
+    """Structured pair-aggregation multigrid over the mesh: axis 0 is
+    frozen from pairing (slab-sharded), so every V-cycle transfer is
+    shard-local; a distributed V-cycle application must reproduce the
+    single-device one to rounding (same numerics, different layout)."""
+    A, M, Ad, Md, n = _structured_pair(mesh)
+    r = rng.standard_normal(n)
+    z_ref = np.asarray(M.matvec(jnp.asarray(r)))
+    z_d = Ad.unshard_vector(Md.matvec(Ad.shard_vector(r)))
+    assert np.max(np.abs(z_d - z_ref)) / np.max(np.abs(z_ref)) < 1e-12
+
+
+@pytest.mark.slow
+def test_distributed_structured_gmg_cg_iteration_parity(mesh, rng):
+    """Full CG + distributed structured multigrid: iteration count and
+    iterates match the single-device hierarchy (the end-to-end form of
+    the V-cycle equivalence above; two extra SPMD solve compiles)."""
+    A, M, Ad, Md, n = _structured_pair(mesh)
     b = rng.standard_normal(n)
     x_ref, info_ref = cg_solve(A, jnp.asarray(b), tol=1e-11, M=M)
     assert bool(info_ref.converged)
-
-    Ad = distribute_matrix_dia(A, mesh)
-    Md = distribute_structured_amg(M, mesh)
     bd = Ad.shard_vector(b)
     x_d, info_d = cg_solve(Ad, bd, tol=1e-11, M=Md)
-
     assert abs(int(info_d.iterations) - int(info_ref.iterations)) <= 1
     assert bool(info_d.converged)
     err = np.max(np.abs(Ad.unshard_vector(x_d) - np.asarray(x_ref)))
