@@ -1005,6 +1005,36 @@ def dia_spmv_pallas(
 # ---------------------------------------------------------------------------
 
 
+def _interleaved_window_helpers(k):
+    """The k-scaled window arithmetic shared by the interleaved-panel
+    kernels: per-panel element ids for the tail masks, and the shifted
+    window (element-row s of every panel lives at interleaved row
+    s*k + j, so sublane offsets scale by k and the lane-roll wrap select
+    advances k rows)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    def elem_ids(rows):
+        row = jax.lax.broadcasted_iota(jnp.int32, (k * rows, _LANES), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (k * rows, _LANES), 1)
+        return (row // k) * _LANES + lane
+
+    def shifted(frame, q, rows):
+        rowoff = q // _LANES
+        laneoff = q % _LANES
+        base = frame[k * rowoff : k * rowoff + k * rows + k, :]
+        if laneoff == 0:
+            return base[: k * rows, :]
+        rolled = pltpu.roll(base, shift=_LANES - laneoff, axis=1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (k * rows, _LANES), 1)
+        return jnp.where(
+            lane < _LANES - laneoff,
+            rolled[: k * rows, :],
+            rolled[k : k * rows + k, :],
+        )
+
+    return elem_ids, shifted
+
+
 @functools.partial(jax.jit, static_argnames=("m",))
 def interleave_panels(XT, m=None):
     """(k, m) RHS-major panels -> interleaved (k*ceil(m/128), 128): row
@@ -1085,26 +1115,7 @@ def dia_spmm_interleaved(data, XI, offsets, n, m, interpret=False):
     TBx = -(-Sx // T)
     exact = (m % _LANES == 0) and (S == Sx) and (G * T == S)
 
-    def elem_ids(rows):
-        # per-panel element index of interleaved row r = (r//k)*128 + lane
-        row = jax.lax.broadcasted_iota(jnp.int32, (k * rows, _LANES), 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (k * rows, _LANES), 1)
-        return (row // k) * _LANES + lane
-
-    def shifted(frame, q, rows):
-        """(k*rows, 128) window: every panel's elements shifted by q."""
-        rowoff = q // _LANES
-        laneoff = q % _LANES
-        base = frame[k * rowoff : k * rowoff + k * rows + k, :]
-        if laneoff == 0:
-            return base[: k * rows, :]
-        rolled = pltpu.roll(base, shift=_LANES - laneoff, axis=1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (k * rows, _LANES), 1)
-        return jnp.where(
-            lane < _LANES - laneoff,
-            rolled[: k * rows, :],
-            rolled[k : k * rows + k, :],
-        )
+    elem_ids, shifted = _interleaved_window_helpers(k)
 
     def kernel(xm_ref, xf_ref, xb_ref, d_ref, y_ref):
         i = pl.program_id(0)
@@ -1202,24 +1213,7 @@ def dia_sym_spmm_interleaved(data, XI, offsets, n, interpret=False):
     PL = E * _LANES
     aligned = n % _LANES == 0
 
-    def elem_ids(rows):
-        row = jax.lax.broadcasted_iota(jnp.int32, (k * rows, _LANES), 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (k * rows, _LANES), 1)
-        return (row // k) * _LANES + lane
-
-    def shifted(frame, q, rows):
-        rowoff = q // _LANES
-        laneoff = q % _LANES
-        base = frame[k * rowoff : k * rowoff + k * rows + k, :]
-        if laneoff == 0:
-            return base[: k * rows, :]
-        rolled = pltpu.roll(base, shift=_LANES - laneoff, axis=1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (k * rows, _LANES), 1)
-        return jnp.where(
-            lane < _LANES - laneoff,
-            rolled[: k * rows, :],
-            rolled[k : k * rows + k, :],
-        )
+    elem_ids, shifted = _interleaved_window_helpers(k)
 
     def kernel(xm_ref, xf_ref, xb_ref, d_ref, dh_ref, y_ref):
         i = pl.program_id(0)

@@ -56,27 +56,43 @@ __all__ = ["StructuredAMGPreconditioner", "structured_pair_amg"]
 _W = 1.0 / math.sqrt(2.0)  # aggregate weight (columns of P unit-norm for pairs)
 
 
-def _axis_decompose(offsets, dims) -> Tuple[Tuple[int, ...], ...]:
-    """Flat DIA offsets -> per-axis displacement tuples for a stencil on
-    a ``dims`` grid (minimal-magnitude remainder per axis, fastest axis
-    last).  Raises if an offset cannot be a within-reach stencil shift."""
-    out = []
-    for o in offsets:
-        rem = int(o)
-        disp = [0] * len(dims)
-        for ax in range(len(dims) - 1, -1, -1):
-            extent = dims[ax]
+def _axis_candidates(o, dims):
+    """All per-axis displacement tuples that flatten to offset ``o`` with
+    minimal-magnitude remainders.  Usually one; a remainder that lands
+    exactly on extent/2 of an even axis is a tie (+e/2 vs -e/2), so both
+    branches are emitted — the caller picks the one whose value grid is
+    box-valid."""
+    cands = [([], int(o))]
+    for ax in range(len(dims) - 1, -1, -1):
+        extent = dims[ax]
+        nxt = []
+        for disp, rem in cands:
             d = rem % extent
-            if d > extent // 2:
-                d -= extent
-            disp[ax] = d
-            rem = (rem - d) // extent
-        if rem != 0:
-            raise ValueError(
-                f"offset {o} is out of stencil reach for grid dims {dims}"
-            )
-        out.append(tuple(disp))
-    return tuple(out)
+            opts = {d if d <= extent // 2 else d - extent}
+            if extent % 2 == 0 and d == extent // 2:
+                opts = {d, d - extent}
+            for dd in opts:
+                nxt.append(([dd] + disp, (rem - dd) // extent))
+        cands = nxt
+    out = [tuple(disp) for disp, rem in cands if rem == 0]
+    if not out:
+        raise ValueError(
+            f"offset {o} is out of stencil reach for grid dims {dims}"
+        )
+    return out
+
+
+def _grid_box_valid(V: np.ndarray, disp, dims) -> bool:
+    """True when every stored value whose per-axis target leaves the grid
+    box is zero under this displacement interpretation."""
+    for ax, d in enumerate(disp):
+        if d == 0:
+            continue
+        sl = [slice(None)] * len(dims)
+        sl[ax] = slice(None, -d) if d < 0 else slice(dims[ax] - d, None)
+        if np.any(V[tuple(sl)] != 0):
+            return False
+    return True
 
 
 def _flat_offset(disp, dims) -> int:
@@ -89,22 +105,26 @@ def _flat_offset(disp, dims) -> int:
     return o
 
 
-def _validate_stencil(grids: Dict[tuple, np.ndarray], dims) -> None:
-    """A flat-DIA matrix is a stencil iff every stored value whose
-    per-axis target leaves the grid box is zero (flat-diagonal storage
-    would otherwise wrap such entries onto a neighboring grid line)."""
-    for disp, V in grids.items():
-        for ax, d in enumerate(disp):
-            if d == 0:
-                continue
-            # rows whose ax-index i has i + d outside [0, extent)
-            sl = [slice(None)] * len(dims)
-            sl[ax] = slice(None, -d) if d < 0 else slice(dims[ax] - d, None)
-            if np.any(V[tuple(sl)] != 0):
-                raise ValueError(
-                    f"matrix is not a stencil on dims {dims}: offset "
-                    f"{disp} has nonzero out-of-box (wrapped) entries"
-                )
+def _decompose_grids(offsets, data2d, dims) -> Dict[tuple, np.ndarray]:
+    """Flat DIA (offsets, per-diagonal rows) -> axis-displacement value
+    grids.  Each offset takes the (usually unique) displacement
+    interpretation under which its values are box-valid; a flat-diagonal
+    matrix with no such interpretation is not a stencil on ``dims``
+    (flat storage would wrap entries onto a neighboring grid line)."""
+    grids: Dict[tuple, np.ndarray] = {}
+    for d, o in enumerate(offsets):
+        V = data2d[d].reshape(dims)
+        for disp in _axis_candidates(o, dims):
+            if _grid_box_valid(V, disp, dims):
+                grids[disp] = V
+                break
+        else:
+            raise ValueError(
+                f"matrix is not a stencil on dims {dims}: offset {o} has "
+                "nonzero out-of-box (wrapped) entries under every "
+                "axis decomposition"
+            )
+    return grids
 
 
 def _coarsen(grids: Dict[tuple, np.ndarray], dims, ax):
@@ -138,25 +158,23 @@ def _coarsen(grids: Dict[tuple, np.ndarray], dims, ax):
     return {k: v for k, v in out.items() if np.any(v != 0)}, cdims
 
 
-def _freeze_dia(grids: Dict[tuple, np.ndarray], dims, dtype) -> DIAMatrix:
-    """Materialize axis-offset value grids as a flat DIAMatrix (the fast
-    blocked-kernel format) in the grid's own lex ordering."""
-    from sigma_tpu.graph.graph import DIAGraph
-
-    n = int(np.prod(dims))
-    stride = -(-n // 128) * 128
-    items = sorted(grids.items(), key=lambda kv: _flat_offset(kv[0], dims))
-    offsets = tuple(_flat_offset(disp, dims) for disp, _ in items)
-    data = np.zeros((len(items), stride), np.dtype(dtype))
-    for d, (_, V) in enumerate(items):
-        data[d, :n] = V.reshape(-1)
-    nnz = sum(
-        max(0, min(n, n - o) - max(0, -o)) for o in offsets
-    )
-    graph = DIAGraph(offsets=offsets, shape=(n, n), nnz=int(nnz))
-    return DIAMatrix(
-        graph=graph, data=jnp.asarray(data.reshape(len(items), -1, 128))
-    )
+def _merge_flat(grids: Dict[tuple, np.ndarray], dims):
+    """Axis-displacement grids -> sorted (flat_offsets, value_grids) with
+    ALIASED displacements merged by summation: two displacements can
+    flatten to one DIA offset (e.g. (1, -1) and (0, 1) on a narrow
+    grid); at any row at most one of them is in-box (the others are
+    zero), so summing reproduces the flat-diagonal semantics exactly —
+    and a DIAGraph with duplicate offsets would break searchsorted-based
+    consumers (entries/get_values/distribute)."""
+    merged: Dict[int, np.ndarray] = {}
+    for disp, V in grids.items():
+        o = _flat_offset(disp, dims)
+        if o in merged:
+            merged[o] = merged[o] + V
+        else:
+            merged[o] = V
+    offs = sorted(merged)
+    return offs, [merged[o] for o in offs]
 
 
 @jax.tree_util.register_dataclass
@@ -319,11 +337,7 @@ def structured_pair_amg(
         data2d = np.asarray(host_data).reshape(A.graph.n_diags, -1)[:, :n]
     else:
         data2d = np.asarray(A.data2d)[:, :n]
-    disps = _axis_decompose(A.graph.offsets, dims)
-    grids = {
-        disp: data2d[d].reshape(dims) for d, disp in enumerate(disps)
-    }
-    _validate_stencil(grids, dims)
+    grids = _decompose_grids(A.graph.offsets, data2d, dims)
 
     if pairs_per_level is None:
         pairs_per_level = 1
@@ -357,13 +371,14 @@ def structured_pair_amg(
         n = int(np.prod(dims))
 
     # dense coarsest operator (tiny ridge guards a singular Laplacian),
-    # factored once on host
+    # factored once on host.  Accumulate (+=): aliased displacements map
+    # to one flat diagonal and must sum, like in the flat-DIA matvec.
     coarse = np.zeros((n, n), dtype)
     i = np.arange(n)
-    for disp, V in grids.items():
-        o = _flat_offset(disp, dims)
+    coffs, cgrids = _merge_flat(grids, dims)
+    for o, V in zip(coffs, cgrids):
         lo, hi = max(0, -o), min(n, n - o)
-        coarse[i[lo:hi], i[lo:hi] + o] = V.reshape(-1)[lo:hi]
+        coarse[i[lo:hi], i[lo:hi] + o] += V.reshape(-1)[lo:hi]
     coarse = coarse + 1e-12 * np.eye(n, dtype=dtype)
     import scipy.linalg as sla
 
@@ -378,13 +393,15 @@ def structured_pair_amg(
     # coarse LU stay in working precision.
     lvl_np = np.dtype(level_dtype) if level_dtype is not None else dtype
     pieces = []  # (kind, level_index, shape, numpy array)
+    level_offs = {}
     for li, (g, d, axes) in enumerate(specs):
         nl = int(np.prod(d))
         stride = -(-nl // 128) * 128
+        offs, vgrids = _merge_flat(g, d)
+        level_offs[li] = tuple(offs)
         if li > 0 or lvl_np != dtype:
-            items = sorted(g.items(), key=lambda kv: _flat_offset(kv[0], d))
-            dat = np.zeros((len(items), stride), lvl_np)
-            for k, (_, V) in enumerate(items):
+            dat = np.zeros((len(offs), stride), lvl_np)
+            for k, V in enumerate(vgrids):
                 dat[k, :nl] = V.reshape(-1).astype(lvl_np)
             pieces.append(("data", li, dat.shape, dat))
         diag = g.get((0,) * len(d))
@@ -414,8 +431,7 @@ def structured_pair_amg(
         if li == 0 and ("data", 0) not in carved:
             Alvl = A
         else:
-            items = sorted(g.items(), key=lambda kv: _flat_offset(kv[0], d))
-            offsets = tuple(_flat_offset(disp, d) for disp, _ in items)
+            offsets = level_offs[li]
             nnz = sum(
                 max(0, min(nl, nl - o) - max(0, -o)) for o in offsets
             )

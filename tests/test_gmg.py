@@ -204,3 +204,78 @@ def test_bf16_level_storage():
     assert abs(int(ibf.iterations) - int(i32.iterations)) <= 2
     r = np.linalg.norm(np.asarray(b) - Asp @ np.asarray(xbf))
     assert r / np.linalg.norm(np.asarray(b)) < 2e-5
+
+
+def poisson9(dims):
+    """2-D 9-point (bilinear-FEM-like) Laplacian: 8 center, -1 to all 8
+    in-grid neighbors including diagonals — cross-axis couplings whose
+    displacements can ALIAS to one flat DIA offset on coarse grids."""
+    a, b = dims
+    n = a * b
+    idx = np.arange(n)
+    ia, ib = idx // b, idx % b
+    rows = [idx]
+    cols = [idx]
+    vals = [np.full(n, 8.0)]
+    for da in (-1, 0, 1):
+        for db in (-1, 0, 1):
+            if da == 0 and db == 0:
+                continue
+            mk = (
+                (ia + da >= 0) & (ia + da < a)
+                & (ib + db >= 0) & (ib + db < b)
+            )
+            rows.append(idx[mk])
+            cols.append(idx[mk] + da * b + db)
+            vals.append(np.full(mk.sum(), -1.0))
+    return sp.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n, n),
+    )
+
+
+def test_cross_coupled_stencil_aliasing():
+    """Coarsening a 9-point stencil produces displacement pairs that
+    alias to ONE flat diagonal on narrow coarse grids (e.g. (1,-1) and
+    (0,1) both flatten to +1 when the fast extent is 2): the level
+    freeze must merge them by summation and the coarsest dense operator
+    must accumulate, not overwrite.  The explicit-P oracle catches both."""
+    dims = (16, 8)
+    Asp = poisson9(dims)
+    n = Asp.shape[0]
+    coo = Asp.tocoo()
+    A = DIAMatrix.from_coo(n, n, coo.row, coo.col, coo.data, dtype=jnp.float64)
+    M = structured_pair_amg(A, dims, coarse_size=4)
+    # hierarchy reaches extent-2 grids, where (1,-1) and (0,1) alias
+    assert min(min(l.dims) for l in M.levels) <= 2
+    rng = np.random.default_rng(13)
+    r = rng.standard_normal(n)
+    z = np.asarray(M.matvec(jnp.asarray(r)))
+    zo = oracle_cycle(Asp, dims, r, coarse_size=4)
+    assert np.max(np.abs(z - zo)) / np.max(np.abs(zo)) < 1e-12
+    # flat offsets stay unique on every level (searchsorted consumers)
+    for l in M.levels:
+        offs = l.A.graph.offsets
+        assert len(offs) == len(set(offs))
+    # and the preconditioned solve converges
+    b = jnp.asarray(rng.standard_normal(n))
+    x, info = cg_solve(A, b, tol=1e-10, M=M, maxiter=2000)
+    assert bool(info.converged)
+    assert np.linalg.norm(np.asarray(b) - Asp @ np.asarray(x)) < 1e-8
+
+
+def test_extent_two_axis_negative_offset():
+    """A grid with an extent-2 axis: the -1 displacement along it ties
+    with +1 in minimal-remainder terms; the decomposition must try both
+    interpretations instead of spuriously rejecting a valid stencil."""
+    dims = (8, 8, 2)
+    Asp = poisson(dims)
+    n = Asp.shape[0]
+    coo = Asp.tocoo()
+    A = DIAMatrix.from_coo(n, n, coo.row, coo.col, coo.data, dtype=jnp.float64)
+    M = structured_pair_amg(A, dims, coarse_size=16)  # must not raise
+    rng = np.random.default_rng(17)
+    r = rng.standard_normal(n)
+    z = np.asarray(M.matvec(jnp.asarray(r)))
+    zo = oracle_cycle(Asp, dims, r, coarse_size=16)
+    assert np.max(np.abs(z - zo)) / np.max(np.abs(zo)) < 1e-12
