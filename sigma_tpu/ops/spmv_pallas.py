@@ -53,6 +53,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 __all__ = [
@@ -70,6 +71,10 @@ __all__ = [
 ]
 
 _LANES = 128
+# index-map constant: python ints in BlockSpec index maps become i64 under
+# jax_enable_x64 and Mosaic rejects the (i32, i64) map signature — always
+# return int32 components
+_I0 = np.int32(0)
 # padded x must fit in VMEM alongside double-buffered data tiles
 _MAX_X_ELEMS = 3 * 1024 * 1024
 # VMEM budget for the blocked path's double-buffered working set.  The
@@ -121,7 +126,7 @@ def _make_compute(offsets, o_min, T):
             if laneoff == 0:
                 win = base[:T, :]
             else:
-                rolled = pltpu.roll(base, shift=_LANES - laneoff, axis=1)
+                rolled = pltpu.roll(base, shift=np.int32(_LANES - laneoff), axis=1)
                 lane = jax.lax.broadcasted_iota(jnp.int32, (T, _LANES), 1)
                 win = jnp.where(
                     lane < _LANES - laneoff, rolled[:T, :], rolled[1 : T + 1, :]
@@ -228,7 +233,7 @@ def dia_spmv_pallas_blocked(data, x, offsets, n, m, interpret=False):
         base = frame[rowoff : rowoff + rows + 1, :]
         if laneoff == 0:
             return base[:rows, :]
-        rolled = pltpu.roll(base, shift=_LANES - laneoff, axis=1)
+        rolled = pltpu.roll(base, shift=np.int32(_LANES - laneoff), axis=1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
         return jnp.where(
             lane < _LANES - laneoff, rolled[:rows, :], rolled[1 : rows + 1, :]
@@ -281,9 +286,9 @@ def dia_spmv_pallas_blocked(data, x, offsets, n, m, interpret=False):
             )
         y_ref[...] = acc
 
-    clamp_m = lambda i: (jnp.minimum(i, TBx - 1), 0)
-    clamp_f = lambda i: (jnp.minimum(F * i + F, EBx - 1), 0)
-    clamp_b = lambda i: (jnp.maximum(jnp.minimum(F * i - 1, EBx - 1), 0), 0)
+    clamp_m = lambda i: (jnp.minimum(i, TBx - 1), _I0)
+    clamp_f = lambda i: (jnp.minimum(F * i + F, EBx - 1), _I0)
+    clamp_b = lambda i: (jnp.maximum(jnp.minimum(F * i - 1, EBx - 1), 0), _I0)
     y2 = pl.pallas_call(
         kernel,
         grid=(G,),
@@ -298,11 +303,11 @@ def dia_spmv_pallas_blocked(data, x, offsets, n, m, interpret=False):
                 (E, _LANES), clamp_b, memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (D, T, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                (D, T, _LANES), lambda i: (_I0, i, _I0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (T, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (T, _LANES), lambda i: (i, _I0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((S, _LANES), x.dtype),
         compiler_params=_compiler_params(interpret),
@@ -430,7 +435,7 @@ def dia_sym_spmv_pallas_blocked(
         base = frame[rowoff : rowoff + rows + 1, :]
         if laneoff == 0:
             return base[:rows, :]
-        rolled = pltpu.roll(base, shift=_LANES - laneoff, axis=1)
+        rolled = pltpu.roll(base, shift=np.int32(_LANES - laneoff), axis=1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
         return jnp.where(
             lane < _LANES - laneoff, rolled[:rows, :], rolled[1 : rows + 1, :]
@@ -490,26 +495,26 @@ def dia_sym_spmv_pallas_blocked(
         grid=(G,),
         in_specs=[
             pl.BlockSpec(
-                (T, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (T, _LANES), lambda i: (i, _I0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (E, _LANES), lambda i: (clamp_f(i), 0),
+                (E, _LANES), lambda i: (clamp_f(i), _I0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (E, _LANES), lambda i: (clamp_b(i), 0),
+                (E, _LANES), lambda i: (clamp_b(i), _I0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (D, T, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                (D, T, _LANES), lambda i: (_I0, i, _I0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (D, E, _LANES), lambda i: (0, clamp_b(i), 0),
+                (D, E, _LANES), lambda i: (_I0, clamp_b(i), _I0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (T, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (T, _LANES), lambda i: (i, _I0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((S, _LANES), x.dtype),
         compiler_params=_compiler_params(interpret),
@@ -591,7 +596,7 @@ def dia_sym_spmm_rhs_major(data, XT, offsets, n, interpret=False):
         base = frame[:, rowoff : rowoff + rows + 1, :]
         if laneoff == 0:
             return base[:, :rows, :]
-        rolled = pltpu.roll(base, shift=_LANES - laneoff, axis=2)
+        rolled = pltpu.roll(base, shift=np.int32(_LANES - laneoff), axis=2)
         lane = jax.lax.broadcasted_iota(jnp.int32, (k, rows, _LANES), 2)
         return jnp.where(
             lane < _LANES - laneoff,
@@ -639,14 +644,14 @@ def dia_sym_spmm_rhs_major(data, XT, offsets, n, interpret=False):
             )
         y_ref[...] = acc
 
-    clamp_f = lambda i: (0, jnp.minimum(F * i + F, EB - 1), 0)
-    clamp_b = lambda i: (0, jnp.maximum(F * i - 1, 0), 0)
+    clamp_f = lambda i: (_I0, jnp.minimum(F * i + F, EB - 1), _I0)
+    clamp_b = lambda i: (_I0, jnp.maximum(F * i - 1, 0), _I0)
     y3 = pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[
             pl.BlockSpec(
-                (k, T, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                (k, T, _LANES), lambda i: (_I0, i, _I0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (k, E, _LANES), clamp_f, memory_space=pltpu.VMEM
@@ -655,16 +660,16 @@ def dia_sym_spmm_rhs_major(data, XT, offsets, n, interpret=False):
                 (k, E, _LANES), clamp_b, memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (D, T, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                (D, T, _LANES), lambda i: (_I0, i, _I0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (D, E, _LANES),
-                lambda i: (0, jnp.maximum(F * i - 1, 0), 0),
+                lambda i: (_I0, jnp.maximum(F * i - 1, 0), _I0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (k, T, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (k, T, _LANES), lambda i: (_I0, i, _I0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((k, S, _LANES), XT.dtype),
         compiler_params=_compiler_params(interpret),
@@ -803,7 +808,7 @@ def _dia_spmm_core(data, XT, offsets, n, m, interpret):
             if laneoff == 0:
                 win = base3[:, :T, :]
             else:
-                rolled = pltpu.roll(base3, shift=_LANES - laneoff, axis=2)
+                rolled = pltpu.roll(base3, shift=np.int32(_LANES - laneoff), axis=2)
                 lane = jax.lax.broadcasted_iota(
                     jnp.int32, (k, T, _LANES), 2
                 )
@@ -819,12 +824,12 @@ def _dia_spmm_core(data, XT, offsets, n, m, interpret):
             )
         y_ref[...] = acc
 
-    clamp_m = lambda i: (0, jnp.minimum(i, TBx - 1), 0)
-    clamp_f = lambda i: (0, jnp.minimum(F * i + F, EBx - 1), 0)
+    clamp_m = lambda i: (_I0, jnp.minimum(i, TBx - 1), _I0)
+    clamp_f = lambda i: (_I0, jnp.minimum(F * i + F, EBx - 1), _I0)
     clamp_b = lambda i: (
-        0,
+        _I0,
         jnp.maximum(jnp.minimum(F * i - 1, EBx - 1), 0),
-        0,
+        _I0,
     )
     y3 = pl.pallas_call(
         kernel,
@@ -840,11 +845,11 @@ def _dia_spmm_core(data, XT, offsets, n, m, interpret):
                 (k, E, _LANES), clamp_b, memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (D, T, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                (D, T, _LANES), lambda i: (_I0, i, _I0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (k, T, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (k, T, _LANES), lambda i: (_I0, i, _I0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((k, S, _LANES), XT.dtype),
         compiler_params=_compiler_params(interpret),
@@ -933,11 +938,11 @@ def dia_spmv_pallas(
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(
-                    (D, T, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                    (D, T, _LANES), lambda i: (_I0, i, _I0), memory_space=pltpu.VMEM
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (T, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (T, _LANES), lambda i: (i, _I0), memory_space=pltpu.VMEM
             ),
             out_shape=jax.ShapeDtypeStruct((S, _LANES), x.dtype),
             interpret=interpret,
@@ -964,11 +969,11 @@ def dia_spmv_pallas(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # xp stays in HBM
             pl.BlockSpec(
-                (D, T, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                (D, T, _LANES), lambda i: (_I0, i, _I0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (T, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (T, _LANES), lambda i: (i, _I0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((S, _LANES), x.dtype),
         scratch_shapes=[
@@ -1014,9 +1019,11 @@ def _interleaved_window_helpers(k):
     from jax.experimental.pallas import tpu as pltpu
 
     def elem_ids(rows):
+        # np.int32 constants: python-int operands in in-kernel integer
+        # arithmetic mis-promote under jax_enable_x64
         row = jax.lax.broadcasted_iota(jnp.int32, (k * rows, _LANES), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (k * rows, _LANES), 1)
-        return (row // k) * _LANES + lane
+        return (row // np.int32(k)) * np.int32(_LANES) + lane
 
     def shifted(frame, q, rows):
         rowoff = q // _LANES
@@ -1024,10 +1031,10 @@ def _interleaved_window_helpers(k):
         base = frame[k * rowoff : k * rowoff + k * rows + k, :]
         if laneoff == 0:
             return base[: k * rows, :]
-        rolled = pltpu.roll(base, shift=_LANES - laneoff, axis=1)
+        rolled = pltpu.roll(base, shift=np.int32(_LANES - laneoff), axis=1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (k * rows, _LANES), 1)
         return jnp.where(
-            lane < _LANES - laneoff,
+            lane < np.int32(_LANES - laneoff),
             rolled[: k * rows, :],
             rolled[k : k * rows + k, :],
         )
@@ -1145,9 +1152,9 @@ def dia_spmm_interleaved(data, XI, offsets, n, m, interpret=False):
             acc = jnp.where(base + elem_ids(T) < n, acc, jnp.zeros_like(acc))
         y_ref[...] = acc
 
-    clamp_m = lambda i: (jnp.minimum(i, TBx - 1), 0)
-    clamp_f = lambda i: (jnp.minimum(F * i + F, EBx - 1), 0)
-    clamp_b = lambda i: (jnp.maximum(jnp.minimum(F * i - 1, EBx - 1), 0), 0)
+    clamp_m = lambda i: (jnp.minimum(i, TBx - 1), _I0)
+    clamp_f = lambda i: (jnp.minimum(F * i + F, EBx - 1), _I0)
+    clamp_b = lambda i: (jnp.maximum(jnp.minimum(F * i - 1, EBx - 1), 0), _I0)
     return pl.pallas_call(
         kernel,
         grid=(G,),
@@ -1156,11 +1163,11 @@ def dia_spmm_interleaved(data, XI, offsets, n, m, interpret=False):
             pl.BlockSpec((k * E, _LANES), clamp_f, memory_space=pltpu.VMEM),
             pl.BlockSpec((k * E, _LANES), clamp_b, memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (D, T, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                (D, T, _LANES), lambda i: (_I0, i, _I0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (k * T, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (k * T, _LANES), lambda i: (i, _I0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((k * S, _LANES), XI.dtype),
         compiler_params=_compiler_params(interpret),
@@ -1244,28 +1251,28 @@ def dia_sym_spmm_interleaved(data, XI, offsets, n, interpret=False):
             )
         y_ref[...] = acc
 
-    clamp_f = lambda i: (jnp.minimum(F * i + F, EB - 1), 0)
-    clamp_b = lambda i: (jnp.maximum(F * i - 1, 0), 0)
+    clamp_f = lambda i: (jnp.minimum(F * i + F, EB - 1), _I0)
+    clamp_b = lambda i: (jnp.maximum(F * i - 1, 0), _I0)
     return pl.pallas_call(
         kernel,
         grid=(G,),
         in_specs=[
             pl.BlockSpec(
-                (k * T, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (k * T, _LANES), lambda i: (i, _I0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((k * E, _LANES), clamp_f, memory_space=pltpu.VMEM),
             pl.BlockSpec((k * E, _LANES), clamp_b, memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (D, T, _LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+                (D, T, _LANES), lambda i: (_I0, i, _I0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (D, E, _LANES),
-                lambda i: (0, jnp.maximum(F * i - 1, 0), 0),
+                lambda i: (_I0, jnp.maximum(F * i - 1, 0), _I0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (k * T, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (k * T, _LANES), lambda i: (i, _I0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((k * S, _LANES), XI.dtype),
         compiler_params=_compiler_params(interpret),
