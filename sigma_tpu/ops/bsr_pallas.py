@@ -43,6 +43,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# int32 index-map constant (python ints become i64 under jax_enable_x64,
+# which Mosaic rejects in BlockSpec index maps)
+_I0 = np.int32(0)
+
 from sigma_tpu.operators.linear_operator import LinearOperator
 
 __all__ = ["GroupedBSR", "bsr_grouped_spmv"]
@@ -90,7 +94,7 @@ def bsr_grouped_spmv(
             y_ref[0] = y_ref[0] + acc
 
     def xmap(j):
-        return lambda i, gcols_ref, grow_ref: (gcols_ref[i * B + j], 0, 0)
+        return lambda i, gcols_ref, grow_ref: (gcols_ref[i * B + j], _I0, _I0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -102,13 +106,13 @@ def bsr_grouped_spmv(
         + [
             pl.BlockSpec(
                 (1, bh, B * bw),
-                lambda i, gcols_ref, grow_ref: (i, 0, 0),
+                lambda i, gcols_ref, grow_ref: (i, _I0, _I0),
                 memory_space=pltpu.VMEM,
             )
         ],
         out_specs=pl.BlockSpec(
             (1, bh, k),
-            lambda i, gcols_ref, grow_ref: (grow_ref[i], 0, 0),
+            lambda i, gcols_ref, grow_ref: (grow_ref[i], _I0, _I0),
             memory_space=pltpu.VMEM,
         ),
     )

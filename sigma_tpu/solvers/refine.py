@@ -56,18 +56,29 @@ def refined_solve(
     """
     work_dtype = b.dtype
     if inner_solve is None:
-        A_lo = A.astype(inner_dtype)
+        import jax
 
-        def inner_solve(r_lo):
-            d, _ = cg_solve(
-                A_lo,
-                r_lo,
-                tol=0.0,
-                rtol=inner_tol,
-                maxiter=inner_maxiter,
-                M=M_lo,
+        A_lo = A.astype(inner_dtype)
+        # jit the inner solve with the operator/preconditioner as PYTREE
+        # ARGUMENTS: an eager Krylov call pays ~25 ms tunnel dispatch per
+        # op outside its while_loop (measured 4.6 s eager vs 0.18 s
+        # jitted for one 10M-row solve, BENCHMARKS.md), and closing over
+        # large device arrays oversizes the remote compile request
+        if M_lo is None:
+            _inner = jax.jit(
+                lambda A, r: cg_solve(
+                    A, r, tol=0.0, rtol=inner_tol, maxiter=inner_maxiter
+                )[0]
             )
-            return d
+            inner_solve = lambda r_lo: _inner(A_lo, r_lo)
+        else:
+            _inner = jax.jit(
+                lambda A, r, M: cg_solve(
+                    A, r, tol=0.0, rtol=inner_tol, maxiter=inner_maxiter,
+                    M=M,
+                )[0]
+            )
+            inner_solve = lambda r_lo: _inner(A_lo, r_lo, M_lo)
 
     x = jnp.zeros_like(b)
     bn = float(jnp.linalg.norm(b))
