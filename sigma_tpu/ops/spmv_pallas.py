@@ -80,10 +80,13 @@ _MAX_X_ELEMS = 3 * 1024 * 1024
 # VMEM budget for the blocked path's double-buffered working set.  The
 # default Mosaic scoped-vmem limit is 16 MB; the blocked kernels raise it
 # via CompilerParams to use the chip's larger physical VMEM, and the
-# budget below leaves ~20% slack for kernel-internal temporaries
+# budget below leaves slack for kernel-internal temporaries
 # (measured: a 20.4 MB working-set estimate compiled to a 23.25 MB
-# scoped allocation).
-_VMEM_BUDGET_BYTES = 24 * 1024 * 1024
+# scoped allocation).  32 MB admits the T=3072 row tile, which cuts the
+# halo fraction E/T in half vs T=1536: measured at the 10M-row north
+# star (one session) 203.5 vs 171.5 Gnnz/s symmetric and 131.4 vs 125.1
+# full — T=3072 leads both pick lists.
+_VMEM_BUDGET_BYTES = 32 * 1024 * 1024
 _VMEM_LIMIT_BYTES = 64 * 1024 * 1024
 
 
@@ -156,7 +159,7 @@ def _full_tile_pick(S: int, hrows: int, D: int, itemsize: int):
     ``i -> F*i`` index maps), E*128 >= the band's one-sided reach both
     ways, working set (x tile + 2 halos + data tile + y tile, double
     buffered) within the VMEM budget.  None if nothing fits."""
-    for T in (1536, 2048, 1024, 768, 512, 384, 256):
+    for T in (3072, 1536, 2048, 1024, 768, 512, 384, 256):
         if T > S:
             continue
         E = next(
@@ -324,7 +327,7 @@ def _sym_tile_pick(S: int, hrows: int, D: int, itemsize: int):
     reach in sublane rows, chosen so the double-buffered working set fits
     the VMEM budget.  None if nothing fits (wide bands — the XLA path
     handles those)."""
-    for T in (1536, 2048, 1024, 768, 512, 384, 256):
+    for T in (3072, 1536, 2048, 1024, 768, 512, 384, 256):
         if T > S:
             continue
         E = next(
@@ -528,7 +531,7 @@ def _sym_spmm_tile_pick(S: int, hrows: int, D: int, itemsize: int, k: int):
     """(T, E) for the symmetric SpMM kernel: k RHS panels (tile + 2
     halos), data tile + backward data halo, k output panels — double
     buffered within the VMEM budget."""
-    for T in (1536, 2048, 1024, 768, 512, 384, 256):
+    for T in (3072, 1536, 2048, 1024, 768, 512, 384, 256):
         if T > S:
             continue
         E = next(
@@ -715,7 +718,7 @@ def dia_spmm_pallas_blocked(data, X, offsets, n, m, interpret=False):
 def _spmm_tile_pick(S: int, hrows: int, D: int, itemsize: int, k: int):
     """(T, E) for the zero-construction SpMM kernel (k RHS panels of
     tile + 2 halos + data tile + k output panels, double buffered)."""
-    for T in (1536, 2048, 1024, 768, 512, 384, 256):
+    for T in (3072, 1536, 2048, 1024, 768, 512, 384, 256):
         if T > S:
             continue
         E = next(
