@@ -295,6 +295,30 @@ def main():
     else:
         _progress("skipping bf16 row (session too slow)", t0)
 
+    # the compounding of both storage tricks: SYMMETRIC (half the
+    # diagonals) + bf16 values (half the bytes) — ~3.1 B/nnz traffic
+    # model, the fastest possible single-chip SpMV of this operator.
+    # Detail row, self-bounding.
+    symbf_samples = []
+    symbf_nnz_s = None
+    if _time.time() - t0 < 330 and sym_nnz_s is not None:
+        keep = [d for d, o in enumerate(offsets) if o >= 0]
+        data_symbf = data[keep].astype(jnp.bfloat16)
+        assert np.array_equal(
+            data_symbf.astype(np.float32), data[keep]
+        )
+        from sigma_tpu.matrix.symmetric import SymmetricDIAMatrix
+
+        A_symbf = SymmetricDIAMatrix(
+            data=jnp.asarray(data_symbf.reshape(len(keep), -1, 128)),
+            offsets=tuple(offsets[d] for d in keep),
+            n=n,
+        )
+        symbf_nnz_s = bench_spmv(A_symbf, nnz, samples=symbf_samples)
+        _progress(f"dia sym+bf16 {symbf_nnz_s/1e9:.1f} Gnnz/s", t0)
+    else:
+        _progress("skipping sym+bf16 row (session too slow)", t0)
+
     # multi-RHS SpMM on resident interleaved panels (k=8): the block
     # solvers' layout.  Detail row, self-bounding like the rows above.
     spmm_samples = []
@@ -362,6 +386,11 @@ def main():
                         if bf16_nnz_s is not None
                         else None
                     ),
+                    "dia_sym_bf16data_gnnz_s": (
+                        round(symbf_nnz_s / 1e9, 4)
+                        if symbf_nnz_s is not None
+                        else None
+                    ),
                     "spmm_interleaved_k8_geff": (
                         round(spmm_eff / 1e9, 4)
                         if spmm_eff is not None
@@ -384,6 +413,7 @@ def main():
                         "dia_gnnz_s": _spread(dia_samples),
                         "dia_sym_gnnz_s": _spread(sym_samples),
                         "dia_bf16_gnnz_s": _spread(bf16_samples),
+                        "dia_sym_bf16_gnnz_s": _spread(symbf_samples),
                         "spmm_k8_geff": [
                             round(8 * nnz / t / 1e9, 1)
                             for t in spmm_samples
