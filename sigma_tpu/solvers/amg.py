@@ -186,7 +186,14 @@ def smoothed_aggregation_amg(
     coarsening — best V-cycle quality: 11 vs 19 CG iterations measured on
     a 40x40 Laplacian); pass :func:`vmb_aggregate` for aggressive ~3^d
     aggregates (5.7x coarsening, ~half the hierarchy build/apply cost,
-    more iterations)."""
+    more iterations).
+
+    For STENCIL operators on structured grids prefer
+    :func:`sigma_tpu.solvers.structured_pair_amg`: its setup is
+    closed-form on the diagonal value grids (no SpGEMM — seconds at 10M
+    rows) and its transfers are gather-free reshapes, where this generic
+    builder's CSR prolongator applies as a per-element gather
+    (~0.1 Gnnz/s on TPU)."""
     from sigma_tpu.matrix.algebra import sparse_matmul, sparse_add
 
     aggregate = greedy_aggregate if aggregate is None else aggregate
@@ -206,7 +213,15 @@ def smoothed_aggregation_amg(
             )
             AP = sparse_matmul(DinvA, P, out_format=CSRMatrix)
             P = sparse_add(P, AP, alpha=1.0, beta=-omega)
-        Ac = ptap(Acur, P, out_format=type(Acur))
+        # coarse levels in CSR regardless of A's format: Galerkin sparsity
+        # is scattered, so e.g. a DIA coarse op would materialize one
+        # (padded) diagonal per distinct offset — measured 10x setup blowup
+        # on a DIA fine operator — and the V-cycle applies levels through
+        # the generic matvec anyway
+        Ac = ptap(
+            Acur, P,
+            out_format=type(Acur) if isinstance(Acur, CSRMatrix) else CSRMatrix,
+        )
         dvec = jnp.asarray(np.asarray(Acur.diagonal()))
         dinv = jnp.where(dvec != 0, 1.0, 0.0) / jnp.where(dvec != 0, dvec, 1.0)
         levels.append(_Level(A=Acur, P=P, dinv=dinv, omega=float(omega)))
