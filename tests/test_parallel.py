@@ -484,3 +484,32 @@ def test_distribute_structured_gmg_rejects_paired_shard_axis(mesh):
     M = structured_pair_amg(A, dims, coarse_size=32)  # pairs axis 0
     with pytest.raises(ValueError, match="freeze_axes"):
         distribute_structured_amg(M, mesh)
+
+
+def test_distributed_structured_gmg_aliased_offsets(mesh, rng):
+    """Cross-coupled (9-point) stencil coarsened to narrow grids produces
+    level matrices with MERGED aliased diagonals; distributing them goes
+    through A.entries() on the merged values — the path a duplicate-offset
+    DIAGraph would silently corrupt.  Distributed V-cycle must equal the
+    single-device one."""
+    from sigma_tpu.parallel import (
+        distribute_matrix_dia,
+        distribute_structured_amg,
+    )
+    from sigma_tpu.solvers import structured_pair_amg
+    from test_gmg import poisson9
+
+    dims = (16, 6)
+    Asp = poisson9(dims)
+    n = Asp.shape[0]
+    coo = Asp.tocoo()
+    A = DIAMatrix.from_coo(n, n, coo.row, coo.col, coo.data, dtype=jnp.float64)
+    M = structured_pair_amg(A, dims, freeze_axes=(0,), coarse_size=16)
+    # the hierarchy must actually reach an extent-2 axis (aliasing regime)
+    assert min(min(l.dims) for l in M.levels) <= 2
+    Ad = distribute_matrix_dia(A, mesh)
+    Md = distribute_structured_amg(M, mesh)
+    r = rng.standard_normal(n)
+    z_ref = np.asarray(M.matvec(jnp.asarray(r)))
+    z_d = Ad.unshard_vector(Md.matvec(Ad.shard_vector(r)))
+    assert np.max(np.abs(z_d - z_ref)) / np.max(np.abs(z_ref)) < 1e-12
