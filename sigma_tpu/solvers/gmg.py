@@ -228,6 +228,18 @@ class StructuredAMGPreconditioner(LinearOperator):
 
     rmatvec = matvec  # symmetric cycle
 
+    def matmat(self, X):
+        """Blockwise V-cycles as an explicit per-column loop: the default
+        vmap(matvec) would batch the pallas level kernels into the
+        (k, T, 128)-block form measured ~2.3x slower per column
+        (BENCHMARKS.md 'interleaved-panel SpMM'); m is small and static
+        for preconditioner use (LOBPCG residual blocks, block CG)."""
+        return jnp.stack(
+            [self._cycle(0, X[:, j]) for j in range(X.shape[1])], axis=1
+        )
+
+    rmatmat = matmat
+
     def _cycle(self, i: int, r):
         if i == len(self.levels):
             return jax.scipy.linalg.lu_solve(

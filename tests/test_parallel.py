@@ -486,6 +486,7 @@ def test_distribute_structured_gmg_rejects_paired_shard_axis(mesh):
         distribute_structured_amg(M, mesh)
 
 
+@pytest.mark.slow
 def test_distributed_structured_gmg_aliased_offsets(mesh, rng):
     """Cross-coupled (9-point) stencil coarsened to narrow grids produces
     level matrices with MERGED aliased diagonals; distributing them goes
