@@ -39,9 +39,20 @@ def main():
     ap.add_argument("--m", type=int, default=4)
     ap.add_argument("--tol", type=float, default=1e-4)
     ap.add_argument("--maxiter", type=int, default=120)
+    ap.add_argument("--inverse-step", action="store_true",
+                    help="with --refine-rq: one f64-refined inverse-"
+                    "iteration step per vector + f64 Rayleigh-Ritz")
+    ap.add_argument("--refine-rq", action="store_true",
+                    help="recompute the final Rayleigh quotients in "
+                    "(emulated) float64: removes the f32 arithmetic floor "
+                    "(eps*||A|| ~ lambda_min/100 at this scale), leaving "
+                    "only the quadratic eigenvector-angle term")
     args = ap.parse_args()
 
     import jax
+
+    if args.refine_rq:
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     print("devices:", jax.devices(), file=sys.stderr, flush=True)
@@ -83,21 +94,73 @@ def main():
 
     exact = analytic_lowest(nx, m)
     rel_err = np.abs(lam - exact) / exact
-    print(
-        json.dumps(
-            {
-                "metric": "poisson_lobpcg_gmg",
-                "m": m,
-                "iterations": int(res.iterations),
-                "eigenvalues": [float(f"{v:.6e}") for v in lam],
-                "analytic": [float(f"{v:.6e}") for v in exact],
-                "rel_err": [float(f"{v:.2e}") for v in rel_err],
-                "gmg_setup_s": round(t_setup, 2),
-                "wall_s_warm": round(t_warm, 2),
-            }
-        ),
-        flush=True,
-    )
+    out = {
+        "metric": "poisson_lobpcg_gmg",
+        "m": m,
+        "iterations": int(res.iterations),
+        "eigenvalues": [float(f"{v:.6e}") for v in lam],
+        "analytic": [float(f"{v:.6e}") for v in exact],
+        "rel_err": [float(f"{v:.2e}") for v in rel_err],
+        "gmg_setup_s": round(t_setup, 2),
+        "wall_s_warm": round(t_warm, 2),
+    }
+
+    if args.refine_rq:
+        t0 = time.perf_counter()
+        A64 = DIAMatrix(
+            graph=g,
+            data=jnp.asarray(data.astype(np.float64).reshape(7, -1, 128)),
+        )
+        V = res.eigenvectors.astype(jnp.float64)
+        AV = A64.matmat(V)
+        rq = jnp.einsum("nj,nj->j", V, AV) / jnp.einsum("nj,nj->j", V, V)
+        lam_rq = np.sort(np.asarray(rq))
+        out["rq_f64_eigenvalues"] = [float(f"{v:.8e}") for v in lam_rq]
+        out["rq_f64_rel_err"] = [
+            float(f"{v:.2e}") for v in np.abs(lam_rq - exact) / exact
+        ]
+        out["rq_f64_s"] = round(time.perf_counter() - t0, 2)
+
+        if args.inverse_step:
+            # one f64-refined inverse-iteration step per vector: y = A^-1 x
+            # amplifies mode q by 1/lambda_q, suppressing the f32
+            # stagnation's high-mode contamination by ~lambda_1/lambda_q;
+            # a final f64 Rayleigh-Ritz on the m-block separates the
+            # low cluster
+            from sigma_tpu.solvers import cg_solve
+            from sigma_tpu.solvers.refine import refined_solve
+
+            t0 = time.perf_counter()
+            inner = jax.jit(
+                lambda Af, r, Mf: cg_solve(
+                    Af, r, tol=0.0, rtol=1e-6, maxiter=200, M=Mf
+                )[0]
+            )
+            cols = []
+            for j in range(m):
+                y, _ = refined_solve(
+                    A64, V[:, j], tol=0.0, rtol=1e-12,
+                    inner_solve=lambda r: inner(A, r, M), max_outer=8,
+                )
+                cols.append(y / jnp.linalg.norm(y))
+            Y = jnp.stack(cols, axis=1)
+            # f64 Rayleigh-Ritz on the refined block
+            G = Y.T @ Y
+            H = Y.T @ A64.matmat(Y)
+            H = 0.5 * (H + H.T)
+            import scipy.linalg as sla
+
+            w, _ = sla.eigh(np.asarray(H), np.asarray(G))
+            lam_ii = np.sort(w)
+            out["inverse_step_eigenvalues"] = [
+                float(f"{v:.10e}") for v in lam_ii
+            ]
+            out["inverse_step_rel_err"] = [
+                float(f"{v:.2e}") for v in np.abs(lam_ii - exact) / exact
+            ]
+            out["inverse_step_s"] = round(time.perf_counter() - t0, 2)
+
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
