@@ -122,36 +122,14 @@ def main():
         out["rq_f64_s"] = round(time.perf_counter() - t0, 2)
 
         if args.inverse_step:
-            # one f64-refined inverse-iteration step per vector: y = A^-1 x
-            # amplifies mode q by 1/lambda_q, suppressing the f32
-            # stagnation's high-mode contamination by ~lambda_1/lambda_q;
-            # a final f64 Rayleigh-Ritz on the m-block separates the
-            # low cluster
-            from sigma_tpu.solvers import cg_solve
-            from sigma_tpu.solvers.refine import refined_solve
+            # one f64-refined inverse-iteration step per vector + f64
+            # Rayleigh-Ritz: the packaged pipeline
+            # (sigma_tpu.eigen.refine_eigenpairs)
+            from sigma_tpu.eigen import refine_eigenpairs
 
             t0 = time.perf_counter()
-            inner = jax.jit(
-                lambda Af, r, Mf: cg_solve(
-                    Af, r, tol=0.0, rtol=1e-6, maxiter=200, M=Mf
-                )[0]
-            )
-            cols = []
-            for j in range(m):
-                y, _ = refined_solve(
-                    A64, V[:, j], tol=0.0, rtol=1e-12,
-                    inner_solve=lambda r: inner(A, r, M), max_outer=8,
-                )
-                cols.append(y / jnp.linalg.norm(y))
-            Y = jnp.stack(cols, axis=1)
-            # f64 Rayleigh-Ritz on the refined block
-            G = Y.T @ Y
-            H = Y.T @ A64.matmat(Y)
-            H = 0.5 * (H + H.T)
-            import scipy.linalg as sla
-
-            w, _ = sla.eigh(np.asarray(H), np.asarray(G))
-            lam_ii = np.sort(w)
+            ref = refine_eigenpairs(A64, res.eigenvectors, M_lo=M)
+            lam_ii = ref.eigenvalues
             out["inverse_step_eigenvalues"] = [
                 float(f"{v:.10e}") for v in lam_ii
             ]

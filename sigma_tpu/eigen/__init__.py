@@ -1,4 +1,5 @@
 from sigma_tpu.eigen.lobpcg import LOBPCGResult, lobpcg
+from sigma_tpu.eigen.refine import RefinedEigenpairs, refine_eigenpairs
 from sigma_tpu.eigen.lanczos import (
     LanczosResult,
     eigensolve,
@@ -10,6 +11,8 @@ from sigma_tpu.eigen.lanczos import (
 __all__ = [
     "lobpcg",
     "LOBPCGResult",
+    "refine_eigenpairs",
+    "RefinedEigenpairs",
     "LanczosResult",
     "lanczos",
     "generalized_lanczos",

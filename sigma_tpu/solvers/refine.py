@@ -90,8 +90,13 @@ def refined_solve(
         resn = float(jnp.linalg.norm(r))
         if not np.isfinite(resn) or resn <= tol_eff:
             break
-        d = inner_solve(r.astype(inner_dtype))
-        x = x + d.astype(work_dtype)
+        # scale the residual to unit norm before the low-precision solve:
+        # once outer sweeps contract r below ~1e-12, an UNSCALED f32 inner
+        # CG underflows its inner products (rz ~ ||r||^2 ~ 1e-24 -> 0/0 =
+        # NaN, observed in eigenpair refinement); unit scaling keeps the
+        # inner solve in f32's healthy range at every sweep
+        d = inner_solve((r / resn).astype(inner_dtype))
+        x = x + resn * d.astype(work_dtype)
     else:
         r = b - A.matvec(x)
         resn = float(jnp.linalg.norm(r))
