@@ -6,6 +6,7 @@ from sigma_tpu.solvers.amg import (
 from sigma_tpu.solvers.chebyshev import ChebyshevSmoother, chebyshev, estimate_lmax
 from sigma_tpu.solvers.gmg import (
     StructuredAMGPreconditioner,
+    structured_amg,
     structured_pair_amg,
 )
 from sigma_tpu.solvers.base import (
@@ -49,6 +50,7 @@ __all__ = [
     "amg_solve",
     "smoothed_aggregation_amg",
     "StructuredAMGPreconditioner",
+    "structured_amg",
     "structured_pair_amg",
     "LinearSolver",
     "CGSolver",

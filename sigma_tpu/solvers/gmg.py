@@ -51,7 +51,11 @@ import numpy as np
 from sigma_tpu.matrix.formats import DIAMatrix
 from sigma_tpu.operators.linear_operator import LinearOperator
 
-__all__ = ["StructuredAMGPreconditioner", "structured_pair_amg"]
+__all__ = [
+    "StructuredAMGPreconditioner",
+    "structured_pair_amg",
+    "structured_amg",
+]
 
 _W = 1.0 / math.sqrt(2.0)  # aggregate weight (columns of P unit-norm for pairs)
 
@@ -468,3 +472,23 @@ def structured_pair_amg(
         coarse_piv=jnp.asarray(piv.astype(np.int32)),
         n_smooth=n_smooth,
     )
+
+
+class StructuredAMGFactory:
+    """Factory-style builder matching the reference's solver idiom
+    (``cg()``/``jacobi()``/``ldu()`` return objects with ``setup(A)``,
+    cg_solvers.f90:36 etc.): ``structured_amg(dims).setup(A)`` yields the
+    V-cycle preconditioner."""
+
+    def __init__(self, dims, **kwargs):
+        self.dims = tuple(int(d) for d in dims)
+        self.kwargs = kwargs
+
+    def setup(self, A) -> StructuredAMGPreconditioner:
+        return structured_pair_amg(A, self.dims, **self.kwargs)
+
+
+def structured_amg(dims, **kwargs) -> StructuredAMGFactory:
+    """``M = structured_amg((nx, ny, nz), pairs_per_level=3).setup(A)`` —
+    see :func:`structured_pair_amg` for the keyword options."""
+    return StructuredAMGFactory(dims, **kwargs)
