@@ -111,7 +111,14 @@ def distribute_structured_amg(M, mesh: Mesh, axis: str = "rows"):
                 f"grid axis 0 ({lvl.dims[0]}) must divide evenly over "
                 f"{D} shards"
             )
-        Ad = distribute_matrix_dia(lvl.A, mesh, axis)
+        from sigma_tpu.matrix.symmetric import SymmetricDIAMatrix
+
+        Alvl = (
+            lvl.A.to_dia()
+            if isinstance(lvl.A, SymmetricDIAMatrix)
+            else lvl.A
+        )
+        Ad = distribute_matrix_dia(Alvl, mesh, axis)
         dinv = distribute_vector(np.asarray(lvl.dinv), mesh, axis, Ad.n_pad)
         levels.append(
             _SLevel(

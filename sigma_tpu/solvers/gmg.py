@@ -349,11 +349,40 @@ def structured_pair_amg(
         raise ValueError(f"dims {dims} do not tile A of shape {A.shape}")
     dtype = np.dtype(A.data.dtype)
 
-    if host_data is not None:
-        data2d = np.asarray(host_data).reshape(A.graph.n_diags, -1)[:, :n]
+    from sigma_tpu.matrix.symmetric import SymmetricDIAMatrix
+
+    if isinstance(A, SymmetricDIAMatrix):
+        # symmetric (upper-only) storage: expand to full diagonals for
+        # the Galerkin coarsening (host-side mirror of each stored
+        # diagonal), but keep A ITSELF as the level-0 operator — every
+        # fine-level smoothing sweep then runs the symmetric blocked
+        # kernel, the fastest SpMV in the library (BENCHMARKS.md)
+        offsets_u = A.offsets
+        if host_data is not None:
+            data_u = np.asarray(host_data).reshape(len(offsets_u), -1)[:, :n]
+        else:
+            data_u = np.asarray(A.data2d)[:, :n]
+        rows = []
+        offsets_full = []
+        for d, o in enumerate(offsets_u):
+            rows.append(data_u[d])
+            offsets_full.append(o)
+            if o > 0:
+                # mirror: A[i, i-o] = A[i-o, i] = data_u[o][i-o]
+                mirrored = np.zeros(n, data_u.dtype)
+                mirrored[o:] = data_u[d, : n - o]
+                rows.append(mirrored)
+                offsets_full.append(-o)
+        order = np.argsort(offsets_full)
+        data2d = np.stack([rows[j] for j in order])
+        flat_offsets = tuple(int(offsets_full[j]) for j in order)
     else:
-        data2d = np.asarray(A.data2d)[:, :n]
-    grids = _decompose_grids(A.graph.offsets, data2d, dims)
+        if host_data is not None:
+            data2d = np.asarray(host_data).reshape(A.graph.n_diags, -1)[:, :n]
+        else:
+            data2d = np.asarray(A.data2d)[:, :n]
+        flat_offsets = A.graph.offsets
+    grids = _decompose_grids(flat_offsets, data2d, dims)
 
     if pairs_per_level is None:
         pairs_per_level = 1
