@@ -141,14 +141,26 @@ class DistributedMatrix(LinearOperator):
         return sum(int(np.count_nonzero(np.asarray(v))) for v in self.vals)
 
     # -- matvec under shard_map -------------------------------------------------
-    def _local_matvec(self, x_local, nodes, vals):
-        """Per-shard kernel: local block first, then one ring shift per
-        present off-diagonal offset (overlappable by XLA).  x blocks are
-        ``bcols`` long; output blocks are ``block`` long (rectangular OK)."""
+    def _ring_shifts_first(self, x_local):
+        """Issue every nonzero ring shift up front: the ppermutes carry no
+        dependency on the local FMA work, so XLA's async collectives can
+        overlap the ICI transfers with the diagonal-block compute (the
+        overlap the >85% scaling-efficiency target lives on)."""
         D = self.n_shards
+        return {
+            k: _ring_shift(x_local, k, D, self.axis)
+            for k in dict.fromkeys(self.offsets)
+            if k != 0
+        }
+
+    def _local_matvec(self, x_local, nodes, vals):
+        """Per-shard kernel: halo shifts issued first, local block computed
+        while they fly.  x blocks are ``bcols`` long; output blocks are
+        ``block`` long (rectangular OK)."""
+        shifted = self._ring_shifts_first(x_local)
         y = jnp.zeros((nodes[0].shape[0],), dtype=x_local.dtype)
         for i in _offsets_local_first(self.offsets):
-            xk = _ring_shift(x_local, self.offsets[i], D, self.axis)
+            xk = shifted.get(self.offsets[i], x_local)
             y = y + (vals[i] * xk[nodes[i]]).sum(axis=1)
         return y
 
@@ -183,12 +195,12 @@ class DistributedMatrix(LinearOperator):
             return self._empty(X, self.block, (X.shape[1],))
 
         def local(X_local, nodes, vals):
-            D = self.n_shards
+            shifted = self._ring_shifts_first(X_local)
             Y = jnp.zeros(
                 (nodes[0].shape[0], X_local.shape[1]), dtype=X_local.dtype
             )
             for i in _offsets_local_first(self.offsets):
-                Xk = _ring_shift(X_local, self.offsets[i], D, self.axis)
+                Xk = shifted.get(self.offsets[i], X_local)
                 # (rows, w, nrhs) gather then reduce over w
                 Y = Y + jnp.einsum("rw,rwn->rn", vals[i], Xk[nodes[i]])
             return Y
@@ -453,19 +465,32 @@ class DistributedDIAMatrix(LinearOperator):
     def matvec(self, x: jax.Array) -> jax.Array:
         D = self.n_shards
         nb = self.block
-        ring_offsets = sorted({k for k, _ in self.terms}, key=lambda k: k != 0)
+        # halo rings FIRST, diagonal block LAST: the ppermutes carry no
+        # data dependency on the local FMA work, so issuing them before
+        # it lets XLA's async collectives overlap the ICI transfer with
+        # the ring-0 compute (the overlap the >85% scaling-efficiency
+        # target lives on; the serial order would sequence comm after
+        # compute for no reason)
+        ring_offsets = sorted({k for k, _ in self.terms}, key=lambda k: k == 0)
 
         from sigma_tpu.matrix.formats import zero_padded_window
 
         def local(x_local, vals):
+            shifted = [
+                (k, _ring_shift(x_local, k, D, self.axis))
+                for k in ring_offsets
+                if k != 0
+            ]
             y = jnp.zeros_like(x_local)
-            for k in ring_offsets:
-                xk = _ring_shift(x_local, k, D, self.axis)
+            # local (ring-0) terms while the shifts are in flight
+            for i, (ki, lo) in enumerate(self.terms):
+                if ki == 0:
+                    y = y + vals[i] * zero_padded_window(x_local, lo, nb, nb)
+            for k, xk in shifted:
                 for i, (ki, lo) in enumerate(self.terms):
                     if ki != k:
                         continue
-                    w = zero_padded_window(xk, lo, nb, nb)
-                    y = y + vals[i] * w
+                    y = y + vals[i] * zero_padded_window(xk, lo, nb, nb)
             return y
 
         f = shard_map(
