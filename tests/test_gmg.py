@@ -362,3 +362,20 @@ def test_symmetric_input_operator():
     b = jnp.asarray(Asp @ np.random.default_rng(22).standard_normal(n))
     x, info = cg_solve(As, b, tol=1e-10, M=M_sym, maxiter=2000)
     assert bool(info.converged)
+
+
+def test_structured_amg_factory():
+    """The reference's factory idiom (cg()/jacobi()/ldu(), cg_solvers.f90:36):
+    structured_amg(dims).setup(A) builds the V-cycle preconditioner."""
+    from sigma_tpu.solvers import structured_amg
+
+    dims = (10, 8, 6)
+    Asp = poisson(dims)
+    n = Asp.shape[0]
+    coo = Asp.tocoo()
+    A = DIAMatrix.from_coo(n, n, coo.row, coo.col, coo.data, dtype=jnp.float64)
+    M = structured_amg(dims, pairs_per_level=3, coarse_size=16).setup(A)
+    b = jnp.asarray(np.random.default_rng(31).standard_normal(n))
+    x, info = cg_solve(A, b, tol=1e-10, M=M, maxiter=1000)
+    assert bool(info.converged)
+    assert np.linalg.norm(np.asarray(b) - Asp @ np.asarray(x)) < 1e-8
