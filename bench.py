@@ -229,6 +229,13 @@ HBM_GBPS = {
 def main():
     import time as _time
 
+    try:
+        from sigma_tpu.utils.util import enable_transparent_hugepages
+
+        enable_transparent_hugepages()
+    except Exception:
+        pass
+
     t0 = _time.time()
     import jax
     import jax.numpy as jnp

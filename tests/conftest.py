@@ -54,3 +54,13 @@ def laplacian_2d(nx: int) -> np.ndarray:
         d[s, t] = -1
         d[t, s] = -1
     return d
+
+
+# host numpy on this VM is page-fault-bound for fresh large allocations;
+# 2 MiB pages are ~5x faster (see sigma_tpu.utils.util)
+try:
+    from sigma_tpu.utils.util import enable_transparent_hugepages
+
+    enable_transparent_hugepages()
+except Exception:
+    pass
