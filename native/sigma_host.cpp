@@ -261,6 +261,135 @@ i64 vmb_aggregate(i64 n, const i64* indptr, const i64* indices, i64* agg) {
     return next_agg;
 }
 
+// ---------------------------------------------------------------------------
+// Memory-lean CSR algebra for one-shot host products (Gustavson SpGEMM).
+//
+// The python plan machinery (matrix/algebra.py) materializes a *contribution
+// map* — one int64 per scalar product — which is the right shape for
+// reusable jitted numeric phases but allocates ~10x the bytes of the result.
+// On this VM's page-fault-bound host memory that made generic AMG setup
+// minutes per level; these routines compute the same products in O(nnz(C))
+// memory with preallocated (stays-warm) workspaces.  Two-pass C ABI:
+// *_symbolic fills the row pointer and returns nnz(C) so the caller can
+// allocate exactly, *_numeric fills sorted columns + values.
+// ---------------------------------------------------------------------------
+
+// C = A (n x k) @ B (k x m): count distinct columns per row of C.
+i64 spgemm_symbolic(i64 n, i64 m, const i64* aptr, const i64* acol,
+                    const i64* bptr, const i64* bcol, i64* cptr) {
+    std::vector<i64> mark(static_cast<size_t>(m), -1);
+    cptr[0] = 0;
+    for (i64 i = 0; i < n; ++i) {
+        i64 cnt = 0;
+        for (i64 p = aptr[i]; p < aptr[i + 1]; ++p) {
+            i64 k = acol[p];
+            for (i64 q = bptr[k]; q < bptr[k + 1]; ++q) {
+                i64 j = bcol[q];
+                if (mark[j] != i) {
+                    mark[j] = i;
+                    ++cnt;
+                }
+            }
+        }
+        cptr[i + 1] = cptr[i] + cnt;
+    }
+    return cptr[n];
+}
+
+// Numeric phase: sparse-accumulator row merge, columns sorted within rows.
+void spgemm_numeric(i64 n, i64 m, const i64* aptr, const i64* acol,
+                    const double* aval, const i64* bptr, const i64* bcol,
+                    const double* bval, const i64* cptr, i64* ccol,
+                    double* cval) {
+    std::vector<double> spa(static_cast<size_t>(m), 0.0);
+    std::vector<i64> mark(static_cast<size_t>(m), -1);
+    std::vector<i64> row_cols;
+    for (i64 i = 0; i < n; ++i) {
+        row_cols.clear();
+        for (i64 p = aptr[i]; p < aptr[i + 1]; ++p) {
+            i64 k = acol[p];
+            double a = aval[p];
+            for (i64 q = bptr[k]; q < bptr[k + 1]; ++q) {
+                i64 j = bcol[q];
+                if (mark[j] != i) {
+                    mark[j] = i;
+                    spa[j] = a * bval[q];
+                    row_cols.push_back(j);
+                } else {
+                    spa[j] += a * bval[q];
+                }
+            }
+        }
+        std::sort(row_cols.begin(), row_cols.end());
+        i64 w = cptr[i];
+        for (i64 j : row_cols) {
+            ccol[w] = j;
+            cval[w] = spa[j];
+            ++w;
+        }
+    }
+}
+
+// C = alpha*A + beta*B on the union sparsity (both row-sorted CSR).
+i64 csr_add_symbolic(i64 n, const i64* aptr, const i64* acol,
+                     const i64* bptr, const i64* bcol, i64* cptr) {
+    cptr[0] = 0;
+    for (i64 i = 0; i < n; ++i) {
+        i64 pa = aptr[i], ea = aptr[i + 1];
+        i64 pb = bptr[i], eb = bptr[i + 1];
+        i64 cnt = 0;
+        while (pa < ea || pb < eb) {
+            if (pb >= eb || (pa < ea && acol[pa] < bcol[pb])) ++pa;
+            else if (pa >= ea || bcol[pb] < acol[pa]) ++pb;
+            else { ++pa; ++pb; }
+            ++cnt;
+        }
+        cptr[i + 1] = cptr[i] + cnt;
+    }
+    return cptr[n];
+}
+
+void csr_add_numeric(i64 n, double alpha, double beta, const i64* aptr,
+                     const i64* acol, const double* aval, const i64* bptr,
+                     const i64* bcol, const double* bval, const i64* cptr,
+                     i64* ccol, double* cval) {
+    for (i64 i = 0; i < n; ++i) {
+        i64 pa = aptr[i], ea = aptr[i + 1];
+        i64 pb = bptr[i], eb = bptr[i + 1];
+        i64 w = cptr[i];
+        while (pa < ea || pb < eb) {
+            if (pb >= eb || (pa < ea && acol[pa] < bcol[pb])) {
+                ccol[w] = acol[pa];
+                cval[w] = alpha * aval[pa++];
+            } else if (pa >= ea || bcol[pb] < acol[pa]) {
+                ccol[w] = bcol[pb];
+                cval[w] = beta * bval[pb++];
+            } else {
+                ccol[w] = acol[pa];
+                cval[w] = alpha * aval[pa++] + beta * bval[pb++];
+            }
+            ++w;
+        }
+    }
+}
+
+// T = A^T for an (n x m) row-sorted CSR; counting sort by column — rows of
+// T come out sorted because the scan is in row order.
+void csr_transpose(i64 n, i64 m, const i64* aptr, const i64* acol,
+                   const double* aval, i64* tptr, i64* tcol, double* tval) {
+    std::fill(tptr, tptr + m + 1, (i64)0);
+    i64 ne = aptr[n];
+    for (i64 p = 0; p < ne; ++p) tptr[acol[p] + 1]++;
+    for (i64 j = 0; j < m; ++j) tptr[j + 1] += tptr[j];
+    std::vector<i64> next(tptr, tptr + m);
+    for (i64 i = 0; i < n; ++i)
+        for (i64 p = aptr[i]; p < aptr[i + 1]; ++p) {
+            i64 w = next[acol[p]]++;
+            tcol[w] = i;
+            tval[w] = aval[p];
+        }
+}
+
 // Batched binary-search of (row, col) queries in a sorted CSR structure.
 // out[q] = flat position of (r, c) or -1.
 void edge_positions(i64 nq, const i64* qr, const i64* qc, i64 n,

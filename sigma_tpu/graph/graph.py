@@ -223,6 +223,26 @@ class CSRGraph(Graph):
             nnz=int(nnz),
         )
 
+    @classmethod
+    def from_csr(cls, n, m, indptr, indices) -> "CSRGraph":
+        """Trusted constructor from host CSR arrays: rows already sorted and
+        deduplicated (no validation, no re-sort).  The freeze path for
+        results of the compiled host algebra (``native.spgemm`` etc.), which
+        emits this form directly."""
+        n, m = int(n), int(m)
+        indptr = np.asarray(indptr, dtype=np.int64)
+        indices = np.asarray(indices, dtype=np.int64).ravel()
+        nnz = indices.size
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+        pad = round_up(max(nnz, 1), NNZ_PAD)
+        return cls(
+            indptr=jnp.asarray(indptr, dtype=index_dtype),
+            indices=jnp.asarray(_pad1d(np_index(indices), pad, 0), dtype=index_dtype),
+            row_ids=jnp.asarray(_pad1d(np_index(rows), pad, n), dtype=index_dtype),
+            shape=(n, m),
+            nnz=int(nnz),
+        )
+
     def edges_numpy(self):
         return (
             np.asarray(self.row_ids)[: self.nnz].astype(np.int64),

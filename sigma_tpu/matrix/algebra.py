@@ -74,6 +74,37 @@ def _csr_arrays(rows, cols, pos, n):
     return host_csr(rows, cols, n, pos)
 
 
+def _host_csr_view(A: SparseMatrix) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(indptr, cols, vals_f64) row-sorted host CSR view of A.  Free for
+    CSR (the stored layout IS this form); one lexsort otherwise."""
+    from sigma_tpu.matrix.formats import CSRMatrix
+
+    if isinstance(A, CSRMatrix):
+        g = A.graph
+        indptr = np.asarray(g.indptr, dtype=np.int64)
+        cols = np.asarray(g.indices, dtype=np.int64)[: g.nnz]
+        vals = np.asarray(A.data, dtype=np.float64).reshape(-1)[: g.nnz]
+        return indptr, cols, vals
+    rows, cols, vals = A.entries()
+    return _csr_arrays(rows, cols, vals, A.shape[0])
+
+
+def _from_host_csr(
+    cls: Type[SparseMatrix], n, m, cptr, ccol, cval, A: SparseMatrix
+) -> SparseMatrix:
+    """Materialize a compiled-host-algebra result (sorted, deduplicated CSR
+    arrays) as ``cls``, skipping the re-sort for CSR."""
+    from sigma_tpu.matrix.formats import CSRMatrix
+
+    if cls is CSRMatrix:
+        return CSRMatrix.from_csr_arrays(n, m, cptr, ccol, cval, dtype=A.dtype)
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(cptr))
+    kw = A._format_kwargs() if cls is type(A) else {}
+    return cls.from_coo(
+        n, m, rows, ccol, cval, dtype=A.dtype, sum_duplicates=False, **kw
+    )
+
+
 def _result_type(A: SparseMatrix, out_format) -> Type[SparseMatrix]:
     if out_format is None:
         return type(A)
@@ -204,7 +235,28 @@ def plan_sparse_add(
 def sparse_add(
     A: SparseMatrix, B: SparseMatrix, alpha=1.0, beta=1.0, out_format=None
 ) -> SparseMatrix:
-    """Materialized C = alpha*A + beta*B (``sparse_matrix_sum:25``)."""
+    """Materialized C = alpha*A + beta*B (``sparse_matrix_sum:25``).
+
+    One-shot calls run in the compiled host core (``native.csr_add``,
+    O(nnz(C)) memory) when it is available and the scalars are concrete;
+    re-evaluating a fixed sparsity with new values on device is what
+    :func:`plan_sparse_add` is for."""
+    from sigma_tpu import native
+
+    if A.shape != B.shape:
+        raise ValueError(f"shape mismatch {A.shape} vs {B.shape}")
+    try:
+        a, b = float(alpha), float(beta)
+    except TypeError:
+        a = b = None  # traced scalars -> device plan path
+    if a is not None and native.available():
+        aptr, acol, aval = _host_csr_view(A)
+        bptr, bcol, bval = _host_csr_view(B)
+        res = native.csr_add(aptr, acol, aval, bptr, bcol, bval, a, b)
+        if res is not None:
+            cls = _result_type(A, out_format)
+            n, m = A.shape
+            return _from_host_csr(cls, n, m, *res, A)
     return plan_sparse_add(A, B, out_format)(A, B, alpha, beta)
 
 
@@ -263,7 +315,23 @@ def plan_sparse_matmul(
 def sparse_matmul(
     A: SparseMatrix, B: SparseMatrix, out_format=None
 ) -> SparseMatrix:
-    """Materialized C = A @ B (``sparse_matrix_product:154``)."""
+    """Materialized C = A @ B (``sparse_matrix_product:154``).
+
+    One-shot calls run in the compiled host core (``native.spgemm``,
+    Gustavson sparse accumulator, O(nnz(C)) memory) when available — the
+    plan path's contribution map costs ~10x the result's bytes, which this
+    VM's page-fault-bound host memory turns into minutes at scale."""
+    from sigma_tpu import native
+
+    if A.shape[1] != B.shape[0]:
+        raise ValueError(f"inner dim mismatch {A.shape} @ {B.shape}")
+    if native.available():
+        aptr, acol, aval = _host_csr_view(A)
+        bptr, bcol, bval = _host_csr_view(B)
+        res = native.spgemm(aptr, acol, aval, bptr, bcol, bval, B.shape[1])
+        if res is not None:
+            cls = _result_type(A, out_format)
+            return _from_host_csr(cls, A.shape[0], B.shape[1], *res, A)
     return plan_sparse_matmul(A, B, out_format)(A, B)
 
 
@@ -279,6 +347,11 @@ def plan_ptap(A: SparseMatrix, P: SparseMatrix, out_format=None) -> PtAPPlan:
 
 
 def ptap(A: SparseMatrix, P: SparseMatrix, out_format=None) -> SparseMatrix:
+    """Materialized B = P^T A P.  One-shot calls run as two compiled host
+    SpGEMMs (P^T (A P)) — same O(nnz) advantage as :func:`sparse_matmul`."""
+    res = _native_triple(A, P, transpose_left=True, out_format=out_format)
+    if res is not None:
+        return res
     return plan_ptap(A, P, out_format)(A, P)
 
 
@@ -290,7 +363,46 @@ def plan_rart(A: SparseMatrix, R: SparseMatrix, out_format=None) -> PtAPPlan:
 
 
 def rart(A: SparseMatrix, R: SparseMatrix, out_format=None) -> SparseMatrix:
+    """Materialized B = R A R^T (two compiled host SpGEMMs when available)."""
+    res = _native_triple(A, R, transpose_left=False, out_format=out_format)
+    if res is not None:
+        return res
     return plan_rart(A, R, out_format)(A, R)
+
+
+def _native_triple(
+    A: SparseMatrix, P: SparseMatrix, transpose_left: bool, out_format
+) -> SparseMatrix | None:
+    """Compiled-host Galerkin triple product, or None if native is off.
+    PtAP = (P^T)(A P); RARt = (R A)(R^T) — two Gustavson SpGEMMs plus one
+    counting-sort transpose, all O(nnz) memory."""
+    from sigma_tpu import native
+
+    if transpose_left:
+        if A.shape[0] != P.shape[0] or A.shape[1] != P.shape[0]:
+            raise ValueError(f"PtAP shape mismatch A={A.shape}, P={P.shape}")
+    else:
+        if A.shape[0] != P.shape[1] or A.shape[1] != P.shape[1]:
+            raise ValueError(f"RARt shape mismatch A={A.shape}, P={P.shape}")
+    if not native.available():
+        return None
+    aptr, acol, aval = _host_csr_view(A)
+    pptr, pcol, pval = _host_csr_view(P)
+    tp = native.csr_transpose(pptr, pcol, pval, P.shape[1])
+    if tp is None:
+        return None
+    if transpose_left:
+        # (n_c, n_c) = P^T @ (A @ P)
+        ap = native.spgemm(aptr, acol, aval, pptr, pcol, pval, P.shape[1])
+        res = native.spgemm(*tp, *ap, P.shape[1])
+        n_out = P.shape[1]
+    else:
+        # (n_c, n_c) = (R @ A) @ R^T
+        ra = native.spgemm(pptr, pcol, pval, aptr, acol, aval, A.shape[1])
+        res = native.spgemm(*ra, *tp, P.shape[0])
+        n_out = P.shape[0]
+    cls = _result_type(A, out_format)
+    return _from_host_csr(cls, n_out, n_out, *res, A)
 
 
 def _plan_triple(

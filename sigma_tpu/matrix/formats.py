@@ -92,6 +92,30 @@ class CSRMatrix(SparseMatrix):
     def _data_shape(cls, graph):
         return graph.indices.shape
 
+    @classmethod
+    def from_csr_arrays(cls, n, m, indptr, cols, vals, dtype=None) -> "CSRMatrix":
+        """Trusted constructor from host CSR arrays (rows sorted and
+        deduplicated — no re-sort).  Pairs with the compiled host algebra
+        (``native.spgemm``/``csr_add``/``csr_transpose``), whose outputs are
+        already in this form."""
+        g = CSRGraph.from_csr(n, m, indptr, cols)
+        vals = np.asarray(vals).ravel()
+        flat = np.zeros(g.indices.shape[0], dtype=vals.dtype)
+        flat[: vals.size] = vals
+        from sigma_tpu.utils.dtypes import default_real_dtype
+
+        return cls(graph=g, data=jnp.asarray(flat, dtype=dtype or default_real_dtype()))
+
+    def entries(self):
+        # the stored layout IS row-major sorted COO: flat position p holds
+        # edge (row_ids[p], indices[p]) — skip base's edge_positions lookup
+        # (a full keys-build + searchsorted pass, ~45 s at 1M-row AMG setup)
+        g = self.graph
+        rows = np.asarray(g.row_ids)[: g.nnz].astype(np.int64)
+        cols = np.asarray(g.indices)[: g.nnz].astype(np.int64)
+        vals = np.asarray(self.data).reshape(-1)[: g.nnz]
+        return rows, cols, vals
+
     def matvec(self, x):
         g = self.graph
         prod = self.data * x[g.indices]

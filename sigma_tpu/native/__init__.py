@@ -34,6 +34,9 @@ __all__ = [
     "pack_levels",
     "greedy_aggregate",
     "vmb_aggregate",
+    "spgemm",
+    "csr_add",
+    "csr_transpose",
 ]
 
 _SRC = Path(__file__).resolve().parent.parent.parent / "native" / "sigma_host.cpp"
@@ -103,6 +106,22 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.greedy_aggregate.argtypes = [i64, _i64p, _i64p, _i64p]
         lib.vmb_aggregate.restype = i64
         lib.vmb_aggregate.argtypes = [i64, _i64p, _i64p, _i64p]
+        f64 = ctypes.c_double
+        lib.spgemm_symbolic.restype = i64
+        lib.spgemm_symbolic.argtypes = [i64, i64, _i64p, _i64p, _i64p, _i64p, _i64p]
+        lib.spgemm_numeric.restype = None
+        lib.spgemm_numeric.argtypes = [
+            i64, i64, _i64p, _i64p, _f64p, _i64p, _i64p, _f64p, _i64p, _i64p, _f64p,
+        ]
+        lib.csr_add_symbolic.restype = i64
+        lib.csr_add_symbolic.argtypes = [i64, _i64p, _i64p, _i64p, _i64p, _i64p]
+        lib.csr_add_numeric.restype = None
+        lib.csr_add_numeric.argtypes = [
+            i64, f64, f64, _i64p, _i64p, _f64p, _i64p, _i64p, _f64p,
+            _i64p, _i64p, _f64p,
+        ]
+        lib.csr_transpose.restype = None
+        lib.csr_transpose.argtypes = [i64, i64, _i64p, _i64p, _f64p, _i64p, _i64p, _f64p]
         _lib = lib
         return _lib
 
@@ -233,6 +252,74 @@ def greedy_aggregate(indptr, indices) -> Optional[Tuple[np.ndarray, int]]:
     agg = np.empty(n, dtype=np.int64)
     na = lib.greedy_aggregate(n, indptr, indices, agg)
     return agg, int(na)
+
+
+def _cf64(a) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(a, dtype=np.float64))
+
+
+def spgemm(
+    aptr, acol, aval, bptr, bcol, bval, m: int
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """C = A @ B for row-sorted host CSR operands; returns (indptr, cols,
+    vals) of C with sorted rows, or None if native is off.  O(nnz(C))
+    memory (Gustavson sparse accumulator) — the one-shot product path that
+    sidesteps the plan machinery's contribution-map blowup."""
+    lib = _load()
+    if lib is None:
+        return None
+    aptr, acol = _c64(aptr), _c64(acol)
+    bptr, bcol = _c64(bptr), _c64(bcol)
+    aval, bval = _cf64(aval), _cf64(bval)
+    n = aptr.size - 1
+    cptr = np.empty(n + 1, dtype=np.int64)
+    nnz = lib.spgemm_symbolic(n, m, aptr, acol, bptr, bcol, cptr)
+    ccol = np.empty(nnz, dtype=np.int64)
+    cval = np.empty(nnz, dtype=np.float64)
+    lib.spgemm_numeric(n, m, aptr, acol, aval, bptr, bcol, bval, cptr, ccol, cval)
+    return cptr, ccol, cval
+
+
+def csr_add(
+    aptr, acol, aval, bptr, bcol, bval, alpha: float = 1.0, beta: float = 1.0
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """C = alpha*A + beta*B on the union sparsity (row-sorted host CSR), or
+    None if native is off."""
+    lib = _load()
+    if lib is None:
+        return None
+    aptr, acol = _c64(aptr), _c64(acol)
+    bptr, bcol = _c64(bptr), _c64(bcol)
+    aval, bval = _cf64(aval), _cf64(bval)
+    n = aptr.size - 1
+    cptr = np.empty(n + 1, dtype=np.int64)
+    nnz = lib.csr_add_symbolic(n, aptr, acol, bptr, bcol, cptr)
+    ccol = np.empty(nnz, dtype=np.int64)
+    cval = np.empty(nnz, dtype=np.float64)
+    lib.csr_add_numeric(
+        n, float(alpha), float(beta), aptr, acol, aval, bptr, bcol, bval,
+        cptr, ccol, cval,
+    )
+    return cptr, ccol, cval
+
+
+def csr_transpose(
+    aptr, acol, aval, m: int
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """T = A^T of an (n x m) row-sorted host CSR; rows of T come out
+    sorted.  Returns (indptr, cols, vals) of T or None if native is off."""
+    lib = _load()
+    if lib is None:
+        return None
+    aptr, acol = _c64(aptr), _c64(acol)
+    aval = _cf64(aval)
+    n = aptr.size - 1
+    ne = int(aptr[-1])
+    tptr = np.empty(m + 1, dtype=np.int64)
+    tcol = np.empty(ne, dtype=np.int64)
+    tval = np.empty(ne, dtype=np.float64)
+    lib.csr_transpose(n, m, aptr, acol, aval, tptr, tcol, tval)
+    return tptr, tcol, tval
 
 
 def vmb_aggregate(indptr, indices) -> Optional[Tuple[np.ndarray, int]]:

@@ -186,7 +186,11 @@ def smoothed_aggregation_amg(
     coarsening — best V-cycle quality: 11 vs 19 CG iterations measured on
     a 40x40 Laplacian); pass :func:`vmb_aggregate` for aggressive ~3^d
     aggregates (5.7x coarsening, ~half the hierarchy build/apply cost,
-    more iterations).
+    more iterations).  On large 3-D problems prefer ``vmb_aggregate``:
+    pair aggregates + prolongator smoothing grow the Galerkin operator's
+    nnz ~4.7x at the first level (measured on a 262K-row 3-D Laplacian),
+    where VMB's ~3^d aggregates keep the coarse stencil bounded — 10x
+    faster setup at that size (BENCHMARKS.md host-side build table).
 
     For STENCIL operators on structured grids prefer
     :func:`sigma_tpu.solvers.structured_pair_amg`: its setup is
@@ -237,6 +241,14 @@ def smoothed_aggregation_amg(
 
 def _scale_rows_data(A: SparseMatrix, scale: np.ndarray) -> jax.Array:
     """data array of diag(scale) @ A in A's own layout."""
+    from sigma_tpu.matrix.formats import CSRMatrix
+
+    if isinstance(A, CSRMatrix):
+        # scale in-layout: flat position p belongs to row row_ids[p]
+        # (pad slots carry sentinel n and data 0 — append a 0 scale)
+        rid = np.asarray(A.graph.row_ids)
+        s = np.append(np.asarray(scale), 0.0)
+        return jnp.asarray(np.asarray(A.data) * s[rid].astype(np.asarray(A.data).dtype))
     rows, cols, vals = A.entries()
     pos = A.graph.edge_positions(rows, cols)
     flat = np.zeros(A.data.size, dtype=np.asarray(A.data).dtype)

@@ -201,3 +201,108 @@ def test_native_aggregate_matches_numpy(rng, monkeypatch):
     _disable_native(monkeypatch)
     a2 = greedy_aggregate(A)
     assert np.array_equal(a1, a2)
+
+
+def _rand_csr(rng, n, m, density=0.2):
+    from sigma_tpu import CSRMatrix
+
+    k = max(1, int(n * m * density))
+    r = rng.integers(0, n, k)
+    c = rng.integers(0, m, k)
+    v = rng.standard_normal(k)
+    return CSRMatrix.from_coo(n, m, r, c, v, dtype=np.float64)
+
+
+def test_native_spgemm_matches_plan(rng, monkeypatch):
+    """One-shot sparse_matmul (compiled Gustavson path) vs the plan path
+    (contribution map, exercised with native disabled): same sparsity,
+    same values."""
+    from sigma_tpu.matrix.algebra import sparse_matmul
+
+    A = _rand_csr(rng, 31, 17)
+    B = _rand_csr(rng, 17, 23)
+    C1 = sparse_matmul(A, B)
+    _disable_native(monkeypatch)
+    C2 = sparse_matmul(A, B)
+    monkeypatch.undo()
+    assert C1.nnz == C2.nnz
+    np.testing.assert_allclose(
+        np.asarray(C1.to_dense()), np.asarray(C2.to_dense()), atol=1e-12
+    )
+
+
+def test_native_csr_add_matches_plan(rng, monkeypatch):
+    from sigma_tpu.matrix.algebra import sparse_add
+
+    A = _rand_csr(rng, 29, 13)
+    B = _rand_csr(rng, 29, 13)
+    C1 = sparse_add(A, B, alpha=1.5, beta=-0.25)
+    _disable_native(monkeypatch)
+    C2 = sparse_add(A, B, alpha=1.5, beta=-0.25)
+    monkeypatch.undo()
+    assert C1.nnz == C2.nnz
+    np.testing.assert_allclose(
+        np.asarray(C1.to_dense()), np.asarray(C2.to_dense()), atol=1e-12
+    )
+
+
+def test_native_triple_products_match_plan(rng, monkeypatch):
+    from sigma_tpu.matrix.algebra import ptap, rart
+
+    A = _rand_csr(rng, 24, 24)
+    P = _rand_csr(rng, 24, 6, density=0.3)
+    R = _rand_csr(rng, 6, 24, density=0.3)
+    G1 = ptap(A, P)
+    H1 = rart(A, R)
+    _disable_native(monkeypatch)
+    G2 = ptap(A, P)
+    H2 = rart(A, R)
+    monkeypatch.undo()
+    np.testing.assert_allclose(
+        np.asarray(G1.to_dense()), np.asarray(G2.to_dense()), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        np.asarray(H1.to_dense()), np.asarray(H2.to_dense()), atol=1e-12
+    )
+
+
+def test_native_csr_transpose():
+    if not native.available():
+        pytest.skip("native core unavailable")
+    # 3x4: rows sorted CSR; transpose must come out row-sorted too
+    indptr = np.array([0, 2, 3, 5], dtype=np.int64)
+    cols = np.array([0, 2, 1, 0, 3], dtype=np.int64)
+    vals = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    tptr, tcol, tval = native.csr_transpose(indptr, cols, vals, 4)
+    assert np.array_equal(tptr, [0, 2, 3, 4, 5])
+    assert np.array_equal(tcol, [0, 2, 1, 0, 2])
+    np.testing.assert_allclose(tval, [1.0, 4.0, 3.0, 2.0, 5.0])
+
+
+def test_from_csr_arrays_trusted_build(rng):
+    """CSRMatrix.from_csr_arrays (no re-sort) equals from_coo on the same
+    sorted input."""
+    from sigma_tpu import CSRMatrix
+
+    A = _rand_csr(rng, 19, 11)
+    indptr = np.asarray(A.graph.indptr)
+    cols = np.asarray(A.graph.indices)[: A.nnz]
+    vals = np.asarray(A.data)[: A.nnz]
+    B = CSRMatrix.from_csr_arrays(19, 11, indptr, cols, vals, dtype=A.dtype)
+    assert B.nnz == A.nnz
+    np.testing.assert_allclose(
+        np.asarray(B.to_dense()), np.asarray(A.to_dense()), atol=0
+    )
+
+
+def test_csr_entries_layout(rng):
+    """CSRMatrix.entries() fast path: row-major sorted triplets identical to
+    the generic (edge_positions) implementation."""
+    from sigma_tpu import CSRMatrix
+    from sigma_tpu.matrix.base import SparseMatrix
+
+    A = _rand_csr(rng, 21, 15)
+    r1, c1, v1 = A.entries()
+    r2, c2, v2 = SparseMatrix.entries(A)
+    assert np.array_equal(r1, r2) and np.array_equal(c1, c2)
+    np.testing.assert_allclose(v1, v2, atol=0)
