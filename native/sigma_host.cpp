@@ -261,6 +261,91 @@ i64 vmb_aggregate(i64 n, const i64* indptr, const i64* indices, i64* agg) {
     return next_agg;
 }
 
+// ILU(k) symbolic factorization: the level-of-fill pattern expansion
+// (Saad, Iterative Methods, §10.3.3; SPARSKIT's iluk symbolic phase).
+// The reference library aborts for fill level > 0 (ldu_solvers.f90:414-417)
+// — this goes beyond it.  The numeric phase needs no new code: running
+// ilu0_factorize on the expanded pattern (fill slots value-0) IS ILU(k).
+//
+// Per row: seed with A's pattern at level 0, then for each kept column
+// j < i in ascending order merge row j's upper factor pattern with
+// lev = lev(i,j) + lev(j,l) + 1, keeping lev <= k.  Ascending traversal
+// with O(1) insertion uses the classic linked-list-through-columns work
+// array.  Output: CSR pattern of the factor (L + diag + U, sorted rows).
+// Returns nnz(F) if it fits cap, else -(nnz needed) so the caller can
+// retry with exact capacity.
+i64 iluk_symbolic(i64 n, const i64* indptr, const i64* indices, i64 k,
+                  i64 cap, i64* fptr, i64* fcol) {
+    // factor's strict-upper patterns + levels, kept for later row merges
+    std::vector<std::vector<i64>> ucols(static_cast<size_t>(n));
+    std::vector<std::vector<i64>> ulev(static_cast<size_t>(n));
+    const i64 INF = (i64)1 << 60;
+    std::vector<i64> lev(static_cast<size_t>(n), INF);
+    std::vector<i64> nxt(static_cast<size_t>(n) + 1, -1);  // linked list
+    std::vector<i64> out;
+    out.reserve(static_cast<size_t>(indptr[n]));
+    std::vector<i64> optr(static_cast<size_t>(n) + 1, 0);
+
+    for (i64 i = 0; i < n; ++i) {
+        // seed the linked list with row i of A (already sorted)
+        i64 head = n;  // sentinel
+        nxt[n] = -1;
+        i64 prev = n;
+        for (i64 p = indptr[i]; p < indptr[i + 1]; ++p) {
+            i64 c = indices[p];
+            lev[c] = 0;
+            nxt[prev] = c;
+            nxt[c] = -1;
+            prev = c;
+        }
+        // ascending merge over kept columns j < i
+        for (i64 j = nxt[head]; j != -1 && j < i; j = nxt[j]) {
+            i64 levij = lev[j];
+            if (levij > k) continue;
+            const auto& uc = ucols[j];
+            const auto& ul = ulev[j];
+            i64 ins = j;  // insertion cursor: uc is ascending and > j
+            for (size_t t = 0; t < uc.size(); ++t) {
+                i64 l = uc[t];
+                i64 nl = levij + ul[t] + 1;
+                if (lev[l] == INF) {
+                    if (nl > k) continue;
+                    lev[l] = nl;
+                    // insert l into the list after `ins` (advance first)
+                    while (nxt[ins] != -1 && nxt[ins] < l) ins = nxt[ins];
+                    nxt[l] = nxt[ins];
+                    nxt[ins] = l;
+                } else if (nl < lev[l]) {
+                    lev[l] = nl;
+                }
+            }
+        }
+        // emit kept entries (sorted by construction); record upper factor
+        for (i64 c = nxt[head]; c != -1; c = nxt[c]) {
+            if (lev[c] <= k) {
+                out.push_back(c);
+                if (c > i) {
+                    ucols[i].push_back(c);
+                    ulev[i].push_back(lev[c]);
+                }
+            }
+        }
+        optr[i + 1] = static_cast<i64>(out.size());
+        // reset work arrays (touched columns only)
+        for (i64 c = nxt[head]; c != -1;) {
+            i64 c2 = nxt[c];
+            lev[c] = INF;
+            nxt[c] = -1;
+            c = c2;
+        }
+    }
+    i64 total = static_cast<i64>(out.size());
+    if (total > cap) return -total;
+    std::memcpy(fptr, optr.data(), sizeof(i64) * (n + 1));
+    std::memcpy(fcol, out.data(), sizeof(i64) * total);
+    return total;
+}
+
 // ---------------------------------------------------------------------------
 // Memory-lean CSR algebra for one-shot host products (Gustavson SpGEMM).
 //

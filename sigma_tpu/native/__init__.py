@@ -37,6 +37,7 @@ __all__ = [
     "spgemm",
     "csr_add",
     "csr_transpose",
+    "iluk_symbolic",
 ]
 
 _SRC = Path(__file__).resolve().parent.parent.parent / "native" / "sigma_host.cpp"
@@ -122,6 +123,8 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.csr_transpose.restype = None
         lib.csr_transpose.argtypes = [i64, i64, _i64p, _i64p, _f64p, _i64p, _i64p, _f64p]
+        lib.iluk_symbolic.restype = i64
+        lib.iluk_symbolic.argtypes = [i64, _i64p, _i64p, i64, i64, _i64p, _i64p]
         _lib = lib
         return _lib
 
@@ -320,6 +323,28 @@ def csr_transpose(
     tval = np.empty(ne, dtype=np.float64)
     lib.csr_transpose(n, m, aptr, acol, aval, tptr, tcol, tval)
     return tptr, tcol, tval
+
+
+def iluk_symbolic(
+    indptr, indices, k: int
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Level-of-fill ILU(k) symbolic pattern (L + diag + U, sorted CSR) of a
+    row-sorted host CSR matrix; returns (indptr, cols) or None if native is
+    off.  The numeric phase is ``ilu0_factorize`` on this pattern."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr, indices = _c64(indptr), _c64(indices)
+    n = indptr.size - 1
+    cap = max(int(indptr[-1]) * (int(k) + 2), 16)
+    for _ in range(2):
+        fptr = np.empty(n + 1, dtype=np.int64)
+        fcol = np.empty(cap, dtype=np.int64)
+        got = lib.iluk_symbolic(n, indptr, indices, int(k), cap, fptr, fcol)
+        if got >= 0:
+            return fptr, fcol[:got]
+        cap = -got
+    raise AssertionError("iluk_symbolic capacity retry failed")
 
 
 def vmb_aggregate(indptr, indices) -> Optional[Tuple[np.ndarray, int]]:

@@ -3,7 +3,8 @@
 Reference: ``/root/reference/src/solver/ldu_solvers.f90`` — zero-fill ILDU
 with unit-triangular L, U stored as *strict* CSR (holds L−I and U−I,
 :287-289), diagonal D; ``ldu_solve:160`` = forward sweep → D^{-1} → backward
-sweep; fill level > 0 aborts (:414-417); reduces to incomplete Cholesky for
+sweep; fill level > 0 aborts there (:414-417) but is implemented here as
+level-of-fill ILU(k); reduces to incomplete Cholesky for
 SPD A.  For SPD problems this solver *is* the reference's "incomplete
 Cholesky" (test/solver_test_incomplete_cholesky.f90).
 
@@ -35,7 +36,15 @@ from sigma_tpu.solvers.base import LinearSolver
 from sigma_tpu.solvers.krylov import SolveInfo
 from sigma_tpu.utils.dtypes import index_dtype
 
-__all__ = ["ildu0_factorize", "TriangularLevels", "ILDUPreconditioner", "LDUSolver", "ldu", "incomplete_cholesky"]
+__all__ = [
+    "ildu0_factorize",
+    "iluk_factorize",
+    "TriangularLevels",
+    "ILDUPreconditioner",
+    "LDUSolver",
+    "ldu",
+    "incomplete_cholesky",
+]
 
 
 def _csr_arrays(A) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -108,6 +117,100 @@ def ildu0_factorize(A):
         lu, diag = _ilu0_numpy(indptr, indices, data, n)
 
     # split into strict L (unit) and strict unit-U (u_ij / d_i)
+    rows_all = np.repeat(np.arange(n), np.diff(indptr))
+    lower = indices < rows_all
+    upper = indices > rows_all
+    Lp = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(rows_all[lower], minlength=n), out=Lp[1:])
+    Up = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(rows_all[upper], minlength=n), out=Up[1:])
+    Uvals = lu[upper] / diag[rows_all[upper]]
+    return (
+        (Lp, indices[lower], lu[lower]),
+        diag,
+        (Up, indices[upper], Uvals),
+    )
+
+
+def _iluk_symbolic_numpy(indptr, indices, n, k):
+    """numpy/python fallback of the C++ level-of-fill symbolic pass (same
+    recurrence: lev(fill l via j) = lev(i,j) + lev(j,l) + 1, keep <= k).
+    Per-row dict merge — fine at test sizes; the compiled core carries
+    production sizes."""
+    import heapq
+
+    INF = 1 << 60
+    urows = []  # per row: sorted [(col, lev)] of the strict upper factor
+    fptr = np.zeros(n + 1, dtype=np.int64)
+    fcols = []
+    for i in range(n):
+        lev = {int(c): 0 for c in indices[indptr[i] : indptr[i + 1]]}
+        # ascending traversal over kept columns j < i, with insertions
+        heap = [c for c in lev if c < i]
+        heapq.heapify(heap)
+        seen = set(heap)
+        while heap:
+            j = heapq.heappop(heap)
+            levij = lev[j]
+            if levij > k:
+                continue
+            for l, lvl_jl in urows[j]:
+                nl = levij + lvl_jl + 1
+                cur = lev.get(l, INF)
+                if nl < cur:
+                    lev[l] = nl
+                    if nl <= k and l < i and l not in seen:
+                        heapq.heappush(heap, l)
+                        seen.add(l)
+        kept = sorted(c for c, v in lev.items() if v <= k)
+        fcols.extend(kept)
+        fptr[i + 1] = len(fcols)
+        urows.append([(c, lev[c]) for c in kept if c > i])
+    return fptr, np.asarray(fcols, dtype=np.int64)
+
+
+def iluk_factorize(A, k: int):
+    """Level-of-fill ILU(k) factorization A ≈ L·D·U.
+
+    The symbolic pattern expansion (Saad §10.3.3) runs in the compiled host
+    core (``sigma_host.cpp::iluk_symbolic``); the numeric phase is the
+    existing ILU(0) sweep on the expanded pattern with value-0 fill slots —
+    ILU(k) *is* ILU(0) on the level-k pattern.  Goes beyond the reference,
+    which aborts for fill level > 0 (``ldu_solvers.f90:414-417``).
+    Returns the same (L_csr, d, U_csr) triple as :func:`ildu0_factorize`.
+    """
+    from sigma_tpu import native
+
+    if A.shape[0] != A.shape[1]:
+        raise ValueError("ILDU requires a square matrix")
+    if k == 0:
+        return ildu0_factorize(A)
+    n = A.shape[0]
+    indptr, indices, data = _csr_arrays(A)
+    sym = native.iluk_symbolic(indptr, indices, k)
+    if sym is None:
+        sym = _iluk_symbolic_numpy(indptr, indices, n, k)
+    fptr, fcol = sym
+    # scatter A's values into the expanded pattern (fill slots stay 0)
+    fdata = np.zeros(fcol.size, dtype=np.float64)
+    rows_a = np.repeat(np.arange(n), np.diff(indptr))
+    rows_f = np.repeat(np.arange(n), np.diff(fptr))
+    # position of each A entry in F: F rows are sorted supersets of A rows
+    keys_f = rows_f * n + fcol
+    keys_a = rows_a * n + indices
+    pos = np.searchsorted(keys_f, keys_a)
+    fdata[pos] = data
+    res = native.ilu0_factorize(fptr, fcol, fdata)
+    if res is not None:
+        lu, diag = res
+    else:
+        lu, diag = _ilu0_numpy(fptr, fcol, fdata, n)
+    return _split_ldu(fptr, fcol, lu, diag, n)
+
+
+def _split_ldu(indptr, indices, lu, diag, n):
+    """Split a factorized in-place pattern into strict L (unit), D, and
+    strict unit-U (u_ij / d_i) CSR triples."""
     rows_all = np.repeat(np.arange(n), np.diff(indptr))
     lower = indices < rows_all
     upper = indices > rows_all
@@ -259,9 +362,9 @@ class ILDUPreconditioner(LinearOperator):
 class LDUSolver(LinearSolver):
     """Factory object mirroring ``ldu(incomplete, level)``
     (ldu_solvers.f90:73).  incomplete=True, level=0 → ILDU(0)/IC(0);
-    level > 0 is not implemented (the reference aborts as well,
-    :414-417); incomplete=False → dense LU fallback (the reference's
-    unimplemented TODO at :143-145)."""
+    level > 0 → level-of-fill ILU(k) (the reference aborts there,
+    :414-417 — this goes beyond it); incomplete=False → dense LU fallback
+    (the reference's unimplemented TODO at :143-145)."""
 
     incomplete: bool = True
     level: int = 0
@@ -278,12 +381,9 @@ class LDUSolver(LinearSolver):
                 rmv=None,
                 shape=A.shape,
             )
-        if self.level != 0:
-            raise NotImplementedError(
-                "fill levels > 0 are not supported (reference aborts too: "
-                "ldu_solvers.f90:414-417)"
-            )
-        (Lp, Li, Lx), d, (Up, Ui, Ux) = ildu0_factorize(A)
+        if self.level < 0:
+            raise ValueError(f"fill level must be >= 0, got {self.level}")
+        (Lp, Li, Lx), d, (Up, Ui, Ux) = iluk_factorize(A, self.level)
         n = A.shape[0]
         dtype = A.data.dtype
         return ILDUPreconditioner(

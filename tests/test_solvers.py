@@ -229,10 +229,12 @@ def test_ldu_direct_fallback(rng):
     np.testing.assert_allclose(np.asarray(x), np.linalg.solve(dense, b), atol=1e-10)
 
 
-def test_ldu_level_not_implemented(rng):
+def test_ldu_negative_level_rejected(rng):
+    # level > 0 is level-of-fill ILU(k) now (the reference aborts there);
+    # only a negative level is invalid
     A = CSRMatrix.from_dense(random_spd_laplacian(rng, 8))
-    with pytest.raises(NotImplementedError):
-        ldu(level=1).setup(A)
+    with pytest.raises(ValueError):
+        ldu(level=-1).setup(A)
 
 
 def test_solve_facade_and_attached_solver(rng):
@@ -501,3 +503,69 @@ def test_cg_fused_matches_classic(rng):
     x4, i4 = cg_fused_solve(A, b, tol=1e-13, M=M)
     assert np.abs(np.asarray(x4) - xstar).max() < 1e-9
     assert abs(int(i3.iterations) - int(i4.iterations)) <= 2
+
+
+def test_iluk_full_fill_is_exact_lu(rng):
+    """ILU(k) with k >= n reproduces the exact LDU factorization — the
+    level-of-fill recurrence admits every fill entry.  (The reference
+    aborts for fill level > 0, ldu_solvers.f90:414-417; this goes beyond
+    it.)"""
+    from sigma_tpu.solvers.ildu import iluk_factorize
+
+    n = 36
+    dense = random_spd_laplacian(rng, n)
+    A = CSRMatrix.from_dense(dense)
+    (Lp, Li, Lx), d, (Up, Ui, Ux) = iluk_factorize(A, n)
+    L = np.eye(n)
+    U = np.eye(n)
+    for i in range(n):
+        L[i, Li[Lp[i] : Lp[i + 1]]] = Lx[Lp[i] : Lp[i + 1]]
+        U[i, Ui[Up[i] : Up[i + 1]]] = Ux[Up[i] : Up[i + 1]]
+    np.testing.assert_allclose(L @ np.diag(d) @ U, dense, atol=1e-10)
+
+
+def test_iluk_monotone_preconditioner_quality(rng):
+    """Higher fill level => fewer preconditioned-CG iterations on a 2-D
+    Laplacian, and k=0 must agree with the zero-fill path."""
+    from sigma_tpu.solvers.ildu import iluk_factorize, ildu0_factorize
+
+    from tests.conftest import laplacian_2d
+
+    nx = 14
+    n = nx * nx
+    dense = laplacian_2d(nx)
+    A = CSRMatrix.from_dense(dense)
+
+    (Lp0, Li0, Lx0), d0, _ = iluk_factorize(A, 0)
+    (Lp1, Li1, Lx1), d1, _ = ildu0_factorize(A)
+    assert np.array_equal(Lp0, Lp1) and np.array_equal(Li0, Li1)
+    np.testing.assert_allclose(Lx0, Lx1, rtol=1e-15)
+    np.testing.assert_allclose(d0, d1, rtol=1e-15)
+
+    b = rng.standard_normal(n)
+    iters = []
+    for k in (0, 1, 2):
+        M = ldu(level=k).setup(A)
+        _, info = cg(1e-12).solve_info(A, jnp.asarray(b), M=M)
+        assert bool(info.converged)
+        iters.append(int(info.iterations))
+    assert iters[0] > iters[1] > iters[2], iters
+
+
+def test_iluk_symbolic_native_matches_numpy(rng, monkeypatch):
+    """The C++ level-of-fill symbolic pattern equals the python fallback's
+    for several fill levels on an unstructured SPD pattern."""
+    from sigma_tpu import native
+    from sigma_tpu.solvers.ildu import _iluk_symbolic_numpy, _csr_arrays
+
+    if not native.available():
+        pytest.skip("native core unavailable")
+    n = 60
+    dense = random_spd_laplacian(rng, n)
+    A = CSRMatrix.from_dense(dense)
+    indptr, indices, _ = _csr_arrays(A)
+    for k in (1, 2, 4):
+        f_native = native.iluk_symbolic(indptr, indices, k)
+        f_numpy = _iluk_symbolic_numpy(indptr, indices, n, k)
+        assert np.array_equal(f_native[0], f_numpy[0]), k
+        assert np.array_equal(f_native[1], f_numpy[1]), k
