@@ -230,9 +230,10 @@ def main():
     import time as _time
 
     try:
-        from sigma_tpu.utils.util import enable_transparent_hugepages
+        from sigma_tpu.utils.util import enable_transparent_hugepages, enable_warm_heap
 
         enable_transparent_hugepages()
+        enable_warm_heap()
     except Exception:
         pass
 

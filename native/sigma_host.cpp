@@ -108,6 +108,48 @@ void bfs_order(i64 n, const i64* indptr, const i64* indices, i64 start,
     }
 }
 
+// Reverse Cuthill-McKee ordering: BFS from a minimum-degree vertex per
+// component, visiting neighbors in ascending-degree order, ranks reversed.
+// perm[v] = new label of v (scatter form).  Sharper bandwidth reduction
+// than the plain BFS above (the reference has only the BFS,
+// permutations.f90:22).
+void rcm_order(i64 n, const i64* indptr, const i64* indices, i64* perm) {
+    std::vector<i64> deg(static_cast<size_t>(n));
+    for (i64 v = 0; v < n; ++v) deg[v] = indptr[v + 1] - indptr[v];
+    std::vector<char> seen(static_cast<size_t>(n), 0);
+    std::vector<i64> queue;
+    queue.reserve(static_cast<size_t>(n));
+    std::vector<i64> nbrs;
+    i64 rank = 0;
+    // visit components in order of their minimum-degree vertex
+    std::vector<i64> verts(static_cast<size_t>(n));
+    for (i64 v = 0; v < n; ++v) verts[v] = v;
+    std::sort(verts.begin(), verts.end(),
+              [&](i64 a, i64 b) { return deg[a] < deg[b] || (deg[a] == deg[b] && a < b); });
+    for (i64 s : verts) {
+        if (seen[s]) continue;
+        queue.clear();
+        queue.push_back(s);
+        seen[s] = 1;
+        for (size_t q = 0; q < queue.size(); ++q) {
+            i64 v = queue[q];
+            perm[v] = rank++;
+            nbrs.clear();
+            for (i64 k = indptr[v]; k < indptr[v + 1]; ++k) {
+                i64 u = indices[k];
+                if (!seen[u]) {
+                    seen[u] = 1;
+                    nbrs.push_back(u);
+                }
+            }
+            std::sort(nbrs.begin(), nbrs.end(),
+                      [&](i64 a, i64 b) { return deg[a] < deg[b] || (deg[a] == deg[b] && a < b); });
+            for (i64 u : nbrs) queue.push_back(u);
+        }
+    }
+    for (i64 v = 0; v < n; ++v) perm[v] = n - 1 - perm[v];  // reverse
+}
+
 // Greedy first-fit coloring in vertex order; returns number of colors.
 i64 greedy_coloring(i64 n, const i64* indptr, const i64* indices,
                     i64* colors) {

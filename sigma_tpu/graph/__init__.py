@@ -20,6 +20,7 @@ from sigma_tpu.graph.permutations import (
     breadth_first_search,
     greedy_color_ordering,
     greedy_coloring,
+    reverse_cuthill_mckee,
 )
 
 __all__ = [
@@ -38,6 +39,7 @@ __all__ = [
     "convert_graph",
     "build_graph",
     "breadth_first_search",
+    "reverse_cuthill_mckee",
     "greedy_coloring",
     "greedy_color_ordering",
 ]

@@ -22,6 +22,7 @@ import numpy as np
 
 __all__ = [
     "breadth_first_search",
+    "reverse_cuthill_mckee",
     "greedy_coloring",
     "greedy_color_ordering",
 ]
@@ -71,6 +72,49 @@ def breadth_first_search(g, start: int = 0) -> np.ndarray:
                     rank += 1
                     q.append(int(v))
     return p
+
+
+def reverse_cuthill_mckee(g) -> np.ndarray:
+    """Reverse Cuthill-McKee bandwidth-reducing permutation (scatter form).
+
+    BFS from a minimum-degree vertex per component, visiting neighbors in
+    ascending-degree order, with the final ranks reversed — the standard
+    sharpening of the plain BFS ordering the reference provides
+    (``permutations.f90:22``); typically a tighter band for the
+    banded-DIA recipe (:func:`sigma_tpu.matrix.banded.to_banded_dia`).
+    Runs in the compiled core with a numpy fallback.
+    """
+    n = g.shape[0]
+    indptr, indices = _adjacency(g)
+    from sigma_tpu import native
+
+    res = native.rcm_order(indptr, indices)
+    if res is not None:
+        return res
+    deg = indptr[1:] - indptr[:-1]
+    p = np.full(n, -1, dtype=np.int64)
+    rank = 0
+    # components in order of their minimum-degree vertex
+    for s in np.lexsort((np.arange(n), deg)):
+        if p[s] >= 0:
+            continue
+        q: deque[int] = deque([int(s)])
+        p[s] = rank
+        rank += 1
+        while q:
+            u = q.popleft()
+            nbrs = indices[indptr[u] : indptr[u + 1]]
+            nbrs = nbrs[p[nbrs] < 0]
+            # ascending degree, ties by vertex id (matches the C++ core)
+            for v in nbrs[np.lexsort((nbrs, deg[nbrs]))]:
+                if p[v] < 0:
+                    p[v] = rank
+                    rank += 1
+                    q.append(int(v))
+        # ranks assigned at push time, matching the C++?  No: the C++
+        # assigns at POP time — but push order == pop order in a FIFO
+        # queue seeded one component at a time, so the labels agree.
+    return (n - 1) - p  # reverse
 
 
 def greedy_coloring(g) -> Tuple[np.ndarray, int]:

@@ -42,10 +42,12 @@ def band_occupancy(A: SparseMatrix) -> float:
 
 
 def to_banded_dia(
-    A: SparseMatrix, reorder: bool = True
+    A: SparseMatrix, reorder: bool = True, method: str = "rcm"
 ) -> Tuple[DIAMatrix, Optional[np.ndarray]]:
     """Convert a (square) sparse matrix to DIA, optionally after a
-    bandwidth-reducing BFS reordering of rows and columns.
+    bandwidth-reducing reordering of rows and columns (``method``:
+    ``"rcm"`` reverse Cuthill-McKee, the default; ``"bfs"`` the plain
+    BFS level order the reference provides).
 
     Returns ``(D, p)`` with ``p`` in scatter form (``None`` when
     ``reorder=False``): ``D[p[i], p[j]] == A[i, j]``.  To solve A x = b in
@@ -57,7 +59,14 @@ def to_banded_dia(
     rows, cols, vals = A.entries()
     p = None
     if reorder:
-        p = breadth_first_search(A.graph)
+        if method == "rcm":
+            from sigma_tpu.graph.permutations import reverse_cuthill_mckee
+
+            p = reverse_cuthill_mckee(A.graph)
+        elif method == "bfs":
+            p = breadth_first_search(A.graph)
+        else:
+            raise ValueError(f"unknown reorder method {method!r}")
         rows, cols = p[rows], p[cols]
     D = DIAMatrix.from_coo(
         A.shape[0], A.shape[1], rows, cols, vals, dtype=A.dtype

@@ -38,6 +38,7 @@ __all__ = [
     "csr_add",
     "csr_transpose",
     "iluk_symbolic",
+    "rcm_order",
 ]
 
 _SRC = Path(__file__).resolve().parent.parent.parent / "native" / "sigma_host.cpp"
@@ -125,6 +126,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.csr_transpose.argtypes = [i64, i64, _i64p, _i64p, _f64p, _i64p, _i64p, _f64p]
         lib.iluk_symbolic.restype = i64
         lib.iluk_symbolic.argtypes = [i64, _i64p, _i64p, i64, i64, _i64p, _i64p]
+        lib.rcm_order.restype = None
+        lib.rcm_order.argtypes = [i64, _i64p, _i64p, _i64p]
         _lib = lib
         return _lib
 
@@ -161,6 +164,19 @@ def bfs_order(indptr, indices, start: int = 0) -> Optional[np.ndarray]:
     n = indptr.size - 1
     perm = np.empty(n, dtype=np.int64)
     lib.bfs_order(n, indptr, indices, int(start), perm)
+    return perm
+
+
+def rcm_order(indptr, indices) -> Optional[np.ndarray]:
+    """Reverse Cuthill-McKee permutation (scatter form), or None if native
+    is off."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr, indices = _c64(indptr), _c64(indices)
+    n = indptr.size - 1
+    perm = np.empty(n, dtype=np.int64)
+    lib.rcm_order(n, indptr, indices, perm)
     return perm
 
 

@@ -60,3 +60,27 @@ def enable_transparent_hugepages() -> bool:
             return "[always]" in f.read()
     except OSError:
         return False
+
+
+def enable_warm_heap() -> bool:
+    """Keep large host allocations on the brk heap instead of fresh mmaps.
+
+    glibc mmap-allocates buffers past the (dynamic, <= 32 MiB) threshold
+    and returns them to the OS on free, so every fresh large numpy
+    temporary re-faults its pages — the same page-fault wall
+    :func:`enable_transparent_hugepages` mitigates.  Raising
+    ``M_MMAP_THRESHOLD`` and ``M_TRIM_THRESHOLD`` keeps freed memory in
+    the process, so repeated temporaries of similar size reuse warm pages
+    (measured 1.3-1.7x on allocation-heavy host setup, benchmarks/
+    heap_probe.py).  Trades higher steady RSS for that reuse — opt-in,
+    called by bench/conftest like the THP helper; the library itself
+    stays side-effect-free.  Returns True when the knobs were applied."""
+    import ctypes
+
+    try:
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        ok1 = libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+        ok2 = libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+        return bool(ok1) and bool(ok2)
+    except OSError:
+        return False

@@ -59,8 +59,9 @@ def laplacian_2d(nx: int) -> np.ndarray:
 # host numpy on this VM is page-fault-bound for fresh large allocations;
 # 2 MiB pages are ~5x faster (see sigma_tpu.utils.util)
 try:
-    from sigma_tpu.utils.util import enable_transparent_hugepages
+    from sigma_tpu.utils.util import enable_transparent_hugepages, enable_warm_heap
 
     enable_transparent_hugepages()
+    enable_warm_heap()
 except Exception:
     pass

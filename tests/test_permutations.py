@@ -72,3 +72,51 @@ def test_color_ordering_blocks(rng):
     inv[p] = np.arange(60)  # new -> old
     for c in range(nc):
         assert (colors[inv[ptr[c] : ptr[c + 1]]] == c).all()
+
+
+def test_reverse_cuthill_mckee_is_permutation_and_tightens_band(rng):
+    """RCM returns a valid scatter permutation whose bandwidth is no worse
+    than natural order, and the native/numpy paths agree exactly."""
+    import sigma_tpu.native as native_mod
+    from sigma_tpu.graph import reverse_cuthill_mckee
+    from sigma_tpu import CSRMatrix
+
+    n = 120
+    k = 700
+    r = rng.integers(0, n, k)
+    c = rng.integers(0, n, k)
+    rows = np.concatenate([r, c, np.arange(n)])
+    cols = np.concatenate([c, r, np.arange(n)])
+    A = CSRMatrix.from_coo(n, n, rows, cols, np.ones(rows.size))
+
+    p = reverse_cuthill_mckee(A.graph)
+    assert sorted(p.tolist()) == list(range(n))
+    rr, cc, _ = A.entries()
+    assert np.abs(p[rr] - p[cc]).max() <= np.abs(rr - cc).max()
+
+    lib, tried = native_mod._lib, native_mod._tried
+    native_mod._lib, native_mod._tried = None, True
+    try:
+        p_np = reverse_cuthill_mckee(A.graph)
+    finally:
+        native_mod._lib, native_mod._tried = lib, tried
+    assert np.array_equal(p, p_np)
+
+
+def test_banded_dia_rcm_roundtrip(rng):
+    """to_banded_dia with the default RCM ordering preserves every entry:
+    D[p[i], p[j]] == A[i, j]."""
+    from sigma_tpu import CSRMatrix
+    from sigma_tpu.matrix.banded import to_banded_dia
+
+    n = 80
+    r = rng.integers(0, n, 300)
+    c = rng.integers(0, n, 300)
+    rows = np.concatenate([r, c, np.arange(n)])
+    cols = np.concatenate([c, r, np.arange(n)])
+    vals = rng.standard_normal(rows.size)
+    A = CSRMatrix.from_coo(n, n, rows, cols, vals)
+    D, p = to_banded_dia(A)
+    dd = np.asarray(D.to_dense())
+    rr, cc, vv = A.entries()
+    np.testing.assert_allclose(dd[p[rr], p[cc]], vv, atol=1e-13)
