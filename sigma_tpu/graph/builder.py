@@ -172,6 +172,14 @@ class GraphBuilder:
         self._consolidate()
         return self._rows.copy(), self._cols.copy()
 
+    def freeze(self, frmt="csr", **kwargs):
+        """Freeze into the named immutable device format (the ll_graph ->
+        compressed conversion of ``graph_factory.f90``); sugar for
+        :func:`sigma_tpu.graph.factory.build_graph`."""
+        from sigma_tpu.graph.factory import build_graph
+
+        return build_graph(self, frmt, **kwargs)
+
     def to_dense(self) -> np.ndarray:
         self._consolidate()
         d = np.zeros(self.shape, dtype=np.int64)
