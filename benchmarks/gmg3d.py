@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--nx", type=int, default=216)
     ap.add_argument("--rtol", type=float, default=1e-6)
     ap.add_argument("--nsmooth", type=int, default=1)
+    ap.add_argument("--smoother", default="jacobi",
+                    choices=("jacobi", "chebyshev"),
+                    help="level smoother: weighted-Jacobi sweeps or a "
+                    "degree-nsmooth Chebyshev polynomial in D^-1 A "
+                    "(Gershgorin-bounded interval)")
     ap.add_argument("--ppl", type=int, default=3,
                     help="axis pairings fused per level (3 = 2x2x2 aggregates)")
     ap.add_argument("--symmetric", action="store_true",
@@ -79,6 +84,7 @@ def main():
         A,
         (nx, nx, nx),
         n_smooth=args.nsmooth,
+        smoother=args.smoother,
         pairs_per_level=args.ppl,
         level_dtype=jnp.bfloat16 if args.bf16_levels else None,
         host_data=host,

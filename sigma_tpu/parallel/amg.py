@@ -120,10 +120,16 @@ def distribute_structured_amg(M, mesh: Mesh, axis: str = "rows"):
         )
         Ad = distribute_matrix_dia(Alvl, mesh, axis)
         dinv = distribute_vector(np.asarray(lvl.dinv), mesh, axis, Ad.n_pad)
+        rep = NamedSharding(mesh, P())
+        lmax = (
+            jax.device_put(np.asarray(lvl.lmax), rep)
+            if lvl.lmax is not None
+            else None
+        )
         levels.append(
             _SLevel(
                 A=Ad, dinv=dinv, dims=lvl.dims, axes=lvl.axes,
-                omega=lvl.omega,
+                omega=lvl.omega, lmax=lmax,
             )
         )
     rep = NamedSharding(mesh, P())
@@ -132,4 +138,5 @@ def distribute_structured_amg(M, mesh: Mesh, axis: str = "rows"):
         coarse_lu=jax.device_put(np.asarray(M.coarse_lu), rep),
         coarse_piv=jax.device_put(np.asarray(M.coarse_piv), rep),
         n_smooth=M.n_smooth,
+        smoother=M.smoother,
     )

