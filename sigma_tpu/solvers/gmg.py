@@ -351,6 +351,7 @@ def structured_pair_amg(
     smoother: str = "jacobi",
     max_levels: int = 64,
     pairs_per_level: int | None = None,
+    pair_by: str = "extent",
     freeze_axes: Tuple[int, ...] = (),
     level_dtype=None,
     host_data=None,
@@ -369,6 +370,14 @@ def structured_pair_amg(
     (default 1 = Notay-style pairwise aggregates of 2; ``len(dims)``
     gives 2^d cube aggregates — a hierarchy with d-fold fewer levels and
     fewer smoothing matvecs per cycle, at somewhat more iterations).
+
+    ``pair_by``: axis-choice rule for each pairing — ``"extent"``
+    (default: largest grid extent) or ``"strength"`` (largest mean
+    |unit-displacement coupling|, ties by extent): **semicoarsening**
+    for anisotropic operators, which pairs along the strongly coupled
+    direction first (pairing across a weak coupling barely changes the
+    low-frequency error the level must kill, so extent-based pairing
+    stalls on e.g. eps*u_xx + u_yy).
 
     ``smoother``: ``"jacobi"`` (default; ``n_smooth`` weighted sweeps) or
     ``"chebyshev"`` — a degree-``n_smooth`` Chebyshev polynomial in
@@ -438,12 +447,33 @@ def structured_pair_amg(
         pairs_per_level = 1
 
     # phase 1: all-numpy hierarchy construction
-    def _pick_axis(d2):
+    def _axis_strengths(g2, nd):
+        """Mean |coupling| per axis over the unit displacements — the
+        aggregation-strength measure for semicoarsening."""
+        s = np.zeros(nd)
+        for disp, V in g2.items():
+            nz = [k for k, d in enumerate(disp) if d]
+            if len(nz) == 1 and abs(disp[nz[0]]) == 1:
+                s[nz[0]] += float(np.abs(V).mean())
+        return s
+
+    def _pick_axis(g2, d2):
+        nd = len(d2)
+        strengths = (
+            _axis_strengths(g2, nd) if pair_by == "strength" else None
+        )
         best = -1
         for k, e in enumerate(d2):
             if k in freeze_axes or e < 2:
                 continue
-            if best < 0 or e > d2[best]:
+            if best < 0:
+                best = k
+            elif strengths is not None and not np.isclose(
+                strengths[k], strengths[best], rtol=0.05
+            ):
+                if strengths[k] > strengths[best]:
+                    best = k
+            elif e > d2[best]:
                 best = k
         return best
 
@@ -454,7 +484,7 @@ def structured_pair_amg(
         for _ in range(pairs_per_level):
             if int(np.prod(d2)) <= coarse_size:
                 break
-            ax = _pick_axis(d2)
+            ax = _pick_axis(g2, d2)
             if ax < 0:
                 break
             axes.append(ax)

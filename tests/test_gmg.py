@@ -446,3 +446,53 @@ def test_chebyshev_smoother_distributed_parity():
     xd, info2 = cg_solve(Ad, Ad.shard_vector(b), M=Md, tol=1e-10, maxiter=300)
     assert abs(int(info1.iterations) - int(info2.iterations)) <= 1
     assert np.max(np.abs(Ad.unshard_vector(xd) - xstar)) < 1e-8
+
+
+def test_strength_based_pairing_semicoarsening():
+    """pair_by="strength" (semicoarsening) on anisotropic Poisson
+    eps*u_xx + u_yy: pairing along the strong axis must beat extent-based
+    pairing decisively (measured 106 -> 41 CG iterations at eps=0.01),
+    and on an isotropic operator both rules must coincide."""
+    nx, eps = 48, 0.01
+    n = nx * nx
+    idx = np.arange(n)
+    iy, ix = idx % nx, idx // nx
+    rows, cols, vals = [idx], [idx], [np.full(n, 2 * eps + 2.0)]
+    for coord, stride, c in ((iy, 1, 1.0), (ix, nx, eps)):
+        for s in (1, -1):
+            ok = (coord + s >= 0) & (coord + s < nx)
+            rows.append(idx[ok])
+            cols.append(idx[ok] + s * stride)
+            vals.append(np.full(ok.sum(), -c))
+    A = DIAMatrix.from_coo(
+        n, n, np.concatenate(rows), np.concatenate(cols),
+        np.concatenate(vals), dtype=jnp.float64,
+    )
+    b = jnp.asarray(np.random.default_rng(4).standard_normal(n))
+    iters = {}
+    for pair_by in ("extent", "strength"):
+        M = structured_pair_amg(A, (nx, nx), pair_by=pair_by)
+        x, info = cg_solve(A, b, M=M, tol=1e-10, maxiter=2000)
+        assert bool(info.converged)
+        iters[pair_by] = int(info.iterations)
+    assert iters["strength"] * 2 <= iters["extent"], iters
+
+    # isotropic: strengths tie (within the 5% tolerance) -> same levels,
+    # same iteration count as the extent rule
+    Asp = poisson((24, 24))
+    coo = Asp.tocoo()
+    P = DIAMatrix.from_coo(
+        Asp.shape[0], Asp.shape[0], coo.row, coo.col, coo.data,
+        dtype=jnp.float64,
+    )
+    bp = jnp.asarray(np.random.default_rng(5).standard_normal(Asp.shape[0]))
+    i_by = {
+        pb: int(
+            cg_solve(
+                P, bp, M=structured_pair_amg(P, (24, 24), pair_by=pb),
+                tol=1e-10, maxiter=500,
+            )[1].iterations
+        )
+        for pb in ("extent", "strength")
+    }
+    assert i_by["extent"] == i_by["strength"], i_by
