@@ -14,10 +14,13 @@ Usage: python benchmarks/adv3d.py [--nx 216] [--beta 10] [--rtol 1e-6]
 import argparse
 import functools
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+)
 
 import numpy as np
 
@@ -56,6 +59,12 @@ def main():
     ap.add_argument("--beta", type=float, default=10.0)
     ap.add_argument("--rtol", type=float, default=1e-6)
     ap.add_argument("--maxiter", type=int, default=2000)
+    ap.add_argument("--gmg", action="store_true",
+                    help="also run BiCG-stab preconditioned by the "
+                    "structured pair-aggregation multigrid (the Galerkin "
+                    "coarsening handles the nonsymmetric upwinded stencil "
+                    "directly)")
+    ap.add_argument("--skip-gmres", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -109,27 +118,51 @@ def main():
         flush=True,
     )
 
-    gm = jax.jit(
-        functools.partial(
-            gmres_solve,
-            tol=0.0,
-            rtol=args.rtol,
-            restart=32,
-            maxiter=args.maxiter,
+    if args.gmg:
+        from sigma_tpu.solvers import structured_pair_amg
+
+        t0 = time.perf_counter()
+        Mg = structured_pair_amg(
+            A, (nx, nx, nx), pairs_per_level=3, host_data=data
         )
-    )
-    x1, i1, r1, w1 = timed(gm)
-    print(
-        json.dumps(
-            {
-                "metric": "adv3d_gmres32",
-                "iterations": int(i1.iterations),
-                "relative_residual": f"{r1 / nb:.3e}",
-                "wall_s_warm": round(w1, 3),
-            }
-        ),
-        flush=True,
-    )
+        t_setup = time.perf_counter() - t0
+        xg, ig, rg, wg = timed(bicg, Mg)
+        print(
+            json.dumps(
+                {
+                    "metric": "adv3d_bicgstab_gmg",
+                    "iterations": int(ig.iterations),
+                    "relative_residual": f"{rg / nb:.3e}",
+                    "wall_s_warm": round(wg, 3),
+                    "setup_s": round(t_setup, 1),
+                    "speedup_vs_jacobi": round(w0 / wg, 2),
+                }
+            ),
+            flush=True,
+        )
+
+    if not args.skip_gmres:
+        gm = jax.jit(
+            functools.partial(
+                gmres_solve,
+                tol=0.0,
+                rtol=args.rtol,
+                restart=32,
+                maxiter=args.maxiter,
+            )
+        )
+        x1, i1, r1, w1 = timed(gm)
+        print(
+            json.dumps(
+                {
+                    "metric": "adv3d_gmres32",
+                    "iterations": int(i1.iterations),
+                    "relative_residual": f"{r1 / nb:.3e}",
+                    "wall_s_warm": round(w1, 3),
+                }
+            ),
+            flush=True,
+        )
 
     err = float(jnp.max(jnp.abs(x0 - xstar)) / jnp.max(jnp.abs(xstar)))
     print(f"# bicgstab solution rel err vs xstar: {err:.3e}",

@@ -7,10 +7,13 @@ x-re-read cliff (BENCHMARKS.md), on the real chip.  Usage:
 """
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+)
 
 import numpy as np
 

@@ -13,10 +13,13 @@ Usage: python benchmarks/eigen3d.py [--nx 216] [--m 4] [--tol 1e-4]
 
 import argparse
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+)
 
 import numpy as np
 

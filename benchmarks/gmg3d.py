@@ -13,10 +13,13 @@ Usage: python benchmarks/gmg3d.py [--nx 216] [--rtol 1e-6] [--nsmooth 1]
 import argparse
 import functools
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+)
 
 import numpy as np
 

@@ -6,10 +6,13 @@ zeros — the format's target is genuinely block-dense operators, e.g.
 multi-DOF FEM).  nnz counts stored block slots, the work the kernel does.
 """
 
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+)
 
 import numpy as np
 

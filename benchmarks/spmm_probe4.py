@@ -26,9 +26,12 @@ Usage: python benchmarks/spmm_probe4.py [--nx 216]
 
 import argparse
 import functools
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+)
 
 import numpy as np
 

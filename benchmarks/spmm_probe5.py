@@ -9,10 +9,13 @@ Usage: python benchmarks/spmm_probe5.py [--nx 216] [--ks 4,8]
 """
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+)
 
 import numpy as np
 

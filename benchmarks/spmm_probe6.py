@@ -8,9 +8,12 @@ Usage: python benchmarks/spmm_probe6.py [--nx 216] [--k 4]
 """
 
 import argparse
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+)
 
 import numpy as np
 

@@ -11,10 +11,13 @@ Usage: python benchmarks/spmm_probe7.py [--nx 216] [--k 4] [--iters 18]
 
 import argparse
 import functools
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+)
 
 import numpy as np
 

@@ -496,3 +496,35 @@ def test_strength_based_pairing_semicoarsening():
         for pb in ("extent", "strength")
     }
     assert i_by["extent"] == i_by["strength"], i_by
+
+
+def test_nonsymmetric_stencil_gmg_bicgstab():
+    """The closed-form Galerkin coarsening handles nonsymmetric stencils
+    (upwinded advection-diffusion): GMG-preconditioned BiCG-stab must cut
+    iterations at least 3x vs unpreconditioned (measured 85 -> 15 at
+    32^3 with beta=10)."""
+    from sigma_tpu.solvers import bicgstab_solve
+
+    nx, bh = 16, 10.0 / 17.0
+    n = nx ** 3
+    idx = np.arange(n)
+    iz, iy, ix = idx % nx, (idx // nx) % nx, idx // (nx * nx)
+    rows, cols, vals = [idx], [idx], [np.full(n, 6.0 + 3 * bh)]
+    for coord, stride in ((iz, 1), (iy, nx), (ix, nx * nx)):
+        for s, c in ((1, 1.0), (-1, 1.0 + bh)):  # upwind carries the flux
+            ok = (coord + s >= 0) & (coord + s < nx)
+            rows.append(idx[ok])
+            cols.append(idx[ok] + s * stride)
+            vals.append(np.full(ok.sum(), -c))
+    A = DIAMatrix.from_coo(
+        n, n, np.concatenate(rows), np.concatenate(cols),
+        np.concatenate(vals), dtype=jnp.float64,
+    )
+    xstar = np.random.default_rng(6).standard_normal(n)
+    b = np.asarray(A.matvec(jnp.asarray(xstar)))
+    _, i0 = bicgstab_solve(A, b, tol=1e-9, maxiter=1000)
+    M = structured_pair_amg(A, (nx, nx, nx))
+    x, i1 = bicgstab_solve(A, b, M=M, tol=1e-9, maxiter=1000)
+    assert bool(i1.converged)
+    assert int(i1.iterations) * 3 <= int(i0.iterations)
+    assert np.abs(np.asarray(x) - xstar).max() < 1e-7
