@@ -117,26 +117,37 @@ def measure_bandwidth_gbps(samples=None):
 
 
 def laplacian_3d_coo(nx):
-    """7-point stencil Laplacian + I on an nx^3 grid as COO triples."""
+    """7-point stencil Laplacian + I on an nx^3 grid as COO triples.
+
+    Preallocates the exact-size output triples and fills them by axis
+    slices — no boolean masks, np.roll copies, or concatenate temporaries
+    (each fresh large numpy buffer re-faults its pages on this VM)."""
     n = nx * nx * nx
-    idx = np.arange(n, dtype=np.int64).reshape(nx, nx, nx)
-    rows = [np.arange(n)]
-    cols = [np.arange(n)]
-    vals = [np.full(n, 7.0)]
+    per_axis = n - nx * nx  # bonded pairs along one axis
+    total = n + 6 * per_axis
+    rows = np.empty(total, dtype=np.int64)
+    cols = np.empty(total, dtype=np.int64)
+    vals = np.empty(total, dtype=np.float64)
+    rows[:n] = np.arange(n, dtype=np.int64)
+    cols[:n] = rows[:n]
+    vals[:n] = 7.0
+    vals[n:] = -1.0
+    idx = rows[:n].reshape(nx, nx, nx)  # view, no copy
+    off = n
     for axis in range(3):
-        for shift in (1, -1):
-            coord = np.arange(nx) + shift
-            ok = (coord >= 0) & (coord < nx)
-            m = np.ones((nx, nx, nx), dtype=bool)
-            m = np.moveaxis(m, axis, 0)
-            m[~ok] = False
-            m = np.moveaxis(m, 0, axis)
-            src = idx[m]
-            dst = np.roll(idx, -shift, axis=axis)[m]
-            rows.append(src.ravel())
-            cols.append(dst.ravel())
-            vals.append(np.full(src.size, -1.0))
-    return n, np.concatenate(rows), np.concatenate(cols), np.concatenate(vals)
+        lo = [slice(None)] * 3
+        hi = [slice(None)] * 3
+        lo[axis] = slice(0, nx - 1)
+        hi[axis] = slice(1, nx)
+        src = idx[tuple(lo)].reshape(-1)
+        dst = idx[tuple(hi)].reshape(-1)
+        rows[off : off + per_axis] = src
+        cols[off : off + per_axis] = dst
+        off += per_axis
+        rows[off : off + per_axis] = dst
+        cols[off : off + per_axis] = src
+        off += per_axis
+    return n, rows, cols, vals
 
 
 def bench_spmv(A, nnz, K1=40, K2=240, samples=None, reps=3):

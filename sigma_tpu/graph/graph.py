@@ -99,8 +99,12 @@ def host_csr(rows, cols, n: int, *carry):
 
 
 def _pad1d(arr: np.ndarray, total: int, fill) -> np.ndarray:
-    out = np.full(total, fill, dtype=arr.dtype)
+    # np.empty + two region writes, NOT np.full + overwrite: on this
+    # page-fault-bound host every extra full-array touch costs a fresh
+    # fault pass (CLAUDE.md "host memory is page-fault-bound")
+    out = np.empty(total, dtype=arr.dtype)
     out[: arr.size] = arr
+    out[arr.size :] = fill
     return out
 
 
@@ -213,6 +217,28 @@ class CSRGraph(Graph):
     def from_coo(cls, n, m, rows, cols) -> "CSRGraph":
         n, m = int(n), int(m if m is not None else n)
         rows, cols, indptr = compress_coo(rows, cols, n, m)
+        nnz = rows.size
+        pad = round_up(max(nnz, 1), NNZ_PAD)
+        return cls(
+            indptr=jnp.asarray(indptr, dtype=index_dtype),
+            indices=jnp.asarray(_pad1d(np_index(cols), pad, 0), dtype=index_dtype),
+            row_ids=jnp.asarray(_pad1d(np_index(rows), pad, n), dtype=index_dtype),
+            shape=(n, m),
+            nnz=int(nnz),
+        )
+
+    @classmethod
+    def from_sorted_coo(cls, n, m, rows, cols) -> "CSRGraph":
+        """Trusted constructor from row-major-sorted, deduplicated COO
+        edges: skips the ``compress_coo`` re-sort (a full ``np.unique``
+        pass — measured seconds at the 1M-row AMG setup).  Callers that
+        just deduplicated with ``np.unique(rows*m + cols)`` are already in
+        this form."""
+        n, m = int(n), int(m)
+        rows = np.asarray(rows, dtype=np.int64).ravel()
+        cols = np.asarray(cols, dtype=np.int64).ravel()
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(np.bincount(rows, minlength=n), out=indptr[1:])
         nnz = rows.size
         pad = round_up(max(nnz, 1), NNZ_PAD)
         return cls(

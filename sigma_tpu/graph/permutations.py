@@ -30,11 +30,17 @@ __all__ = [
 
 def _adjacency(g) -> Tuple[np.ndarray, np.ndarray]:
     """CSR (indptr, indices) of a square graph, as numpy."""
-    from sigma_tpu.graph.graph import host_csr
+    from sigma_tpu.graph.graph import CSRGraph, host_csr
 
     n, m = g.shape
     if n != m:
         raise ValueError("reordering requires a square graph")
+    if isinstance(g, CSRGraph):
+        # the stored layout IS the row-major CSR view — skip the
+        # edges_numpy + lexsort round trip (fault-bound at 1M+ rows)
+        indptr = np.asarray(g.indptr, dtype=np.int64)
+        indices = np.asarray(g.indices, dtype=np.int64)[: g.nnz]
+        return indptr, indices
     rows, cols = g.edges_numpy()
     return host_csr(rows, cols, n)
 

@@ -96,6 +96,18 @@ class SparseMatrix(LinearOperator):
                 inv, weights=vals.astype(np.float64), minlength=ukeys.size
             )
             rows, cols, vals = ukeys // m, ukeys % m, acc
+            gcls = cls._graph_class()
+            if not kw and hasattr(gcls, "from_sorted_coo"):
+                # edges are now row-major sorted and unique: freeze without
+                # re-sorting, and place values at arange(nnz) directly —
+                # skips a second np.unique plus the edge_positions
+                # searchsorted + device scatter of the generic path
+                # (several fault-bound full passes at the 1M-row scale)
+                g = gcls.from_sorted_coo(n, m, rows, cols)
+                shape = cls._data_shape(g)
+                flat = np.zeros(int(np.prod(shape)), dtype=np.dtype(dtype))
+                flat[: vals.size] = vals
+                return cls(graph=g, data=jnp.asarray(flat.reshape(shape)))
         g = cls._graph_class().from_coo(n, m, rows, cols, **kw)
         A = cls.from_graph(g, dtype=dtype)
         return A.set_values(rows, cols, vals)

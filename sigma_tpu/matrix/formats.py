@@ -116,6 +116,19 @@ class CSRMatrix(SparseMatrix):
         vals = np.asarray(self.data).reshape(-1)[: g.nnz]
         return rows, cols, vals
 
+    def diagonal(self) -> jax.Array:
+        # mask stored int32 index arrays directly instead of base's
+        # edge_positions (which builds int64 keys over all nnz) — the AMG
+        # setup reads a diagonal per level
+        g = self.graph
+        rid = np.asarray(g.row_ids)[: g.nnz]
+        cid = np.asarray(g.indices)[: g.nnz]
+        mask = rid == cid
+        k = min(self.shape)
+        d = np.zeros(k, dtype=np.asarray(self.data).dtype)
+        d[rid[mask]] = np.asarray(self.data).reshape(-1)[: g.nnz][mask]
+        return jnp.asarray(d, dtype=self.dtype)
+
     def matvec(self, x):
         g = self.graph
         prod = self.data * x[g.indices]

@@ -208,10 +208,10 @@ def smoothed_aggregation_amg(
         P = _tentative_prolongator(agg, Acur.dtype)
         if P.shape[1] >= Acur.shape[0]:  # aggregation stalled
             break
+        dvec_np = np.asarray(Acur.diagonal())  # one read per level
         if smooth_prolongator:
             # P <- (I - omega D^{-1} A) P, materialized sparsely
-            d = np.asarray(Acur.diagonal())
-            d = np.where(d != 0, d, 1.0)
+            d = np.where(dvec_np != 0, dvec_np, 1.0)
             DinvA = Acur.with_data(
                 _scale_rows_data(Acur, 1.0 / d)
             )
@@ -226,7 +226,7 @@ def smoothed_aggregation_amg(
             Acur, P,
             out_format=type(Acur) if isinstance(Acur, CSRMatrix) else CSRMatrix,
         )
-        dvec = jnp.asarray(np.asarray(Acur.diagonal()))
+        dvec = jnp.asarray(dvec_np)
         dinv = jnp.where(dvec != 0, 1.0, 0.0) / jnp.where(dvec != 0, dvec, 1.0)
         levels.append(_Level(A=Acur, P=P, dinv=dinv, omega=float(omega)))
         Acur = Ac
