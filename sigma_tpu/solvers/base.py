@@ -164,6 +164,25 @@ class GMRESSolver(LinearSolver):
 
 
 @dataclasses.dataclass(frozen=True)
+class CGLSSolver(LinearSolver):
+    """Least-squares CG on the normal equations (extension; the reference's
+    solver layer handles square operators only).  ``solve`` returns the LS
+    minimizer of ||b - A x||; tolerance applies to ||A^T r||."""
+
+    tolerance: float = 1e-12
+    rtol: float = 0.0
+    maxiter: Optional[int] = None
+
+    def solve_info(self, A, b, x0=None, M=None):
+        from sigma_tpu.solvers.krylov import cgls_solve
+
+        M = prepare_preconditioner(M, A)
+        return cgls_solve(
+            A, b, x0, tol=self.tolerance, rtol=self.rtol, maxiter=self.maxiter, M=M
+        )
+
+
+@dataclasses.dataclass(frozen=True)
 class JacobiSolver(LinearSolver):
     """Diagonal (Jacobi) preconditioner/solver (jacobi_solvers.f90:26-81:
     stores 1/A_ii; solve = D^{-1} b).  As a standalone 'solver' it applies
@@ -198,6 +217,10 @@ def gmres(
     tolerance: float = 1e-12, rtol: float = 0.0, restart: int = 32, maxiter=None
 ) -> GMRESSolver:
     return GMRESSolver(tolerance=tolerance, rtol=rtol, restart=restart, maxiter=maxiter)
+
+
+def cgls(tolerance: float = 1e-12, rtol: float = 0.0, maxiter=None) -> CGLSSolver:
+    return CGLSSolver(tolerance=tolerance, rtol=rtol, maxiter=maxiter)
 
 
 def jacobi() -> JacobiSolver:

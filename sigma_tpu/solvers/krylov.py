@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["SolveInfo", "cg_solve", "cg_fused_solve", "bicgstab_solve", "minres_solve", "gmres_solve", "stationary_solve", "block_cg_solve"]
+__all__ = ["SolveInfo", "cg_solve", "cg_fused_solve", "bicgstab_solve", "minres_solve", "gmres_solve", "cgls_solve", "stationary_solve", "block_cg_solve"]
 
 
 class SolveInfo(NamedTuple):
@@ -441,6 +441,81 @@ def gmres_solve(
         cond, body, (x0, beta0, jnp.asarray(0, jnp.int32), True)
     )
     return x, SolveInfo(k, beta, beta <= tol_eff)
+
+
+def cgls_solve(
+    A, b, x0=None, *, tol=1e-12, rtol=0.0, maxiter=None, M=None, history=False
+):
+    """CGLS: conjugate gradients on the normal equations A^T A x = A^T b,
+    without ever forming A^T A — the least-squares companion to
+    :func:`cg_solve` for RECTANGULAR (or square nonsymmetric full-rank)
+    operators, which the reference's solver layer cannot address at all
+    (every solver in ``/root/reference/src/solver`` requires a square
+    operator; rectangular matrices exist only as data,
+    ``graph_interfaces.f90:21`` bipartite graphs).
+
+    Minimizes ``||b - A x||_2``; for consistent underdetermined systems
+    with ``x0 = 0`` it converges to the minimum-norm solution.  Each
+    iteration is one ``matvec`` + one ``rmatvec`` — on a distributed
+    operator those are the forward and reversed halo exchanges, so the
+    solver runs unchanged over a device mesh.
+
+    ``M``, if given, applies a symmetric positive preconditioner on the
+    column space (z = M s with s = A^T r) — e.g. an (approximate) inverse
+    of diag(A^T A).  The stopping rule is on the *normal-equations*
+    residual ``||A^T r||`` (the gradient of the LS objective — the only
+    residual that vanishes at the LS solution when the system is
+    inconsistent); ``info.residual_norm`` reports it, and ``tol_eff =
+    max(tol, rtol * ||A^T b||)``.
+    """
+    maxiter = 10 * A.shape[1] if maxiter is None else maxiter
+    apply_M = _apply(M)
+    matvec, rmatvec = A.matvec, A.rmatvec
+
+    # domain-shape template from rmatvec(b), NOT jnp.zeros(A.shape[1]):
+    # a distributed operator's local domain vector is padded/sharded, and
+    # when x0 = 0 XLA CSEs this with s0 below (r0 = b) so it costs nothing
+    Atb = rmatvec(b)
+    x0 = jnp.zeros_like(Atb) if x0 is None else x0
+
+    r0 = b - matvec(x0)
+    s0 = rmatvec(r0)
+    z0 = apply_M(s0)
+    gamma0 = jnp.vdot(s0, z0)
+    tol_eff = jnp.maximum(
+        jnp.asarray(tol, b.dtype), rtol * jnp.linalg.norm(Atb)
+    )
+    hist0 = (
+        jnp.full((int(maxiter),), jnp.nan, dtype=b.dtype) if history else None
+    )
+
+    def cond(state):
+        _, _, _, _, gamma, snorm, k, _ = state
+        return (snorm > tol_eff) & (k < maxiter)
+
+    def body(state):
+        x, r, p, z, gamma, _, k, hist = state
+        q = matvec(p)
+        alpha = gamma / jnp.vdot(q, q)
+        x = x + alpha * p
+        r = r - alpha * q
+        s = rmatvec(r)
+        z = apply_M(s)
+        gamma_new = jnp.vdot(s, z)
+        beta = gamma_new / gamma
+        p = z + beta * p
+        snorm = jnp.sqrt(jnp.abs(jnp.vdot(s, s)))
+        if hist is not None:
+            hist = hist.at[k].set(snorm)
+        return (x, r, p, z, gamma_new, snorm, k + 1, hist)
+
+    snorm0 = jnp.sqrt(jnp.abs(jnp.vdot(s0, s0)))
+    x, r, _, _, _, snorm, k, hist = lax.while_loop(
+        cond,
+        body,
+        (x0, r0, z0, z0, gamma0, snorm0, jnp.asarray(0, jnp.int32), hist0),
+    )
+    return x, SolveInfo(k, snorm, snorm <= tol_eff, hist)
 
 
 def stationary_solve(A, b, M, x0=None, *, steps: int):

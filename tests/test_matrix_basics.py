@@ -214,3 +214,37 @@ def test_bsr_transpose_nonsquare_blocks(rng):
     Mt = M.transpose_matrix()
     assert Mt.graph.block_shape == (4, 2)
     assert np.max(np.abs(Mt.to_dense() - d.T)) < 1e-14
+
+
+def test_from_coo_duplicates_and_sorted_fast_path(rng):
+    """CSR's from_coo fast path (trusted from_sorted_coo freeze + direct
+    value placement) must agree with the generic scatter path for
+    unsorted, duplicated COO input — for every format."""
+    n, m = 23, 17
+    k = 140
+    r = rng.integers(0, n, k)
+    c = rng.integers(0, m, k)
+    v = rng.standard_normal(k)
+    dense = np.zeros((n, m))
+    np.add.at(dense, (r, c), v)
+    for frmt in ALL:
+        A = choose_matrix_type(frmt).from_coo(n, m, r, c, v)
+        np.testing.assert_allclose(A.to_dense(), dense, atol=1e-12)
+        # rectangular diagonal (CSR overrides with a mask-based read)
+        np.testing.assert_allclose(
+            A.diagonal(), np.diag(dense), atol=1e-12
+        )
+
+
+def test_from_sorted_coo_matches_from_coo(rng):
+    from sigma_tpu.graph.graph import CSRGraph
+
+    n, m = 19, 31
+    dense = random_sparse(rng, n, m, p=0.2)
+    r, c = np.nonzero(dense)  # row-major sorted, unique by construction
+    g1 = CSRGraph.from_coo(n, m, r, c)
+    g2 = CSRGraph.from_sorted_coo(n, m, r, c)
+    np.testing.assert_array_equal(g1.indptr, g2.indptr)
+    np.testing.assert_array_equal(g1.indices, g2.indices)
+    np.testing.assert_array_equal(g1.row_ids, g2.row_ids)
+    assert g1.nnz == g2.nnz and g1.shape == g2.shape

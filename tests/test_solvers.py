@@ -569,3 +569,73 @@ def test_iluk_symbolic_native_matches_numpy(rng, monkeypatch):
         f_numpy = _iluk_symbolic_numpy(indptr, indices, n, k)
         assert np.array_equal(f_native[0], f_numpy[0]), k
         assert np.array_equal(f_native[1], f_numpy[1]), k
+
+
+def test_cgls_overdetermined_least_squares(rng):
+    """CGLS minimizes ||b - A x|| for rectangular A (extension: every
+    reference solver requires a square operator)."""
+    from sigma_tpu.solvers import cgls_solve
+
+    n, m = 60, 24
+    dense = np.where(rng.random((n, m)) < 0.3, rng.standard_normal((n, m)), 0.0)
+    dense[np.arange(m), np.arange(m)] += 3.0  # full column rank
+    A = CSRMatrix.from_dense(dense)
+    b = jnp.asarray(rng.standard_normal(n))
+    x, info = cgls_solve(A, b, tol=1e-13)
+    x_ref = np.linalg.lstsq(dense, np.asarray(b), rcond=None)[0]
+    assert bool(info.converged)
+    np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-9)
+    # the LS gradient A^T r vanishes at the minimizer
+    g = dense.T @ (np.asarray(b) - dense @ np.asarray(x))
+    assert np.linalg.norm(g) < 1e-10
+
+
+def test_cgls_minimum_norm_underdetermined(rng):
+    from sigma_tpu.solvers import cgls_solve
+
+    n, m = 20, 50
+    dense = rng.standard_normal((n, m))
+    A = CSRMatrix.from_dense(dense)
+    x_true = dense.T @ rng.standard_normal(n)  # in range(A^T)
+    b = jnp.asarray(dense @ x_true)
+    x, info = cgls_solve(A, b, tol=1e-12)
+    # x0 = 0 keeps iterates in range(A^T): the minimum-norm solution
+    x_ref = np.linalg.lstsq(dense, np.asarray(b), rcond=None)[0]
+    np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-8)
+
+
+def test_cgls_square_spd_matches_cg(rng):
+    from sigma_tpu.solvers import cgls_solve
+
+    dense = random_spd_laplacian(rng, 48)
+    A = CSRMatrix.from_dense(dense)
+    b = jnp.asarray(rng.standard_normal(48))
+    x_cg, _ = cg_solve(A, b, tol=1e-14)
+    x_ls, info = cgls_solve(A, b, tol=1e-12)
+    np.testing.assert_allclose(np.asarray(x_ls), np.asarray(x_cg), atol=1e-8)
+
+
+def test_cgls_preconditioned_and_solver_protocol(rng):
+    """Column-space diagonal preconditioner cuts iterations; CGLSSolver
+    runs through the LinearSolver protocol (attach_solver facade)."""
+    from sigma_tpu.operators import DiagonalOperator
+    from sigma_tpu.solvers import cgls, cgls_solve
+
+    n, m = 80, 30
+    dense = np.where(rng.random((n, m)) < 0.25, rng.standard_normal((n, m)), 0.0)
+    # badly scaled columns make the normal equations ill-conditioned
+    dense *= 10.0 ** rng.uniform(-2, 2, size=m)
+    dense[np.arange(m), np.arange(m)] += 1.0
+    A = CSRMatrix.from_dense(dense)
+    b = jnp.asarray(rng.standard_normal(n))
+    colnorm2 = (dense * dense).sum(axis=0)
+    M = DiagonalOperator(jnp.asarray(1.0 / colnorm2))
+    x_p, info_p = cgls_solve(A, b, tol=1e-11, M=M, maxiter=2000)
+    x_u, info_u = cgls_solve(A, b, tol=1e-11, maxiter=2000)
+    x_ref = np.linalg.lstsq(dense, np.asarray(b), rcond=None)[0]
+    np.testing.assert_allclose(np.asarray(x_p), x_ref, atol=1e-6)
+    assert int(info_p.iterations) <= int(info_u.iterations)
+    # factory/protocol path
+    solver = cgls(tolerance=1e-11, maxiter=2000)
+    x2, info2 = solver.solve_info(A, b)
+    np.testing.assert_allclose(np.asarray(x2), x_ref, atol=1e-6)
