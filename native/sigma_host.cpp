@@ -457,6 +457,55 @@ void spgemm_numeric(i64 n, i64 m, const i64* aptr, const i64* acol,
     }
 }
 
+// Fused single-pass SpGEMM: one Gustavson traversal computes structure AND
+// values into persistent internal buffers (capacity survives across calls —
+// the AMG setup's 12 products reuse warm pages on this fault-bound host),
+// then spgemm_fetch copies them out into caller arrays.  Halves the
+// traversal work of the symbolic+numeric pair above (kept for parity
+// tests and as the no-fetch API).
+static std::vector<i64> g_spgemm_ccol;
+static std::vector<double> g_spgemm_cval;
+
+i64 spgemm_fused(i64 n, i64 m, const i64* aptr, const i64* acol,
+                 const double* aval, const i64* bptr, const i64* bcol,
+                 const double* bval, i64* cptr) {
+    std::vector<double> spa(static_cast<size_t>(m), 0.0);
+    std::vector<i64> mark(static_cast<size_t>(m), -1);
+    std::vector<i64> row_cols;
+    g_spgemm_ccol.clear();
+    g_spgemm_cval.clear();
+    cptr[0] = 0;
+    for (i64 i = 0; i < n; ++i) {
+        row_cols.clear();
+        for (i64 p = aptr[i]; p < aptr[i + 1]; ++p) {
+            i64 k = acol[p];
+            double a = aval[p];
+            for (i64 q = bptr[k]; q < bptr[k + 1]; ++q) {
+                i64 j = bcol[q];
+                if (mark[j] != i) {
+                    mark[j] = i;
+                    spa[j] = a * bval[q];
+                    row_cols.push_back(j);
+                } else {
+                    spa[j] += a * bval[q];
+                }
+            }
+        }
+        std::sort(row_cols.begin(), row_cols.end());
+        for (i64 j : row_cols) {
+            g_spgemm_ccol.push_back(j);
+            g_spgemm_cval.push_back(spa[j]);
+        }
+        cptr[i + 1] = static_cast<i64>(g_spgemm_ccol.size());
+    }
+    return cptr[n];
+}
+
+void spgemm_fetch(i64 nnz, i64* ccol, double* cval) {
+    std::copy_n(g_spgemm_ccol.data(), static_cast<size_t>(nnz), ccol);
+    std::copy_n(g_spgemm_cval.data(), static_cast<size_t>(nnz), cval);
+}
+
 // C = alpha*A + beta*B on the union sparsity (both row-sorted CSR).
 i64 csr_add_symbolic(i64 n, const i64* aptr, const i64* acol,
                      const i64* bptr, const i64* bcol, i64* cptr) {

@@ -115,6 +115,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.spgemm_numeric.argtypes = [
             i64, i64, _i64p, _i64p, _f64p, _i64p, _i64p, _f64p, _i64p, _i64p, _f64p,
         ]
+        lib.spgemm_fused.restype = i64
+        lib.spgemm_fused.argtypes = [
+            i64, i64, _i64p, _i64p, _f64p, _i64p, _i64p, _f64p, _i64p,
+        ]
+        lib.spgemm_fetch.restype = None
+        lib.spgemm_fetch.argtypes = [i64, _i64p, _f64p]
         lib.csr_add_symbolic.restype = i64
         lib.csr_add_symbolic.argtypes = [i64, _i64p, _i64p, _i64p, _i64p, _i64p]
         lib.csr_add_numeric.restype = None
@@ -292,10 +298,13 @@ def spgemm(
     aval, bval = _cf64(aval), _cf64(bval)
     n = aptr.size - 1
     cptr = np.empty(n + 1, dtype=np.int64)
-    nnz = lib.spgemm_symbolic(n, m, aptr, acol, bptr, bcol, cptr)
+    # fused single-pass Gustavson into persistent C++ buffers (warm pages
+    # across the AMG setup's repeated products), then one copy-out — half
+    # the traversal of the symbolic+numeric pair
+    nnz = lib.spgemm_fused(n, m, aptr, acol, aval, bptr, bcol, bval, cptr)
     ccol = np.empty(nnz, dtype=np.int64)
     cval = np.empty(nnz, dtype=np.float64)
-    lib.spgemm_numeric(n, m, aptr, acol, aval, bptr, bcol, bval, cptr, ccol, cval)
+    lib.spgemm_fetch(nnz, ccol, cval)
     return cptr, ccol, cval
 
 
