@@ -18,7 +18,10 @@ in ``detail`` so a slow session is distinguishable from a slow kernel in
 the artifact itself.
 
 ``vs_baseline`` = DIA-achieved / (0.8 * speed-of-light) — 1.0 means
-exactly the 80%-of-SoL target; > 1.0 beats it.
+exactly the 80%-of-SoL target; > 1.0 beats it.  Headline definition
+(since round 3): the FULL-STORAGE f32 kernel scored against the
+FULL-STORAGE speed-of-light; symmetric-storage / bf16-value /
+multi-RHS / BSR / unstructured variants are labeled detail rows.
 """
 
 import json
@@ -352,11 +355,15 @@ def main():
 
     # minimum possible traffic for DIA: each diagonal value read once (4B),
     # x read once and y written once per row (amortized over row degree).
-    # The scored value is the best measured SpMV of this operator at f32
-    # values (full or symmetric storage — identical useful work; the
-    # bf16-data variant stays a detail row since it halves the value
-    # stream by changing the stored precision, not the algorithm).
-    value = max(dia_nnz_s, sym_nnz_s or 0.0)
+    # HEADLINE DEFINITION (fixed in round 3, per VERDICT r02): the scored
+    # value is the FULL-STORAGE f32 kernel against the FULL-STORAGE
+    # speed-of-light — apples-to-apples with the >80%-of-SoL target and
+    # with r01's headline.  Symmetric storage and bf16 values move the
+    # same nnz off less HBM traffic; they are reported as labeled
+    # effective-rate detail rows, NOT folded into the headline (scoring a
+    # reduced-traffic kernel against full-traffic SoL conflates storage
+    # savings with kernel speed — r02's 1.45 did exactly that).
+    value = dia_nnz_s
     bytes_per_nnz = 4 + (4 + 4) * n / nnz
     achieved_gbps = value * bytes_per_nnz / 1e9
 
@@ -419,12 +426,24 @@ def main():
                     "hbm_gbps_triad_measured": round(measured_bw, 1),
                     "session_degraded": bool(degraded),
                     "session_note": (
-                        "both in-run bandwidth witnesses (triad, spmv) << "
-                        "spec: this tunnel session cannot stream at spec; "
-                        "scored against the best witness"
-                    )
-                    if degraded
-                    else None,
+                        (
+                            "both in-run bandwidth witnesses (triad, spmv) << "
+                            "spec: this tunnel session cannot stream at spec; "
+                            "scored against the best witness"
+                        )
+                        if degraded
+                        else (
+                            f"in-run triad streamed {measured_bw:.0f} GB/s vs "
+                            f"{spec_bw:.0f} GB/s spec; session judged healthy "
+                            "because the better witness "
+                            f"(max of triad and the SpMV's own "
+                            f"{achieved_gbps:.0f} GB/s) cleared 60% of spec, "
+                            "so the score is against spec"
+                        )
+                        if spec_bw is not None
+                        else "no spec bandwidth known for this device kind; "
+                        "scored against the in-run witness"
+                    ),
                     "hbm_gbps_scored_against": round(bw, 1),
                     "speed_of_light_gnnz_s": round(sol / 1e9, 3),
                     "achieved_gbps_from_spmv": round(achieved_gbps, 1),
@@ -442,13 +461,12 @@ def main():
                             for t in triad_samples
                         ],
                     },
-                    "kernel": (
-                        "dia_sym_spmv_pallas_blocked"
-                        if value == (sym_nnz_s or 0.0)
-                        else "dia_spmv_pallas_blocked"
-                    )
-                    + " (zero-construction clamped-halo BlockSpecs; "
-                    "see sigma_tpu/ops/spmv_pallas.py)",
+                    "kernel": "dia_spmv_pallas_blocked "
+                    "(full-storage f32; zero-construction clamped-halo "
+                    "BlockSpecs; see sigma_tpu/ops/spmv_pallas.py); "
+                    "headline = full-storage kernel vs full-storage SoL "
+                    "(r03 definition; sym/bf16 are effective-rate detail "
+                    "rows)",
                 },
             }
         )

@@ -34,6 +34,7 @@ resulting dense mirror satisfies ``new[p[i], j] == old[i, j]``.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import ClassVar, Optional, Tuple
 
 import jax
@@ -233,10 +234,23 @@ class CSRGraph(Graph):
         edges: skips the ``compress_coo`` re-sort (a full ``np.unique``
         pass — measured seconds at the 1M-row AMG setup).  Callers that
         just deduplicated with ``np.unique(rows*m + cols)`` are already in
-        this form."""
+        this form.
+
+        TRUSTED means unvalidated: ``indptr`` is built from bincount
+        (order-insensitive) while ``indices``/``row_ids`` keep the given
+        order, so edges that are NOT row-major sorted produce a silently
+        inconsistent graph (indptr claims a sorted layout the arrays don't
+        have).  Set ``SIGMA_TPU_DEBUG=1`` to assert the contract."""
         n, m = int(n), int(m)
         rows = np.asarray(rows, dtype=np.int64).ravel()
         cols = np.asarray(cols, dtype=np.int64).ravel()
+        if os.environ.get("SIGMA_TPU_DEBUG"):
+            if rows.size and not (np.diff(rows) >= 0).all():
+                raise ValueError(
+                    "from_sorted_coo: rows are not sorted (contract "
+                    "violation would silently corrupt the graph); use "
+                    "from_coo for unsorted edges"
+                )
         indptr = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(np.bincount(rows, minlength=n), out=indptr[1:])
         nnz = rows.size

@@ -117,9 +117,13 @@ class CSRMatrix(SparseMatrix):
         return rows, cols, vals
 
     def diagonal(self) -> jax.Array:
-        # mask stored int32 index arrays directly instead of base's
-        # edge_positions (which builds int64 keys over all nnz) — the AMG
-        # setup reads a diagonal per level
+        # HOST-SIDE contract (like entries()): reads self.data via
+        # np.asarray, so it forces a device->host readback and cannot be
+        # called on a traced matrix under jax.jit — unlike
+        # DIAMatrix.diagonal, which is pure jnp.  Chosen deliberately: the
+        # AMG setup reads a diagonal per level on the host, and masking the
+        # stored int32 index arrays in numpy beats base's edge_positions
+        # (which builds int64 keys over all nnz)
         g = self.graph
         rid = np.asarray(g.row_ids)[: g.nnz]
         cid = np.asarray(g.indices)[: g.nnz]

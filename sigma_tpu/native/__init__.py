@@ -44,6 +44,8 @@ __all__ = [
 _SRC = Path(__file__).resolve().parent.parent.parent / "native" / "sigma_host.cpp"
 _LIB_PATH = _SRC.parent / "libsigma_host.so"
 _lock = threading.Lock()
+# serializes the spgemm fused+fetch two-call protocol (shared C++ buffers)
+_SPGEMM_LOCK = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
@@ -300,11 +302,16 @@ def spgemm(
     cptr = np.empty(n + 1, dtype=np.int64)
     # fused single-pass Gustavson into persistent C++ buffers (warm pages
     # across the AMG setup's repeated products), then one copy-out — half
-    # the traversal of the symbolic+numeric pair
-    nnz = lib.spgemm_fused(n, m, aptr, acol, aval, bptr, bcol, bval, cptr)
-    ccol = np.empty(nnz, dtype=np.int64)
-    cval = np.empty(nnz, dtype=np.float64)
-    lib.spgemm_fetch(nnz, ccol, cval)
+    # the traversal of the symbolic+numeric pair.  The fused+fetch pair
+    # communicates through process-global C++ buffers and ctypes releases
+    # the GIL during each call, so the two-call protocol must be serialized
+    # across Python threads (else one thread's fetch can read another
+    # product's freshly resized buffers).
+    with _SPGEMM_LOCK:
+        nnz = lib.spgemm_fused(n, m, aptr, acol, aval, bptr, bcol, bval, cptr)
+        ccol = np.empty(nnz, dtype=np.int64)
+        cval = np.empty(nnz, dtype=np.float64)
+        lib.spgemm_fetch(nnz, ccol, cval)
     return cptr, ccol, cval
 
 

@@ -490,11 +490,11 @@ def cgls_solve(
     )
 
     def cond(state):
-        _, _, _, _, gamma, snorm, k, _ = state
+        _, _, _, gamma, snorm, k, _ = state
         return (snorm > tol_eff) & (k < maxiter)
 
     def body(state):
-        x, r, p, z, gamma, _, k, hist = state
+        x, r, p, gamma, _, k, hist = state
         q = matvec(p)
         alpha = gamma / jnp.vdot(q, q)
         x = x + alpha * p
@@ -507,13 +507,13 @@ def cgls_solve(
         snorm = jnp.sqrt(jnp.abs(jnp.vdot(s, s)))
         if hist is not None:
             hist = hist.at[k].set(snorm)
-        return (x, r, p, z, gamma_new, snorm, k + 1, hist)
+        return (x, r, p, gamma_new, snorm, k + 1, hist)
 
     snorm0 = jnp.sqrt(jnp.abs(jnp.vdot(s0, s0)))
-    x, r, _, _, _, snorm, k, hist = lax.while_loop(
+    x, r, _, _, snorm, k, hist = lax.while_loop(
         cond,
         body,
-        (x0, r0, z0, z0, gamma0, snorm0, jnp.asarray(0, jnp.int32), hist0),
+        (x0, r0, z0, gamma0, snorm0, jnp.asarray(0, jnp.int32), hist0),
     )
     return x, SolveInfo(k, snorm, snorm <= tol_eff, hist)
 
