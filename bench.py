@@ -353,6 +353,99 @@ def main():
     else:
         _progress("skipping spmm row (session too slow)", t0)
 
+    # unstructured-sparsity recipe (VERDICT r02 #1): shuffled irregular-mesh
+    # Laplacian -> RCM -> banded DIA -> chunked blocked kernel.  Reports the
+    # occupancy and both rates (slot + true-nnz); the 1M-row headline run
+    # lives in benchmarks/unstructured.py / BENCHMARKS.md.  Self-bounding.
+    unstructured = None
+    if _time.time() - t0 < 420:
+        try:
+            from sigma_tpu.apps.generators import irregular_mesh_laplacian
+            from sigma_tpu.matrix.banded import to_banded_dia
+            from sigma_tpu.matrix.formats import CSRMatrix
+
+            rng = np.random.default_rng(0)
+            H, W = 8192, 64
+            Au = irregular_mesh_laplacian(H, W, rng=rng, dtype=jnp.float32)
+            nu = Au.shape[0]
+            rr, cc, vv = Au.entries()
+            sh = rng.permutation(nu)
+            Au = CSRMatrix.from_coo(nu, nu, sh[rr], sh[cc], vv, dtype=jnp.float32)
+            Du, _ = to_banded_dia(Au)
+            nnz_u = Au.graph.nnz
+            occ_u = nnz_u / (nu * Du.graph.n_diags)
+            unst_samples = []
+            true_rate = bench_spmv(Du, nnz_u, K1=10, K2=50, samples=unst_samples)
+            unstructured = {
+                "n": nu,
+                "nnz": int(nnz_u),
+                "n_diags": int(Du.graph.n_diags),
+                "occupancy": round(occ_u, 5),
+                "true_gnnz_s": round(true_rate / 1e9, 3),
+                "slot_gnnz_s": round(true_rate / occ_u / 1e9, 1),
+                "spread_true_gnnz_s": [
+                    round(nnz_u / t / 1e9, 2) for t in unst_samples
+                ],
+                "kernel": "dia_spmv_pallas_chunked (RCM-banded, "
+                "VMEM-sized diagonal slabs)",
+            }
+            _progress(
+                f"unstructured {true_rate/1e9:.2f} Gnnz/s true "
+                f"({true_rate/occ_u/1e9:.0f} slot) at occ {occ_u:.3f}", t0
+            )
+        except Exception as e:  # never let a detail row kill the artifact
+            _progress(f"unstructured row failed: {e!r}", t0)
+    else:
+        _progress("skipping unstructured row (session too slow)", t0)
+
+    # grouped-BSR slot rate (VERDICT r02 #3): synthetic block-banded
+    # operator, (8,128) blocks, 67M stored slots — the block-dense format's
+    # streaming rate in the scored artifact (prose number was 173).
+    bsr = None
+    if _time.time() - t0 < 480:
+        try:
+            from sigma_tpu.ops.bsr_pallas import GroupedBSR
+
+            nb_rows, bh, bw, grp = 8192, 8, 128, 8
+            nbc = nb_rows * bh // bw
+            rngb = np.random.default_rng(1)
+            grow_b = np.arange(nb_rows, dtype=np.int32)
+            center = (grow_b.astype(np.int64) * bh) // bw
+            gcols_b = np.clip(
+                center[:, None] + rngb.integers(-4, 5, size=(nb_rows, grp)),
+                0, nbc - 1,
+            ).astype(np.int32)
+            gdata_b = rngb.standard_normal(
+                (nb_rows, bh, grp * bw)
+            ).astype(np.float32)
+            G = GroupedBSR(
+                gdata=jnp.asarray(gdata_b),
+                gcols=jnp.asarray(gcols_b),
+                grow=jnp.asarray(grow_b),
+                shape=(nb_rows * bh, nb_rows * bh),
+                block_shape=(bh, bw),
+                group=grp,
+            )
+            slots = int(gdata_b.size)
+            bsr_samples = []
+            bsr_rate = bench_spmv(G, slots, K1=10, K2=50, samples=bsr_samples)
+            bsr = {
+                "n": nb_rows * bh,
+                "slots": slots,
+                "block": [bh, bw],
+                "bsr_slot_gnnz_s": round(bsr_rate / 1e9, 1),
+                "spread_slot_gnnz_s": [
+                    round(slots / t / 1e9, 1) for t in bsr_samples
+                ],
+                "path": "GroupedBSR XLA grouped form (default; see "
+                "sigma_tpu/ops/bsr_pallas.py)",
+            }
+            _progress(f"bsr slot rate {bsr_rate/1e9:.0f} Gnnz/s", t0)
+        except Exception as e:
+            _progress(f"bsr row failed: {e!r}", t0)
+    else:
+        _progress("skipping bsr row (session too slow)", t0)
+
     # minimum possible traffic for DIA: each diagonal value read once (4B),
     # x read once and y written once per row (amortized over row degree).
     # HEADLINE DEFINITION (fixed in round 3, per VERDICT r02): the scored
@@ -422,6 +515,8 @@ def main():
                         if spmm_eff is not None
                         else None
                     ),
+                    "unstructured": unstructured,
+                    "bsr": bsr,
                     "hbm_gbps_spec": spec_bw,
                     "hbm_gbps_triad_measured": round(measured_bw, 1),
                     "session_degraded": bool(degraded),

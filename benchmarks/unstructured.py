@@ -1,0 +1,224 @@
+#!/usr/bin/env python
+"""Unstructured-sparsity north star: the general-sparsity recipe measured
+end-to-end on hardware at >= 1M rows.
+
+The reference's hot kernel serves ANY sparsity pattern at full CPU rate
+(/root/reference/src/matrix/formats/cs_matrices.f90:600-622).  On TPU the
+per-element gather floor is ~0.1 Gnnz/s, so the equivalent capability is
+STRUCTURAL: RCM-reorder -> to_banded_dia -> (chunked) blocked DIA kernel,
+whose ceiling is  occupancy x DIA-rate  (docs/PERFORMANCE.md §1).  This
+script measures every term of that law on one chip:
+
+  - the problem: a randomly triangulated H x W mesh Laplacian
+    (irregular degrees 4..8, random weights — no constant stencil),
+  - the reorder: RCM bandwidth before/after, diagonal count, occupancy,
+  - the kernel: banded-DIA SpMV Gnnz/s (true-nnz rate AND slot rate),
+  - the floor it replaces: the same matrix through the gather path
+    (CSR segment-sum / ELL), measured, not assumed,
+  - the solve: jitted CG in the permuted frame, wall clock per iteration.
+
+Prints one JSON line per measurement.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=16384)
+    ap.add_argument("--width", type=int, default=64)
+    ap.add_argument("--iters", type=int, default=200, help="CG iterations")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--gather", action="store_true",
+        help="also measure the gather-path floor (CSR segment-sum SpMV) "
+        "on the device — slow by design; ~0.1 Gnnz/s expected",
+    )
+    ap.add_argument(
+        "--max-chunk", type=int, default=None,
+        help="cap the chunked kernel's diagonals-per-slab (tuning probe)",
+    )
+    ap.add_argument(
+        "--no-shuffle", action="store_true",
+        help="keep the generator's natural (already banded) vertex order "
+        "instead of shuffling labels before the RCM step",
+    )
+    args = ap.parse_args()
+
+    try:
+        from sigma_tpu.utils.util import enable_transparent_hugepages, enable_warm_heap
+
+        enable_transparent_hugepages()
+        enable_warm_heap()
+    except Exception:
+        pass
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from bench import timeit_loop
+    from sigma_tpu.apps.generators import irregular_mesh_laplacian
+    from sigma_tpu.matrix.banded import band_occupancy, bandwidth, to_banded_dia
+
+    t0 = time.time()
+    H, W = args.height, args.width
+    rng = np.random.default_rng(args.seed)
+    A = irregular_mesh_laplacian(H, W, rng=rng, dtype=jnp.float32)
+    n = A.shape[0]
+    if not args.no_shuffle:
+        # matrices arrive in whatever order the mesh generator / partitioner
+        # produced; shuffle the labels so the RCM step has real work to do
+        # (without this the generator's natural row-major order is already
+        # near-optimally banded and to_banded_dia keeps it)
+        from sigma_tpu.matrix.formats import CSRMatrix
+
+        rr, cc, vv = A.entries()
+        sh = rng.permutation(n)
+        A = CSRMatrix.from_coo(n, n, sh[rr], sh[cc], vv, dtype=jnp.float32)
+    nnz = A.graph.nnz
+    deg = np.diff(np.asarray(A.graph.indptr))
+    print(
+        f"# {H}x{W} mesh: n={n}, nnz={nnz}, degrees "
+        f"{deg.min()}..{deg.max()} (mean {deg.mean():.2f})  "
+        f"[build {time.time()-t0:.1f}s]",
+        file=sys.stderr,
+    )
+
+    bw0 = bandwidth(A)
+    t1 = time.time()
+    D, p = to_banded_dia(A)
+    t_reorder = time.time() - t1
+    n_diags = D.graph.n_diags
+    occ = nnz / (n * n_diags)
+    bw1 = max(abs(o) for o in D.graph.offsets)
+    print(json.dumps({
+        "metric": "unstructured_band",
+        "n": n,
+        "nnz": int(nnz),
+        "bandwidth_before": int(bw0),
+        "bandwidth_after_rcm": int(bw1),
+        "n_diags": int(n_diags),
+        "occupancy": round(occ, 5),
+        "dia_data_mb": round(n_diags * D.graph.stride * 4 / 1e6, 1),
+        "reorder_build_s": round(t_reorder, 2),
+    }))
+
+    # which kernel path engages, and its chunk plan
+    from sigma_tpu.ops.spmv_pallas import _LANES, _full_tile_pick, chunk_plan
+
+    S = D.graph.stride // _LANES
+    hrows = bw1 // _LANES + 2
+    full_pick = _full_tile_pick(S, hrows, n_diags, 4)
+    plan = chunk_plan(D.graph.offsets, S, 4, max_chunk=args.max_chunk)
+    print(
+        f"# full-band tile pick: {full_pick}; chunk plan: {plan}",
+        file=sys.stderr,
+    )
+
+    x = jnp.ones((n,), jnp.float32)
+
+    if args.max_chunk is not None:
+        from sigma_tpu.ops.spmv_pallas import dia_spmv_pallas_chunked
+
+        def mk(K):
+            @jax.jit
+            def f(data, x):
+                def body(i, vv):
+                    return dia_spmv_pallas_chunked(
+                        data, vv, D.graph.offsets, n, n,
+                        max_chunk=args.max_chunk,
+                    ) * jnp.asarray(0.1, vv.dtype)
+
+                return lax.fori_loop(0, K, body, x)
+
+            return f
+
+        t = timeit_loop(mk, D.data, x, K1=10, K2=50)
+    else:
+
+        def mk(K):
+            @jax.jit
+            def f(A, x):
+                def body(i, vv):
+                    return A.matvec(vv) * jnp.asarray(0.1, vv.dtype)
+
+                return lax.fori_loop(0, K, body, x)
+
+            return f
+
+        t = timeit_loop(mk, D, x, K1=10, K2=50)
+    slots = n_diags * n
+    print(json.dumps({
+        "metric": "unstructured_dia_spmv",
+        "true_gnnz_s": round(nnz / t / 1e9, 3),
+        "slot_gnnz_s": round(slots / t / 1e9, 2),
+        "achieved_gbps": round(slots * 4 / t / 1e9, 1),
+        "ms_per_spmv": round(t * 1e3, 3),
+        "occupancy": round(occ, 5),
+        "law_check": "true_rate = occupancy x slot_rate (identity); "
+        "slot_rate vs the structured-stencil DIA rate is the kernel "
+        "efficiency at this band",
+    }))
+
+    if args.gather:
+        # the floor this recipe replaces: per-element gather + segment-sum
+        def mkg(K):
+            @jax.jit
+            def f(A, x):
+                def body(i, vv):
+                    return A.matvec(vv) * jnp.asarray(0.1, vv.dtype)
+
+                return lax.fori_loop(0, K, body, x)
+
+            return f
+
+        tg = timeit_loop(mkg, A, x, K1=2, K2=10)
+        print(json.dumps({
+            "metric": "unstructured_gather_floor",
+            "gnnz_s": round(nnz / tg / 1e9, 4),
+            "ms_per_spmv": round(tg * 1e3, 2),
+            "speedup_structural": round(tg / t, 1),
+        }))
+
+    # CG in the permuted frame: D x_p = b_p, x = x_p[p]
+    from sigma_tpu.solvers import cg_solve
+
+    xstar = np.sin(np.arange(n) * 0.001).astype(np.float32)
+    b = np.asarray(A.matvec(jnp.asarray(xstar)))
+    b_p = np.empty_like(b)
+    b_p[p] = b
+    solve = jax.jit(
+        lambda Dm, bb: cg_solve(Dm, bb, tol=0.0, rtol=1e-6, maxiter=args.iters)
+    )
+    t1 = time.time()
+    xp, info = solve(D, jnp.asarray(b_p))
+    resn = float(info.residual_norm)
+    t_cold = time.time() - t1
+    t1 = time.time()
+    xp, info = solve(D, jnp.asarray(b_p))
+    resn = float(info.residual_norm)
+    t_warm = time.time() - t1
+    x_sol = np.asarray(xp)[p]
+    err = float(np.abs(x_sol - xstar).max())
+    iters = int(info.iterations)
+    print(json.dumps({
+        "metric": "unstructured_cg",
+        "iterations": iters,
+        "relative_residual": f"{resn / float(np.linalg.norm(b)):.3e}",
+        "max_err_vs_manufactured": f"{err:.3e}",
+        "wall_s_warm": round(t_warm, 2),
+        "s_per_iteration": round(t_warm / max(iters, 1), 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

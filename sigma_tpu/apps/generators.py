@@ -21,6 +21,7 @@ __all__ = [
     "watts_strogatz",
     "barabasi_albert",
     "named_graph",
+    "irregular_mesh_laplacian",
 ]
 
 
@@ -138,6 +139,70 @@ def barabasi_albert(n: int, k: int, rng=None, frmt="csr"):
             deg[i] += 1
             deg[j] += 1
     return _freeze(n, np.array(rows), np.array(cols), frmt)
+
+
+def irregular_mesh_laplacian(
+    H: int, W: int, rng=None, shift: float = 1.0, dtype=np.float64
+):
+    """Weighted graph Laplacian (+ ``shift``·I) of a randomly triangulated
+    H x W quad mesh — the *unstructured-sparsity* model problem: grid
+    edges plus ONE randomly oriented diagonal per quad, random positive
+    edge weights in [0.5, 1.5).  Interior vertex degrees vary 4..8 and no
+    two rows share a stencil, so the matrix has no constant diagonal
+    structure (unlike the north-star stencils) while keeping the *local*
+    connectivity of a finite-element mesh — which is what lets reverse
+    Cuthill-McKee produce an O(min(H, W)) bandwidth.  SPD for shift > 0.
+
+    The reference exercises its solvers on exactly this matrix class —
+    irregular SPD Laplacians (``test/solver_test_jacobi.f90``,
+    ``solver_test_incomplete_cholesky.f90`` build random-graph
+    Laplacian + I); this generator is the scaled-up mesh-local version
+    whose RCM band stays TPU-tileable at millions of rows.
+
+    Returns a :class:`~sigma_tpu.matrix.formats.CSRMatrix`.  Single-touch
+    preallocated construction (this VM's page-fault wall, CLAUDE.md).
+    """
+    from sigma_tpu.matrix.formats import CSRMatrix
+
+    rng = rng or np.random.default_rng()
+    n = H * W
+    idx = np.arange(n, dtype=np.int64).reshape(H, W)
+    uh = idx[:, :-1].ravel()  # horizontal edges
+    vh = uh + 1
+    uv = idx[:-1, :].ravel()  # vertical edges
+    vv = uv + W
+    flip = rng.random((H - 1) * (W - 1)) < 0.5  # per-quad diagonal choice
+    ud = np.where(flip, idx[:-1, :-1].ravel(), idx[:-1, 1:].ravel())
+    vd = ud + np.where(flip, W + 1, W - 1)
+    E = uh.size + uv.size + ud.size
+    u = np.empty(E, dtype=np.int64)
+    v = np.empty(E, dtype=np.int64)
+    u[: uh.size] = uh
+    u[uh.size : uh.size + uv.size] = uv
+    u[uh.size + uv.size :] = ud
+    v[: vh.size] = vh
+    v[vh.size : vh.size + vv.size] = vv
+    v[vh.size + vv.size :] = vd
+    w = rng.random(E) + 0.5
+    diag = (
+        shift
+        + np.bincount(u, weights=w, minlength=n)
+        + np.bincount(v, weights=w, minlength=n)
+    )
+    total = n + 2 * E
+    rows = np.empty(total, dtype=np.int64)
+    cols = np.empty(total, dtype=np.int64)
+    vals = np.empty(total, dtype=np.float64)
+    rows[:n] = idx.ravel()
+    cols[:n] = rows[:n]
+    vals[:n] = diag
+    rows[n : n + E] = u
+    cols[n : n + E] = v
+    vals[n : n + E] = -w
+    rows[n + E :] = v
+    cols[n + E :] = u
+    vals[n + E :] = -w
+    return CSRMatrix.from_coo(n, n, rows, cols, vals, dtype=dtype)
 
 
 def named_graph(name: str, n: int, k: int, p: float = 0.25, rng=None, frmt="csr"):

@@ -53,6 +53,12 @@ def to_banded_dia(
     ``reorder=False``): ``D[p[i], p[j]] == A[i, j]``.  To solve A x = b in
     the permuted frame: ``b_p[p] = b``, solve ``D x_p = b_p``, then
     ``x = x_p[p]``.
+
+    When reordering, the INPUT order is kept if it already stores fewer
+    distinct diagonals than the reordered one (DIA memory and SpMV time
+    are both ∝ the diagonal count, and RCM can worsen an already-banded
+    natural order — measured on the natural-order mesh generator); ``p``
+    is the identity permutation in that case, so callers never branch.
     """
     if A.shape[0] != A.shape[1]:
         raise ValueError("banded conversion expects a square matrix")
@@ -67,7 +73,10 @@ def to_banded_dia(
             p = breadth_first_search(A.graph)
         else:
             raise ValueError(f"unknown reorder method {method!r}")
-        rows, cols = p[rows], p[cols]
+        if np.unique(p[cols] - p[rows]).size < np.unique(cols - rows).size:
+            rows, cols = p[rows], p[cols]
+        else:
+            p = np.arange(A.shape[0], dtype=p.dtype)
     D = DIAMatrix.from_coo(
         A.shape[0], A.shape[1], rows, cols, vals, dtype=A.dtype
     )

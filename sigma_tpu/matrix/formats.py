@@ -470,8 +470,11 @@ class DIAMatrix(SparseMatrix):
 
     def _pallas_path(self, x):
         """The pallas blocked kernel, when profitable and supported: TPU
-        backend, low-precision dtypes, x past the XLA VMEM cliff, and a
-        band narrow enough to tile (else None -> XLA paths)."""
+        backend, low-precision dtypes, x past the XLA VMEM cliff.  Bands
+        too wide to tile in one VMEM working set (RCM-banded general
+        matrices, :func:`sigma_tpu.matrix.banded.to_banded_dia`) route to
+        the CHUNKED wrapper — still gather-free, diagonal values streamed
+        exactly once (else None -> XLA paths)."""
         n, m = self.shape
         if m < self._PALLAS_MIN_ELEMS or x.ndim != 1:
             return None
@@ -487,7 +490,9 @@ class DIAMatrix(SparseMatrix):
         from sigma_tpu.ops.spmv_pallas import (
             _LANES,
             _full_tile_pick,
+            chunk_plan,
             dia_spmv_pallas_blocked,
+            dia_spmv_pallas_chunked,
         )
 
         offs = self.graph.offsets
@@ -498,9 +503,16 @@ class DIAMatrix(SparseMatrix):
             len(offs),
             self.data.dtype.itemsize,
         )
-        if pick is None:
-            return None
-        return dia_spmv_pallas_blocked(self.data, x, offs, n, m)
+        if pick is not None:
+            return dia_spmv_pallas_blocked(self.data, x, offs, n, m)
+        if (
+            chunk_plan(
+                offs, self.graph.stride // _LANES, self.data.dtype.itemsize
+            )
+            is not None
+        ):
+            return dia_spmv_pallas_chunked(self.data, x, offs, n, m)
+        return None
 
     def matvec(self, x):
         """Gather-free SpMV at HBM speed-of-light: per diagonal, a shifted
@@ -610,7 +622,9 @@ class DIAMatrix(SparseMatrix):
         from sigma_tpu.ops.spmv_pallas import (
             _LANES,
             _full_tile_pick,
+            chunk_plan,
             dia_spmv_pallas_blocked,
+            dia_spmv_pallas_chunked,
         )
 
         offs = self.graph.offsets
@@ -621,10 +635,18 @@ class DIAMatrix(SparseMatrix):
             len(offs),
             self.data.dtype.itemsize,
         )
-        if pick is None:
-            return None
-        dataT, offsT = self._transposed_data()
-        return dia_spmv_pallas_blocked(dataT, x, offsT, m, n)
+        if pick is not None:
+            dataT, offsT = self._transposed_data()
+            return dia_spmv_pallas_blocked(dataT, x, offsT, m, n)
+        if (
+            chunk_plan(
+                offs, self.graph.stride // _LANES, self.data.dtype.itemsize
+            )
+            is not None
+        ):
+            dataT, offsT = self._transposed_data()
+            return dia_spmv_pallas_chunked(dataT, x, offsT, m, n)
+        return None
 
     def rmatvec(self, x):
         """Transpose: y[i+o] += data[d, i] * x[i] — same windows, with the

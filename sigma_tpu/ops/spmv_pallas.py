@@ -59,6 +59,8 @@ from jax import lax
 __all__ = [
     "dia_spmv_pallas",
     "dia_spmv_pallas_blocked",
+    "dia_spmv_pallas_chunked",
+    "chunk_plan",
     "dia_spmm_pallas_blocked",
     "dia_spmm_rhs_major",
     "dia_spmm_interleaved",
@@ -175,9 +177,9 @@ def _full_tile_pick(S: int, hrows: int, D: int, itemsize: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("offsets", "n", "m", "interpret")
+    jax.jit, static_argnames=("offsets", "n", "m", "interpret", "dstart")
 )
-def dia_spmv_pallas_blocked(data, x, offsets, n, m, interpret=False):
+def dia_spmv_pallas_blocked(data, x, offsets, n, m, interpret=False, dstart=0):
     """Large-x DIA SpMV: x streamed through VMEM in overlapping row-tile
     windows via BlockSpec pipelining alone — the fix for the XLA windowed
     formulation's per-diagonal x re-read past VMEM size (the >3.5M-row
@@ -195,11 +197,21 @@ def dia_spmv_pallas_blocked(data, x, offsets, n, m, interpret=False):
     masking selects rather than multiplies).  The grid covers ALL rows —
     no XLA tail pass.  Pass ``data`` in the (D, S, 128) tile layout (see
     :func:`_dia3`) to keep jitted solver loops conversion-free.
+
+    ``dstart``: leading-axis slab start for the chunked wide-band path
+    (:func:`dia_spmv_pallas_chunked`) — the kernel consumes rows
+    ``data[dstart : dstart + len(offsets)]`` addressed purely through the
+    BlockSpec index map (``dstart`` must be a multiple of
+    ``len(offsets)``; the chunk planner's power-of-two widths guarantee
+    it), so no slice of ``data`` is ever materialized.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     D = len(offsets)
+    if dstart % max(D, 1) != 0:
+        raise ValueError("dstart must be a multiple of len(offsets)")
+    dblock = np.int32(dstart // max(D, 1))
     data3 = _dia3(data)
     S = data3.shape[1]
     o_min = min(min(offsets), 0)
@@ -306,7 +318,9 @@ def dia_spmv_pallas_blocked(data, x, offsets, n, m, interpret=False):
                 (E, _LANES), clamp_b, memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (D, T, _LANES), lambda i: (_I0, i, _I0), memory_space=pltpu.VMEM
+                (D, T, _LANES),
+                lambda i: (dblock, i, _I0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -318,6 +332,85 @@ def dia_spmv_pallas_blocked(data, x, offsets, n, m, interpret=False):
     )(xrows, xrows, xrows, data3)
     y = y2.reshape(-1)
     return y if S * _LANES == n else y[:n]
+
+
+def chunk_plan(offsets, S: int, itemsize: int, max_chunk=None):
+    """Chunking plan for the wide-band path: split the band's diagonals
+    (in their STORED order) into contiguous chunks, each small enough
+    that :func:`dia_spmv_pallas_blocked` can tile it within the VMEM
+    budget, and each with a start index divisible by its width — the
+    condition that lets a chunk be addressed as ONE BlockSpec slab of
+    the full data array (no slice, no copy, no gather).
+
+    Greedy divisor rule: the first chunk takes the largest fitting
+    power of two; each later chunk takes the largest width that both
+    fits and divides its start.  Every chunk's x/halo/partial-y
+    re-traffic is ~3n words regardless of width, so fewer, wider chunks
+    win (e.g. D=243 at c_max=64 plans 64+64+64+48+3 = 5 chunks, not the
+    7 of a pure power-of-two split).  Returns a list of
+    ``(start, width)`` pairs, or None when even a 1-diagonal chunk
+    cannot fit (pathological reach)."""
+    D = len(offsets)
+    reach = max(max(max(offsets), 0), -min(min(offsets), 0))
+    hrows = reach // _LANES + 2
+    c_max = None
+    c = 1 << (max(D, 1).bit_length() - 1)
+    if max_chunk is not None:
+        c = min(c, 1 << (int(max_chunk).bit_length() - 1))
+    while c >= 1:
+        if _full_tile_pick(S, hrows, c, itemsize) is not None:
+            c_max = c
+            break
+        c //= 2
+    if c_max is None:
+        return None
+    plan = []
+    start, rem = 0, D
+    while rem:
+        w = min(c_max, rem)
+        while start % w:
+            w -= 1
+        plan.append((start, w))
+        start += w
+        rem -= w
+    return plan
+
+
+def dia_spmv_pallas_chunked(
+    data, x, offsets, n, m, interpret=False, max_chunk=None
+):
+    """Wide-band DIA SpMV: when the whole band's data tile cannot fit the
+    blocked kernel's VMEM working set (``_full_tile_pick`` is None —
+    e.g. an RCM-reordered unstructured matrix with hundreds of stored
+    diagonals, :func:`sigma_tpu.matrix.banded.to_banded_dia`), partition
+    the diagonals into VMEM-sized power-of-two chunks, run the proven
+    blocked kernel once per chunk (each chunk addressed as a BlockSpec
+    slab of the ONE data array — no copies), and let XLA sum the partial
+    products.
+
+    Traffic model: the diagonal values stream exactly once (the dominant
+    term, D*n words); x, its halos, and the partial y add ~3n words per
+    chunk — with 64-128-diagonal chunks the overhead is a few percent.
+    This keeps the 'occupancy x DIA-rate' law (docs/PERFORMANCE.md §1)
+    valid at ANY bandwidth the chip's HBM can hold, with no gather
+    anywhere.
+    """
+    data3 = _dia3(data)
+    S = data3.shape[1]
+    plan = chunk_plan(offsets, S, data.dtype.itemsize, max_chunk=max_chunk)
+    if plan is None:
+        raise ValueError(
+            "chunked pallas path cannot tile this band; use "
+            "DIAMatrix.matvec (XLA scan path)"
+        )
+    y = None
+    for start, width in plan:
+        sub = tuple(offsets[start : start + width])
+        part = dia_spmv_pallas_blocked(
+            data3, x, sub, n, m, interpret=interpret, dstart=start
+        )
+        y = part if y is None else y + part
+    return y
 
 
 def _sym_tile_pick(S: int, hrows: int, D: int, itemsize: int):

@@ -163,6 +163,74 @@ def test_blocked_kernel_rectangular_interpret(n, m, diags, monkeypatch):
     assert np.max(np.abs(np.asarray(y) - ref)) / max(np.max(np.abs(ref)), 1e-30) < 1e-5
 
 
+def test_chunk_plan_invariants():
+    """Greedy-divisor chunking: every start divisible by its width (the
+    BlockSpec slab-addressing requirement), widths within the cap, full
+    contiguous coverage, and no more chunks than the power-of-two split
+    would need."""
+    from sigma_tpu.ops.spmv_pallas import chunk_plan
+
+    for D in (1, 2, 3, 7, 37, 129, 243, 260, 1000):
+        offs = tuple(range(-(D // 2), D - D // 2))
+        plan = chunk_plan(offs, 4096, 4, max_chunk=32)
+        assert plan is not None
+        assert sum(w for _, w in plan) == D
+        starts = [s for s, _ in plan]
+        widths = [w for _, w in plan]
+        assert starts[0] == 0
+        for (s, w) in plan:
+            assert 1 <= w <= 32
+            assert s % w == 0
+        assert all(
+            starts[i] + widths[i] == starts[i + 1]
+            for i in range(len(plan) - 1)
+        )
+        assert len(plan) <= D // 32 + 6  # pow2 tail is at most log2 chunks
+    # the motivating case: 243 diagonals at cap 64 -> 5 chunks, not 7
+    offs = tuple(range(-121, 122))
+    plan = chunk_plan(offs, 9000, 4, max_chunk=64)
+    assert plan == [(0, 64), (64, 64), (128, 64), (192, 48), (240, 3)]
+
+
+def test_chunked_wide_band_interpret(monkeypatch):
+    """The chunked wide-band path (the unstructured/banded-general route:
+    RCM -> to_banded_dia -> chunked blocked kernel) vs a dense-diagonal
+    oracle, with max_chunk forcing several slabs so the BlockSpec
+    dstart addressing and the partial-product sum are both exercised."""
+    import sigma_tpu.ops.spmv_pallas as sp
+
+    monkeypatch.setattr(
+        sp, "_full_tile_pick",
+        lambda S, hrows, D, isz: (
+            64,
+            next(e for e in range(8, 65, 8) if e >= hrows and 64 % e == 0),
+        ),
+    )
+    rng = np.random.default_rng(23)
+    n = 150_000
+    # 21 irregular offsets spread over a +-2900 band, stored sorted (the
+    # to_banded_dia layout)
+    diags = sorted(
+        {0, 1, -1, 7, -13}
+        | set(int(v) for v in rng.integers(-2900, 2900, 16))
+    )
+    stride = -(-n // 128) * 128
+    data = np.zeros((len(diags), stride), np.float32)
+    for d, o in enumerate(diags):
+        lo, hi = max(0, -o), min(n, n - o)
+        data[d, lo:hi] = rng.standard_normal(hi - lo)
+    x = rng.standard_normal(n).astype(np.float32)
+    y = sp.dia_spmv_pallas_chunked(
+        jnp.asarray(data), jnp.asarray(x), tuple(diags), n, n,
+        interpret=True, max_chunk=8,
+    )
+    ref = np.zeros(n, np.float64)
+    for d, o in enumerate(diags):
+        lo, hi = max(0, -o), min(n, n - o)
+        ref[lo:hi] += data[d, lo:hi].astype(np.float64) * x[lo + o : hi + o]
+    assert np.max(np.abs(np.asarray(y) - ref)) / np.max(np.abs(ref)) < 1e-4
+
+
 @pytest.mark.parametrize(
     "n,diags,k",
     [
