@@ -30,6 +30,8 @@ __all__ = [
     "unit_square_mesh",
     "torus_mesh",
     "interior_dirichlet",
+    "fem3d_stiffness_mass_dia",
+    "fem3d_generalized_spectrum",
 ]
 
 

@@ -20,6 +20,17 @@ iteration.
 
 Factorization (numeric ILU(0) on the static pattern, mirroring
 ``sparse_static_pattern_ldu_factorization:275``) runs on host at setup time.
+
+TPU ROUTING (measured, benchmarks/ildu3d.py + BENCHMARKS.md "ILDU on
+TPU"): at 1M rows of 3-D Poisson the level-scheduled apply costs 164 ms
+(~250 SpMVs of latency-bound level stepping) — ILDU(0) wins the
+iteration count (6 vs 8-9) and loses the wall clock ~60x to Chebyshev
+and ~14x to structured GMG.  On TPU at scale prefer
+:func:`sigma_tpu.solvers.chebyshev` or
+:func:`sigma_tpu.solvers.structured_pair_amg`; this module is the right
+tool on CPU, at small n, and as the shard-local factorization inside
+:func:`sigma_tpu.parallel.distributed_block_ildu` (where per-block level
+counts stay small).
 """
 
 from __future__ import annotations
