@@ -39,6 +39,14 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--virtual", type=int, default=0,
                     help="force N virtual CPU devices (0 = use real devices)")
+    # multi-host plumbing (BASELINE.json's 2-host point): launch one
+    # process per host with identical args plus --process-id; see
+    # BENCHMARKS.md "Scaling harness" for the exact two-host commands
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of process 0 for "
+                    "jax.distributed.initialize (multi-host runs)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
 
     if args.virtual:
@@ -51,6 +59,13 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     else:
         import jax
+
+        if args.coordinator:
+            jax.distributed.initialize(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
 
     import jax.numpy as jnp
 

@@ -111,9 +111,17 @@ def _lanczos_loop(matvec_operand, k, v_start, reorth_passes):
         for _ in range(reorth_passes):
             fresh = fresh - Vb @ (Vb.T @ fresh)
         fresh = fresh / jnp.maximum(jnp.linalg.norm(fresh), _BREAKDOWN)
-        tol_b = jnp.asarray(jnp.finfo(dtype).eps, dtype) * jnp.maximum(
-            jnp.abs(a), 1.0
-        ) * n
+        # breakdown threshold scaled by the RUNNING recurrence magnitude
+        # |a| + beta_prev, NOT max(|a|, 1): an O(1) floor mistakes every
+        # step of a small-scaled operator (e.g. an h^3-scaled FEM mass
+        # pencil in f32, where a ~ 1e-4 < eps*n) for a breakdown and
+        # silently replaces the whole basis with random restarts
+        beta_prev = jnp.where(j > 0, beta[jnp.maximum(j - 1, 0)], 0.0)
+        tol_b = (
+            jnp.asarray(jnp.finfo(dtype).eps, dtype)
+            * (jnp.abs(a) + beta_prev)
+            * n
+        )
         v_next = jnp.where(b > tol_b, _safe_normalize(w, b), fresh)
         b_eff = jnp.where(b > tol_b, b, jnp.zeros_like(b))
         Vb = Vb.at[:, j + 1].set(v_next)
@@ -184,9 +192,16 @@ def _generalized_lanczos_loop(A, B, k, v_start, reorth_passes):
             fresh = fresh - Vb @ (Vb.T @ B.matvec(fresh))
         fb = jnp.sqrt(jnp.maximum(b_norm_sq(fresh, B.matvec(fresh)), 0.0))
         fresh = _safe_normalize(fresh, fb)
-        tol_b = jnp.asarray(jnp.finfo(dtype).eps, dtype) * jnp.maximum(
-            jnp.abs(a), 1.0
-        ) * n
+        # scale-free breakdown threshold (see the standard loop): the
+        # pencil's recurrence runs at |a| ~ 1/mu, which for an h^3-scaled
+        # mass matrix is FAR below 1 — an O(1) floor zeroed every beta in
+        # f32 and returned trace-average garbage Ritz values
+        beta_prev = jnp.where(j > 0, beta[jnp.maximum(j - 1, 0)], 0.0)
+        tol_b = (
+            jnp.asarray(jnp.finfo(dtype).eps, dtype)
+            * (jnp.abs(a) + beta_prev)
+            * n
+        )
         Vb = Vb.at[:, j + 1].set(
             jnp.where(b > tol_b, _safe_normalize(w, b), fresh)
         )

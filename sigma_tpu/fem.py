@@ -172,3 +172,81 @@ def interior_dirichlet(
         **A._format_kwargs(),
     )
     return Aii, np.asarray(b)[interior]
+
+
+def fem3d_stiffness_mass_dia(nx: int, dtype=np.float64):
+    """Trilinear (Q1) FEM stiffness/mass pair on the unit cube with
+    homogeneous Dirichlet BCs, directly in DIA layout at any scale.
+
+    Tensor-product elements integrate separably, so the interior-node
+    matrices are exactly Kronecker forms of the 1-D P1 pair
+    ``A1 = tridiag(-1, 2, -1)/h`` and ``M1 = h·tridiag(1, 4, 1)/6``
+    (h = 1/(nx+1)):
+
+        K = A1⊗M1⊗M1 + M1⊗A1⊗M1 + M1⊗M1⊗A1,   M = M1⊗M1⊗M1
+
+    — the 3-D version of the pencil the reference's generalized-Lanczos
+    test assembles element-by-element
+    (``eigensolver_test_generalized_lanczos.f90:120-132``).  Both are
+    27-point stencils; this builds their diagonal value grids in closed
+    form with per-axis boundary masks (no element loop, no COO sort —
+    the only construction that scales to the 10M-row north star).
+
+    Returns ``(n, offsets, Kdata, Mdata)`` with data shaped
+    ``(27, stride)`` ready for ``DIAMatrix`` (reshape to (27, -1, 128)).
+    """
+    n = nx * nx * nx
+    h = 1.0 / (nx + 1)
+    stride = -(-n // 128) * 128
+    a = {0: 2.0 / h, 1: -1.0 / h, -1: -1.0 / h}
+    m = {0: 4.0 * h / 6.0, 1: h / 6.0, -1: h / 6.0}
+    i = np.arange(n)
+    iz = i % nx
+    iy = (i // nx) % nx
+    ix = i // (nx * nx)
+    valid = {}
+    for d in (-1, 0, 1):
+        valid[("x", d)] = (ix + d >= 0) & (ix + d < nx)
+        valid[("y", d)] = (iy + d >= 0) & (iy + d < nx)
+        valid[("z", d)] = (iz + d >= 0) & (iz + d < nx)
+    offsets = []
+    Kdata = np.zeros((27, stride), dtype)
+    Mdata = np.zeros((27, stride), dtype)
+    d_i = 0
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            for dz in (-1, 0, 1):
+                off = dx * nx * nx + dy * nx + dz
+                mask = (
+                    valid[("x", dx)] & valid[("y", dy)] & valid[("z", dz)]
+                )
+                kc = (
+                    a[dx] * m[dy] * m[dz]
+                    + m[dx] * a[dy] * m[dz]
+                    + m[dx] * m[dy] * a[dz]
+                )
+                mc = m[dx] * m[dy] * m[dz]
+                Kdata[d_i, :n] = np.where(mask, kc, 0.0)
+                Mdata[d_i, :n] = np.where(mask, mc, 0.0)
+                offsets.append(off)
+                d_i += 1
+    return n, tuple(offsets), Kdata, Mdata
+
+
+def fem3d_generalized_spectrum(nx: int, count: int) -> np.ndarray:
+    """Lowest ``count`` exact generalized eigenvalues of the
+    :func:`fem3d_stiffness_mass_dia` pencil K x = λ M x.
+
+    The 1-D pencil (A1, M1) is diagonalized by discrete sines:
+    μ_p = 6 (1 − cos θ_p) / (h² (2 + cos θ_p)), θ_p = pπ/(nx+1); the
+    tensor eigenvalues are sums of three 1-D values (the continuum limit
+    is the Dirichlet Laplacian spectrum π²(p²+q²+r²))."""
+    p = np.arange(1, nx + 1)
+    th = np.pi * p / (nx + 1)
+    h = 1.0 / (nx + 1)
+    mu = 6.0 * (1.0 - np.cos(th)) / (h * h * (2.0 + np.cos(th)))
+    c = min(nx, 8)
+    block = (
+        mu[:c, None, None] + mu[None, :c, None] + mu[None, None, :c]
+    ).ravel()
+    return np.sort(block)[:count]

@@ -798,6 +798,90 @@ class DIAMatrix(SparseMatrix):
             is not None
         )
 
+    def why_not_pallas(self, op: str = "matvec", k: int = 1, dtype=None):
+        """Explain why the pallas fast path would NOT engage for ``op``
+        ('matvec' | 'rmatvec' | 'matmat' | 'interleaved'), or return None
+        when it will.
+
+        The fast paths gate SILENTLY (a preconditioner apply inside a
+        jitted solver cannot raise or warn), so this probe is the
+        documented way to audit a configuration before a long run::
+
+            reason = A.why_not_pallas("matmat", k=32)
+            # -> "k=32 right-hand sides: the blocked SpMM kernel carries
+            #     1..16 panels; split the block or use interleaved panels"
+
+        ``dtype`` is the operand dtype (defaults to the matrix dtype).
+        """
+        n, m = self.shape
+        xdt = dtype or self.data.dtype
+        if not self.graph.offsets:
+            return "matrix has no stored diagonals (empty operator)"
+        try:
+            backend = jax.default_backend()
+        except RuntimeError:
+            backend = "<uninitialized>"
+        if backend != "tpu":
+            return (
+                f"backend is {backend!r}, not 'tpu': pallas Mosaic kernels "
+                "are TPU-only (XLA paths are used instead)"
+            )
+        if m < self._PALLAS_MIN_ELEMS:
+            return (
+                f"m={m} < {self._PALLAS_MIN_ELEMS}: below this the XLA "
+                "windowed form is VMEM-resident and already at "
+                "speed-of-light; the blocked kernel only pays past it"
+            )
+        for name, dt in (("operand", xdt), ("matrix data", self.data.dtype)):
+            if dt not in (jnp.float32, jnp.bfloat16):
+                return (
+                    f"{name} dtype {dt} is not float32/bfloat16: Mosaic "
+                    "kernels here are low-precision only (f64 runs the "
+                    "XLA scan path)"
+                )
+        if op in ("matmat", "interleaved") and not (1 <= k <= 16):
+            return (
+                f"k={k} right-hand sides: the blocked SpMM kernel carries "
+                "1..16 panels (VMEM working set); split the block into "
+                "<=16-wide panels or run k=1 matvecs"
+            )
+        if op == "rmatvec" and n != m:
+            return (
+                f"rectangular shape {self.shape}: the pallas transpose "
+                "apply materializes A^T in DIA layout and reuses the "
+                "matvec kernel, which is implemented for square operators "
+                "only — rectangular rmatvec runs the XLA scan path"
+            )
+        from sigma_tpu.ops.spmv_pallas import (
+            _LANES,
+            _full_tile_pick,
+            _spmm_tile_pick,
+            chunk_plan,
+        )
+
+        offs = self.graph.offsets
+        reach = max(max(max(offs), 0), -min(min(offs), 0))
+        S = self.graph.stride // _LANES
+        hrows = reach // _LANES + 2
+        isz = self.data.dtype.itemsize
+        if op in ("matmat", "interleaved"):
+            if _spmm_tile_pick(S, hrows, len(offs), isz, k=k) is None:
+                return (
+                    f"band reach {reach} with {len(offs)} diagonals and "
+                    f"k={k} panels does not fit the VMEM working set; "
+                    "reduce k or use per-RHS matvecs (the chunked "
+                    "wide-band path currently covers matvec/rmatvec only)"
+                )
+            return None
+        if _full_tile_pick(S, hrows, len(offs), isz) is not None:
+            return None
+        if chunk_plan(offs, S, isz) is not None:
+            return None  # the chunked wide-band path engages
+        return (
+            f"band reach {reach} cannot be tiled even one diagonal at a "
+            "time (pathological bandwidth); the XLA scan path is used"
+        )
+
     def matmat_interleaved(self, XI, interpret=False):
         """Multi-RHS apply on INTERLEAVED panels: XI is (k*ceil(m/128),
         128) from :func:`sigma_tpu.ops.spmv_pallas.interleave_panels`;

@@ -298,3 +298,48 @@ def test_bench_analytic_dia_matches_coo():
     n2, offs, data, nnz = laplacian_3d_dia(nx, dtype=np.float64)
     assert n2 == n and offs == A.graph.offsets and nnz == r.size
     np.testing.assert_array_equal(np.asarray(A.data2d), data)
+
+
+def test_why_not_pallas_probe(monkeypatch):
+    """The documented gate-audit probe: silent fast-path fallbacks become
+    inspectable reasons (VERDICT r02 #7)."""
+    import jax
+
+    from sigma_tpu import DIAMatrix
+
+    n = 70_000
+    r = np.arange(n)
+    A = DIAMatrix.from_coo(
+        n, n, np.concatenate([r, r[:-1]]), np.concatenate([r, r[:-1] + 1]),
+        np.ones(2 * n - 1), dtype=jnp.float32,
+    )
+    # on CPU the first reason is the backend
+    assert "backend" in A.why_not_pallas()
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert A.why_not_pallas("matvec") is None
+    assert A.why_not_pallas("matmat", k=8) is None
+    assert "k=32" in A.why_not_pallas("matmat", k=32)
+    assert "float" in A.why_not_pallas("matvec", dtype=jnp.float64)
+
+    small = DIAMatrix.from_coo(
+        256, 256, np.arange(256), np.arange(256), np.ones(256),
+        dtype=jnp.float32,
+    )
+    assert "below this" in small.why_not_pallas()
+
+    rect = DIAMatrix.from_coo(
+        2 * n, n, np.arange(n), np.arange(n),
+        np.ones(n), dtype=jnp.float32,
+    )
+    assert "rectangular" in rect.why_not_pallas("rmatvec")
+
+    # wide band: matvec engages via the chunked path; SpMM does not
+    offs_rows = np.repeat(np.arange(300), 1)
+    wide_r = np.concatenate([np.full(64, i) for i in range(300)])
+    wide_c = (wide_r * 211 + np.tile(np.arange(64), 300)) % n
+    W = DIAMatrix.from_coo(n, n, wide_r, wide_c, np.ones(wide_r.size),
+                           dtype=jnp.float32)
+    if W.graph.n_diags > 200:
+        assert W.why_not_pallas("matvec") is None  # chunk plan engages
+        assert "does not fit" in (W.why_not_pallas("matmat", k=8) or "")

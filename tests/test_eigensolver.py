@@ -213,3 +213,90 @@ def test_lanczos_breakdown_restart(rng):
     assert np.allclose(np.sort(np.asarray(lam2)), np.diag(d))
     V2 = np.asarray(V2)
     assert np.max(np.abs(d @ V2 - V2 * np.asarray(lam2))) < 1e-12
+
+
+def _fem3d_pair(nx, dtype=jnp.float64):
+    from sigma_tpu.fem import fem3d_stiffness_mass_dia
+    from sigma_tpu.graph.graph import DIAGraph
+    from sigma_tpu import DIAMatrix
+
+    n, offs, Kd, Md = fem3d_stiffness_mass_dia(nx)
+    D = len(offs)
+
+    def mk(data):
+        nnz = int(np.count_nonzero(data))
+        g = DIAGraph(offsets=offs, shape=(n, n), nnz=nnz)
+        return DIAMatrix(graph=g, data=jnp.asarray(data.reshape(D, -1, 128), dtype=dtype))
+
+    return n, mk(Kd), mk(Md)
+
+
+def test_fem3d_pencil_matches_kronecker():
+    """The closed-form 3-D Q1 DIA pair equals the explicit Kronecker
+    assembly (the separable-integration identity it encodes)."""
+    from sigma_tpu.fem import fem3d_stiffness_mass_dia
+
+    nx = 4
+    h = 1.0 / (nx + 1)
+    A1 = (np.diag(np.full(nx, 2.0)) + np.diag(np.full(nx - 1, -1.0), 1)
+          + np.diag(np.full(nx - 1, -1.0), -1)) / h
+    M1 = (np.diag(np.full(nx, 4.0)) + np.diag(np.full(nx - 1, 1.0), 1)
+          + np.diag(np.full(nx - 1, 1.0), -1)) * h / 6.0
+    K_ref = (np.kron(np.kron(A1, M1), M1) + np.kron(np.kron(M1, A1), M1)
+             + np.kron(np.kron(M1, M1), A1))
+    M_ref = np.kron(np.kron(M1, M1), M1)
+    n, K, M = _fem3d_pair(nx)
+    assert np.max(np.abs(np.asarray(K.to_dense()) - K_ref)) < 1e-12
+    assert np.max(np.abs(np.asarray(M.to_dense()) - M_ref)) < 1e-14
+
+
+def test_fem3d_analytic_spectrum_vs_dense():
+    """fem3d_generalized_spectrum equals scipy's dense generalized eigh."""
+    import scipy.linalg
+
+    from sigma_tpu.fem import fem3d_generalized_spectrum
+
+    nx = 4
+    n, K, M = _fem3d_pair(nx)
+    ref = scipy.linalg.eigh(
+        np.asarray(K.to_dense()), np.asarray(M.to_dense()), eigvals_only=True
+    )
+    lam = fem3d_generalized_spectrum(nx, 10)
+    assert np.max(np.abs(lam - ref[:10]) / ref[:10]) < 1e-12
+
+
+def test_fem3d_inverse_generalized_lanczos_lowest(rng):
+    """The at-scale recipe (benchmarks/geneigen3d.py) at test size: the
+    pencil (M, K) with a CG-solved K — generalized Lanczos's TOP Ritz
+    values are the reciprocals of the LOWEST K x = mu M x eigenvalues."""
+    from sigma_tpu.fem import fem3d_generalized_spectrum
+
+    nx = 5
+    n, K, M = _fem3d_pair(nx)
+    Ks = attach_solver(K, cg(tolerance=1e-14))
+    res = generalized_lanczos(M, Ks, 40, v0=rng.standard_normal(n))
+    T = np.asarray(res.tridiagonal())
+    theta = np.sort(np.linalg.eigvalsh(T))[::-1]
+    mu = fem3d_generalized_spectrum(nx, 3)
+    got = 1.0 / theta[:3]
+    assert np.max(np.abs(np.sort(got) - mu) / mu) < 1e-9
+
+
+def test_lanczos_small_scaled_operator_f32(rng):
+    """Breakdown-guard regression: an operator scaled far below 1 (h^3-type
+    FEM scales) in f32 must NOT trip the restart path every step — the old
+    eps*n*max(|a|,1) threshold exceeded every genuine beta and returned
+    trace-average garbage."""
+    n = 512
+    d = np.sort(rng.random(n)).astype(np.float32)  # eigenvalues in (0,1)
+    d[-1] = 2.0  # separated top eigenvalue: 25 Lanczos steps converge it
+    scale = 1e-5
+    from sigma_tpu.operators.linear_operator import aslinearoperator
+
+    A = aslinearoperator(jnp.asarray(np.diag(scale * d), jnp.float32))
+    res = lanczos(A, 25, v0=rng.standard_normal(n).astype(np.float32))
+    beta = np.asarray(res.beta)
+    assert np.count_nonzero(beta[:-1]) == beta.size - 1  # no false breakdowns
+    theta = np.linalg.eigvalsh(np.asarray(res.tridiagonal()))
+    # extreme eigenvalue converged to f32-level relative accuracy
+    assert abs(theta[-1] - scale * d[-1]) / (scale * d[-1]) < 1e-4
