@@ -47,6 +47,10 @@ def main():
         help="cap the chunked kernel's diagonals-per-slab (tuning probe)",
     )
     ap.add_argument(
+        "--nrhs", type=int, default=0,
+        help="also measure the chunked multi-RHS SpMM at this panel count",
+    )
+    ap.add_argument(
         "--no-shuffle", action="store_true",
         help="keep the generator's natural (already banded) vertex order "
         "instead of shuffling labels before the RCM step",
@@ -168,6 +172,32 @@ def main():
         "slot_rate vs the structured-stencil DIA rate is the kernel "
         "efficiency at this band",
     }))
+
+    if args.nrhs:
+        # wide-band multi-RHS SpMM (dia_spmm_rhs_major_chunked through
+        # DIAMatrix.matmat_rhs_major): the data slabs stream once for all
+        # k right-hand sides
+        XT = jnp.ones((args.nrhs, n), jnp.float32)
+
+        def mks(K):
+            @jax.jit
+            def f(D_, XT):
+                def body(i, V):
+                    return D_.matmat_rhs_major(V) * jnp.asarray(0.1, V.dtype)
+
+                return lax.fori_loop(0, K, body, XT)
+
+            return f
+
+        ts = timeit_loop(mks, D, XT, K1=5, K2=25)
+        print(json.dumps({
+            "metric": "unstructured_dia_spmm",
+            "nrhs": args.nrhs,
+            "true_eff_gnnz_s": round(args.nrhs * nnz / ts / 1e9, 3),
+            "slot_eff_gnnz_s": round(args.nrhs * slots / ts / 1e9, 1),
+            "ms_per_apply": round(ts * 1e3, 3),
+            "per_rhs_speedup_vs_spmv": round(args.nrhs * t / ts, 2),
+        }))
 
     if args.gather:
         # the floor this recipe replaces: per-element gather + segment-sum

@@ -700,8 +700,20 @@ class DIAMatrix(SparseMatrix):
         RHS count, VMEM-fitting band) — data fetched once for all RHS."""
         n, m = self.shape
         k = X.shape[1]
-        if m < self._PALLAS_MIN_ELEMS or not (1 <= k <= 16):
+        if m < self._PALLAS_MIN_ELEMS or k < 1:
             return None
+        if k > 16:
+            # wide RHS blocks (e.g. large LOBPCG bases): split into
+            # <=16-wide panels so each pass fits the kernel's VMEM
+            # working set; the data streams once per pass — still far
+            # above the XLA fallback (VERDICT r02 #7's gate, softened)
+            parts = []
+            for j0 in range(0, k, 16):
+                Yj = self._pallas_matmat_path(X[:, j0 : j0 + 16])
+                if Yj is None:
+                    return None
+                parts.append(Yj)
+            return jnp.concatenate(parts, axis=1)
         if X.dtype not in (jnp.float32, jnp.bfloat16):
             return None
         if self.data.dtype not in (jnp.float32, jnp.bfloat16):
@@ -714,21 +726,26 @@ class DIAMatrix(SparseMatrix):
         from sigma_tpu.ops.spmv_pallas import (
             _LANES,
             _spmm_tile_pick,
+            chunk_plan,
             dia_spmm_pallas_blocked,
+            dia_spmm_pallas_chunked,
         )
 
         offs = self.graph.offsets
         reach = max(max(max(offs), 0), -min(min(offs), 0))
+        S = self.graph.stride // _LANES
         pick = _spmm_tile_pick(
-            self.graph.stride // _LANES,
+            S,
             reach // _LANES + 2,
             len(offs),
             self.data.dtype.itemsize,
             k=k,
         )
-        if pick is None:
-            return None
-        return dia_spmm_pallas_blocked(self.data, X, offs, n, m)
+        if pick is not None:
+            return dia_spmm_pallas_blocked(self.data, X, offs, n, m)
+        if chunk_plan(offs, S, self.data.dtype.itemsize, k=k) is not None:
+            return dia_spmm_pallas_chunked(self.data, X, offs, n, m)
+        return None
 
     def matmat_rhs_major(self, XT):
         """RHS-major SpMM: XT (k, m) -> (k, n) with NO layout transposes —
@@ -752,13 +769,16 @@ class DIAMatrix(SparseMatrix):
             from sigma_tpu.ops.spmv_pallas import (
                 _LANES,
                 _spmm_tile_pick,
+                chunk_plan,
                 dia_spmm_rhs_major,
+                dia_spmm_rhs_major_chunked,
             )
 
             offs = self.graph.offsets
             reach = max(max(max(offs), 0), -min(min(offs), 0))
+            S = self.graph.stride // _LANES
             pick = _spmm_tile_pick(
-                self.graph.stride // _LANES,
+                S,
                 reach // _LANES + 2,
                 len(offs),
                 self.data.dtype.itemsize,
@@ -766,6 +786,11 @@ class DIAMatrix(SparseMatrix):
             )
             if pick is not None:
                 return dia_spmm_rhs_major(self.data, XT, offs, n, m)
+            if (
+                chunk_plan(offs, S, self.data.dtype.itemsize, k=k)
+                is not None
+            ):
+                return dia_spmm_rhs_major_chunked(self.data, XT, offs, n, m)
         return self.matmat(XT.T).T
 
     def interleaved_profitable(self, k):
@@ -839,12 +864,14 @@ class DIAMatrix(SparseMatrix):
                     "kernels here are low-precision only (f64 runs the "
                     "XLA scan path)"
                 )
-        if op in ("matmat", "interleaved") and not (1 <= k <= 16):
+        if op == "interleaved" and not (1 <= k <= 16):
             return (
-                f"k={k} right-hand sides: the blocked SpMM kernel carries "
-                "1..16 panels (VMEM working set); split the block into "
-                "<=16-wide panels or run k=1 matvecs"
+                f"k={k} right-hand sides: the interleaved-panel kernel "
+                "carries 1..16 panels (VMEM working set); matmat "
+                "auto-splits wider blocks into 16-wide passes"
             )
+        if op == "matmat" and k > 16:
+            k = 16  # matmat auto-splits; audit the per-pass width
         if op == "rmatvec" and n != m:
             return (
                 f"rectangular shape {self.shape}: the pallas transpose "
@@ -865,14 +892,23 @@ class DIAMatrix(SparseMatrix):
         hrows = reach // _LANES + 2
         isz = self.data.dtype.itemsize
         if op in ("matmat", "interleaved"):
-            if _spmm_tile_pick(S, hrows, len(offs), isz, k=k) is None:
-                return (
-                    f"band reach {reach} with {len(offs)} diagonals and "
-                    f"k={k} panels does not fit the VMEM working set; "
-                    "reduce k or use per-RHS matvecs (the chunked "
-                    "wide-band path currently covers matvec/rmatvec only)"
+            if _spmm_tile_pick(S, hrows, len(offs), isz, k=k) is not None:
+                return None
+            if (
+                op == "matmat"
+                and chunk_plan(offs, S, isz, k=k) is not None
+            ):
+                return None  # the chunked wide-band SpMM engages
+            return (
+                f"band reach {reach} with {len(offs)} diagonals and "
+                f"k={k} panels does not fit the VMEM working set even "
+                "one-diagonal-chunked; reduce k or use per-RHS matvecs"
+                + (
+                    " (interleaved panels are not chunked; matmat is)"
+                    if op == "interleaved"
+                    else ""
                 )
-            return None
+            )
         if _full_tile_pick(S, hrows, len(offs), isz) is not None:
             return None
         if chunk_plan(offs, S, isz) is not None:

@@ -60,6 +60,8 @@ __all__ = [
     "dia_spmv_pallas",
     "dia_spmv_pallas_blocked",
     "dia_spmv_pallas_chunked",
+    "dia_spmm_pallas_chunked",
+    "dia_spmm_rhs_major_chunked",
     "chunk_plan",
     "dia_spmm_pallas_blocked",
     "dia_spmm_rhs_major",
@@ -334,13 +336,15 @@ def dia_spmv_pallas_blocked(data, x, offsets, n, m, interpret=False, dstart=0):
     return y if S * _LANES == n else y[:n]
 
 
-def chunk_plan(offsets, S: int, itemsize: int, max_chunk=None):
+def chunk_plan(offsets, S: int, itemsize: int, max_chunk=None, k=None):
     """Chunking plan for the wide-band path: split the band's diagonals
     (in their STORED order) into contiguous chunks, each small enough
     that :func:`dia_spmv_pallas_blocked` can tile it within the VMEM
     budget, and each with a start index divisible by its width — the
     condition that lets a chunk be addressed as ONE BlockSpec slab of
-    the full data array (no slice, no copy, no gather).
+    the full data array (no slice, no copy, no gather).  Pass ``k`` (an
+    RHS count) to plan against the multi-RHS kernel's working set
+    (``_spmm_tile_pick``) instead of the SpMV one.
 
     Greedy divisor rule: the first chunk takes the largest fitting
     power of two; each later chunk takes the largest width that both
@@ -353,12 +357,16 @@ def chunk_plan(offsets, S: int, itemsize: int, max_chunk=None):
     D = len(offsets)
     reach = max(max(max(offsets), 0), -min(min(offsets), 0))
     hrows = reach // _LANES + 2
+    if k is None:
+        fit = lambda c: _full_tile_pick(S, hrows, c, itemsize)
+    else:
+        fit = lambda c: _spmm_tile_pick(S, hrows, c, itemsize, k=k)
     c_max = None
     c = 1 << (max(D, 1).bit_length() - 1)
     if max_chunk is not None:
         c = min(c, 1 << (int(max_chunk).bit_length() - 1))
     while c >= 1:
-        if _full_tile_pick(S, hrows, c, itemsize) is not None:
+        if fit(c) is not None:
             c_max = c
             break
         c //= 2
@@ -808,6 +816,45 @@ def dia_spmm_pallas_blocked(data, X, offsets, n, m, interpret=False):
     ).T
 
 
+def dia_spmm_rhs_major_chunked(
+    data, XT, offsets, n, m, interpret=False, max_chunk=None
+):
+    """Wide-band multi-RHS SpMM: the chunked wrapper
+    (:func:`dia_spmv_pallas_chunked`) with a leading RHS dim — each
+    VMEM-sized diagonal slab streams once for ALL k right-hand sides, so
+    the per-RHS traffic advantage of the blocked SpMM survives at any
+    bandwidth (block solvers / LOBPCG on RCM-banded general matrices)."""
+    data3 = _dia3(data)
+    S = data3.shape[1]
+    k = XT.shape[0]
+    plan = chunk_plan(
+        offsets, S, data.dtype.itemsize, max_chunk=max_chunk, k=k
+    )
+    if plan is None:
+        raise ValueError(
+            "chunked SpMM cannot tile this band at this RHS count; "
+            "reduce k or use DIAMatrix.matmat (XLA paths)"
+        )
+    Y = None
+    for start, width in plan:
+        sub = tuple(offsets[start : start + width])
+        part = _dia_spmm_core(
+            data3, XT, sub, n, m, interpret, dstart=start
+        )
+        Y = part if Y is None else Y + part
+    return Y
+
+
+def dia_spmm_pallas_chunked(
+    data, X, offsets, n, m, interpret=False, max_chunk=None
+):
+    """Column-layout entry for :func:`dia_spmm_rhs_major_chunked`:
+    X (m, k) -> (n, k)."""
+    return dia_spmm_rhs_major_chunked(
+        data, X.T, offsets, n, m, interpret=interpret, max_chunk=max_chunk
+    ).T
+
+
 def _spmm_tile_pick(S: int, hrows: int, D: int, itemsize: int, k: int):
     """(T, E) for the zero-construction SpMM kernel (k RHS panels of
     tile + 2 halos + data tile + k output panels, double buffered)."""
@@ -828,15 +875,20 @@ def _spmm_tile_pick(S: int, hrows: int, D: int, itemsize: int, k: int):
     return None
 
 
-def _dia_spmm_core(data, XT, offsets, n, m, interpret):
+def _dia_spmm_core(data, XT, offsets, n, m, interpret, dstart=0):
     """ZERO-CONSTRUCTION multi-RHS core (same clamped-halo structure as
     :func:`dia_spmv_pallas_blocked`, with a leading RHS dim): no padded
     panel build — in block-solver loops the old frame concat was a full
-    per-iteration copy of the RHS panel."""
+    per-iteration copy of the RHS panel.  ``dstart`` addresses a
+    leading-axis slab of ``data`` purely through the BlockSpec index map
+    (the chunked wide-band path; must be a multiple of len(offsets))."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     D = len(offsets)
+    if dstart % max(D, 1) != 0:
+        raise ValueError("dstart must be a multiple of len(offsets)")
+    dblock = np.int32(dstart // max(D, 1))
     k = XT.shape[0]
     data = _dia3(data)
     S = data.shape[1]
@@ -941,7 +993,9 @@ def _dia_spmm_core(data, XT, offsets, n, m, interpret):
                 (k, E, _LANES), clamp_b, memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (D, T, _LANES), lambda i: (_I0, i, _I0), memory_space=pltpu.VMEM
+                (D, T, _LANES),
+                lambda i: (dblock, i, _I0),
+                memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(

@@ -319,7 +319,9 @@ def test_why_not_pallas_probe(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert A.why_not_pallas("matvec") is None
     assert A.why_not_pallas("matmat", k=8) is None
-    assert "k=32" in A.why_not_pallas("matmat", k=32)
+    # matmat auto-splits wide RHS blocks into 16-wide passes (r03)
+    assert A.why_not_pallas("matmat", k=32) is None
+    assert "k=32" in A.why_not_pallas("interleaved", k=32)
     assert "float" in A.why_not_pallas("matvec", dtype=jnp.float64)
 
     small = DIAMatrix.from_coo(
@@ -342,4 +344,7 @@ def test_why_not_pallas_probe(monkeypatch):
                            dtype=jnp.float32)
     if W.graph.n_diags > 200:
         assert W.why_not_pallas("matvec") is None  # chunk plan engages
-        assert "does not fit" in (W.why_not_pallas("matmat", k=8) or "")
+        assert W.why_not_pallas("matmat", k=8) is None  # chunked SpMM too
+        assert "not fit" in (W.why_not_pallas("matmat", k=16) or "") or (
+            W.why_not_pallas("matmat", k=16) is None
+        )

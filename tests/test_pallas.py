@@ -231,6 +231,40 @@ def test_chunked_wide_band_interpret(monkeypatch):
     assert np.max(np.abs(np.asarray(y) - ref)) / np.max(np.abs(ref)) < 1e-4
 
 
+def test_chunked_wide_band_spmm_interpret(monkeypatch):
+    """Chunked wide-band multi-RHS SpMM (the block-solver path on
+    RCM-banded general matrices) vs a dense-diagonal oracle."""
+    import sigma_tpu.ops.spmv_pallas as sp
+
+    monkeypatch.setattr(
+        sp, "_spmm_tile_pick",
+        lambda S, hrows, D, isz, k: (
+            64,
+            next(e for e in range(8, 65, 8) if e >= hrows and 64 % e == 0),
+        ),
+    )
+    rng = np.random.default_rng(31)
+    n, k = 120_000, 3
+    diags = sorted(
+        {0, 2, -3} | set(int(v) for v in rng.integers(-1900, 1900, 12))
+    )
+    stride = -(-n // 128) * 128
+    data = np.zeros((len(diags), stride), np.float32)
+    for d, o in enumerate(diags):
+        lo, hi = max(0, -o), min(n, n - o)
+        data[d, lo:hi] = rng.standard_normal(hi - lo)
+    X = rng.standard_normal((n, k)).astype(np.float32)
+    Y = sp.dia_spmm_pallas_chunked(
+        jnp.asarray(data), jnp.asarray(X), tuple(diags), n, n,
+        interpret=True, max_chunk=4,
+    )
+    ref = np.zeros((n, k), np.float64)
+    for d, o in enumerate(diags):
+        lo, hi = max(0, -o), min(n, n - o)
+        ref[lo:hi] += data[d, lo:hi, None].astype(np.float64) * X[lo + o : hi + o]
+    assert np.max(np.abs(np.asarray(Y) - ref)) / np.max(np.abs(ref)) < 1e-4
+
+
 @pytest.mark.parametrize(
     "n,diags,k",
     [
