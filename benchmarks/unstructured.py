@@ -47,6 +47,11 @@ def main():
         help="cap the chunked kernel's diagonals-per-slab (tuning probe)",
     )
     ap.add_argument(
+        "--symmetric", action="store_true",
+        help="also measure upper-only symmetric storage through the "
+        "chunked symmetric kernel (half the value stream)",
+    )
+    ap.add_argument(
         "--nrhs", type=int, default=0,
         help="also measure the chunked multi-RHS SpMM at this panel count",
     )
@@ -172,6 +177,34 @@ def main():
         "slot_rate vs the structured-stencil DIA rate is the kernel "
         "efficiency at this band",
     }))
+
+    if args.symmetric:
+        # upper-only storage (the matrix is SPD): half the dominant
+        # value stream through the chunked SYMMETRIC kernel
+        from sigma_tpu.matrix.symmetric import SymmetricDIAMatrix
+
+        Ds = SymmetricDIAMatrix.from_dia(D)
+
+        def mky(K):
+            @jax.jit
+            def f(Ds, x):
+                def body(i, vv):
+                    return Ds.matvec(vv) * jnp.asarray(0.1, vv.dtype)
+
+                return lax.fori_loop(0, K, body, x)
+
+            return f
+
+        tsym = timeit_loop(mky, Ds, x, K1=10, K2=50)
+        up_slots = len(Ds.offsets) * n
+        print(json.dumps({
+            "metric": "unstructured_dia_sym_spmv",
+            "n_upper_diags": len(Ds.offsets),
+            "true_gnnz_s": round(nnz / tsym / 1e9, 3),
+            "stored_slot_gnnz_s": round(up_slots / tsym / 1e9, 2),
+            "ms_per_spmv": round(tsym * 1e3, 3),
+            "speedup_vs_full_storage": round(t / tsym, 2),
+        }))
 
     if args.nrhs:
         # wide-band multi-RHS SpMM (dia_spmm_rhs_major_chunked through

@@ -165,7 +165,9 @@ class SymmetricDIAMatrix(LinearOperator):
         from sigma_tpu.ops.spmv_pallas import (
             _LANES,
             _sym_tile_pick,
+            chunk_plan,
             dia_sym_spmv_pallas_blocked,
+            dia_sym_spmv_pallas_chunked,
         )
 
         o_max = max(self.offsets)
@@ -175,9 +177,20 @@ class SymmetricDIAMatrix(LinearOperator):
             len(self.offsets),
             self.data.dtype.itemsize,
         )
-        if pick is None:
-            return None
-        return dia_sym_spmv_pallas_blocked(self.data, x, self.offsets, n)
+        if pick is not None:
+            return dia_sym_spmv_pallas_blocked(self.data, x, self.offsets, n)
+        # wide SYMMETRIC bands (RCM-banded SPD matrices): VMEM-sized
+        # slabs of upper diagonals through the same kernel — half the
+        # value stream of the full-storage chunked path
+        if (
+            chunk_plan(
+                self.offsets, self.data.shape[1], self.data.dtype.itemsize,
+                sym=True,
+            )
+            is not None
+        ):
+            return dia_sym_spmv_pallas_chunked(self.data, x, self.offsets, n)
+        return None
 
     def matvec(self, x):
         y = self._pallas_path(x)

@@ -67,6 +67,7 @@ __all__ = [
     "dia_spmm_rhs_major",
     "dia_spmm_interleaved",
     "dia_sym_spmv_pallas_blocked",
+    "dia_sym_spmv_pallas_chunked",
     "dia_sym_spmm_rhs_major",
     "dia_sym_spmm_interleaved",
     "interleave_panels",
@@ -336,7 +337,9 @@ def dia_spmv_pallas_blocked(data, x, offsets, n, m, interpret=False, dstart=0):
     return y if S * _LANES == n else y[:n]
 
 
-def chunk_plan(offsets, S: int, itemsize: int, max_chunk=None, k=None):
+def chunk_plan(
+    offsets, S: int, itemsize: int, max_chunk=None, k=None, sym=False
+):
     """Chunking plan for the wide-band path: split the band's diagonals
     (in their STORED order) into contiguous chunks, each small enough
     that :func:`dia_spmv_pallas_blocked` can tile it within the VMEM
@@ -357,7 +360,9 @@ def chunk_plan(offsets, S: int, itemsize: int, max_chunk=None, k=None):
     D = len(offsets)
     reach = max(max(max(offsets), 0), -min(min(offsets), 0))
     hrows = reach // _LANES + 2
-    if k is None:
+    if sym:
+        fit = lambda c: _sym_tile_pick(S, hrows, c, itemsize)
+    elif k is None:
         fit = lambda c: _full_tile_pick(S, hrows, c, itemsize)
     else:
         fit = lambda c: _spmm_tile_pick(S, hrows, c, itemsize, k=k)
@@ -421,6 +426,36 @@ def dia_spmv_pallas_chunked(
     return y
 
 
+def dia_sym_spmv_pallas_chunked(
+    data, x, offsets, n, interpret=False, max_chunk=None
+):
+    """Wide SYMMETRIC-band DIA SpMV: the chunked wrapper
+    (:func:`dia_spmv_pallas_chunked`) over the symmetric kernel — an
+    RCM-banded SPD matrix stores only its upper diagonals (HALF the
+    dominant HBM stream of the wide-band path), with each VMEM-sized
+    slab of upper diagonals addressed as a BlockSpec window and the
+    partial products summed by XLA.  Every chunk computes both its
+    direct and mirror terms, so chunks stay independent."""
+    data3 = _dia3(data)
+    S = data3.shape[1]
+    plan = chunk_plan(
+        offsets, S, data.dtype.itemsize, max_chunk=max_chunk, sym=True
+    )
+    if plan is None:
+        raise ValueError(
+            "chunked symmetric pallas path cannot tile this band; use "
+            "the XLA path"
+        )
+    y = None
+    for start, width in plan:
+        sub = tuple(offsets[start : start + width])
+        part = dia_sym_spmv_pallas_blocked(
+            data3, x, sub, n, interpret=interpret, dstart=start
+        )
+        y = part if y is None else y + part
+    return y
+
+
 def _sym_tile_pick(S: int, hrows: int, D: int, itemsize: int):
     """(T, E) for the symmetric blocked kernel: row tile T and halo E
     with E | T (halo blocks are fetched from the SAME operand frames via
@@ -451,10 +486,13 @@ def _sym_tile_pick(S: int, hrows: int, D: int, itemsize: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("offsets", "n", "interpret", "tile_rows", "halo_rows"),
+    static_argnames=(
+        "offsets", "n", "interpret", "tile_rows", "halo_rows", "dstart"
+    ),
 )
 def dia_sym_spmv_pallas_blocked(
-    data, x, offsets, n, interpret=False, tile_rows=None, halo_rows=None
+    data, x, offsets, n, interpret=False, tile_rows=None, halo_rows=None,
+    dstart=0,
 ):
     """Blocked SpMV for SYMMETRIC DIA storage (upper diagonals only,
     ``offsets`` all >= 0): y = A x with A[i, i+o] = A[i+o, i] = data[o][i].
@@ -500,6 +538,9 @@ def dia_sym_spmv_pallas_blocked(
     if min(offsets) < 0:
         raise ValueError("symmetric kernel takes offsets >= 0 only")
     D = len(offsets)
+    if dstart % max(D, 1) != 0:
+        raise ValueError("dstart must be a multiple of len(offsets)")
+    dblock = np.int32(dstart // max(D, 1))
     data3 = _dia3(data)
     S = data3.shape[1]
     o_max = max(offsets)
@@ -610,10 +651,13 @@ def dia_sym_spmv_pallas_blocked(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (D, T, _LANES), lambda i: (_I0, i, _I0), memory_space=pltpu.VMEM
+                (D, T, _LANES),
+                lambda i: (dblock, i, _I0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (D, E, _LANES), lambda i: (_I0, clamp_b(i), _I0),
+                (D, E, _LANES),
+                lambda i: (dblock, clamp_b(i), _I0),
                 memory_space=pltpu.VMEM,
             ),
         ],

@@ -231,6 +231,39 @@ def test_chunked_wide_band_interpret(monkeypatch):
     assert np.max(np.abs(np.asarray(y) - ref)) / np.max(np.abs(ref)) < 1e-4
 
 
+def test_chunked_sym_wide_band_interpret(monkeypatch):
+    """Chunked SYMMETRIC wide-band SpMV (upper-only storage of an
+    RCM-banded SPD matrix) vs a dense oracle: each slab must produce both
+    its direct and mirror terms."""
+    import sigma_tpu.ops.spmv_pallas as sp
+
+    monkeypatch.setattr(
+        sp, "_sym_tile_pick",
+        lambda S, hrows, D, isz: (
+            64,
+            next(e for e in range(8, 65, 8) if e >= hrows and 64 % e == 0),
+        ),
+    )
+    rng = np.random.default_rng(41)
+    n = 110_000
+    offsets = sorted({0, 1, 5} | set(int(v) for v in rng.integers(1, 2200, 11)))
+    stride = -(-n // 128) * 128
+    data = np.zeros((len(offsets), stride), np.float32)
+    for d, o in enumerate(offsets):
+        data[d, : n - o] = rng.standard_normal(n - o)
+    x = rng.standard_normal(n).astype(np.float32)
+    y = sp.dia_sym_spmv_pallas_chunked(
+        jnp.asarray(data), jnp.asarray(x), tuple(offsets), n,
+        interpret=True, max_chunk=4,
+    )
+    ref = np.zeros(n, np.float64)
+    for d, o in enumerate(offsets):
+        ref[: n - o] += data[d, : n - o].astype(np.float64) * x[o:n]
+        if o > 0:
+            ref[o:n] += data[d, : n - o].astype(np.float64) * x[: n - o]
+    assert np.max(np.abs(np.asarray(y) - ref)) / np.max(np.abs(ref)) < 1e-4
+
+
 def test_chunked_wide_band_spmm_interpret(monkeypatch):
     """Chunked wide-band multi-RHS SpMM (the block-solver path on
     RCM-banded general matrices) vs a dense-diagonal oracle."""
