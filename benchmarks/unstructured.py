@@ -76,7 +76,7 @@ def main():
 
     from bench import timeit_loop
     from sigma_tpu.apps.generators import irregular_mesh_laplacian
-    from sigma_tpu.matrix.banded import band_occupancy, bandwidth, to_banded_dia
+    from sigma_tpu.matrix.banded import bandwidth, to_banded_dia
 
     t0 = time.time()
     H, W = args.height, args.width
@@ -278,6 +278,7 @@ def main():
         "iterations": iters,
         "relative_residual": f"{resn / float(np.linalg.norm(b)):.3e}",
         "max_err_vs_manufactured": f"{err:.3e}",
+        "wall_s_incl_compile": round(t_cold, 2),
         "wall_s_warm": round(t_warm, 2),
         "s_per_iteration": round(t_warm / max(iters, 1), 4),
     }))

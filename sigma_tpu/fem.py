@@ -241,11 +241,17 @@ def fem3d_generalized_spectrum(nx: int, count: int) -> np.ndarray:
     μ_p = 6 (1 − cos θ_p) / (h² (2 + cos θ_p)), θ_p = pπ/(nx+1); the
     tensor eigenvalues are sums of three 1-D values (the continuum limit
     is the Dirichlet Laplacian spectrum π²(p²+q²+r²))."""
+    if not 1 <= count <= nx**3:
+        raise ValueError(f"count={count} out of range [1, {nx**3}]")
     p = np.arange(1, nx + 1)
     th = np.pi * p / (nx + 1)
     h = 1.0 / (nx + 1)
     mu = 6.0 * (1.0 - np.cos(th)) / (h * h * (2.0 + np.cos(th)))
-    c = min(nx, 8)
+    # the k-th smallest triple sum of an increasing sequence uses 1-D
+    # indices <= k, so a corner block of side min(nx, count) is exact
+    # (a fixed small block would silently drop sums involving higher
+    # 1-D modes once count grows)
+    c = min(nx, count)
     block = (
         mu[:c, None, None] + mu[None, :c, None] + mu[None, None, :c]
     ).ravel()

@@ -244,7 +244,7 @@ class CSRGraph(Graph):
         n, m = int(n), int(m)
         rows = np.asarray(rows, dtype=np.int64).ravel()
         cols = np.asarray(cols, dtype=np.int64).ravel()
-        if os.environ.get("SIGMA_TPU_DEBUG"):
+        if os.environ.get("SIGMA_TPU_DEBUG", "") not in ("", "0", "false", "False"):
             if rows.size and not (np.diff(rows) >= 0).all():
                 raise ValueError(
                     "from_sorted_coo: rows are not sorted (contract "

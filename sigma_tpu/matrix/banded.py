@@ -54,11 +54,16 @@ def to_banded_dia(
     the permuted frame: ``b_p[p] = b``, solve ``D x_p = b_p``, then
     ``x = x_p[p]``.
 
-    When reordering, the INPUT order is kept if it already stores fewer
-    distinct diagonals than the reordered one (DIA memory and SpMV time
-    are both ∝ the diagonal count, and RCM can worsen an already-banded
-    natural order — measured on the natural-order mesh generator); ``p``
-    is the identity permutation in that case, so callers never branch.
+    When reordering, the better of the INPUT and the reordered order is
+    kept, judged lexicographically on (distinct-diagonal count, band
+    reach): DIA memory and SpMV time are ∝ the diagonal count, and the
+    kernels' halo fit is ∝ the reach — RCM can worsen an already-banded
+    natural order (measured on the natural-order mesh generator), while
+    an input order that merely TIES on diagonal count but spreads them
+    over a huge reach would fail the VMEM halo fit the reordering
+    exists to provide.  Ties go to the reordering.  ``p`` is the
+    identity permutation when the input order is kept, so callers never
+    branch.
     """
     if A.shape[0] != A.shape[1]:
         raise ValueError("banded conversion expects a square matrix")
@@ -73,7 +78,11 @@ def to_banded_dia(
             p = breadth_first_search(A.graph)
         else:
             raise ValueError(f"unknown reorder method {method!r}")
-        if np.unique(p[cols] - p[rows]).size < np.unique(cols - rows).size:
+        d_new = p[cols] - p[rows]
+        d_in = cols - rows
+        key_new = (np.unique(d_new).size, int(np.abs(d_new).max(initial=0)))
+        key_in = (np.unique(d_in).size, int(np.abs(d_in).max(initial=0)))
+        if key_new <= key_in:
             rows, cols = p[rows], p[cols]
         else:
             p = np.arange(A.shape[0], dtype=p.dtype)

@@ -832,11 +832,15 @@ class DIAMatrix(SparseMatrix):
         jitted solver cannot raise or warn), so this probe is the
         documented way to audit a configuration before a long run::
 
-            reason = A.why_not_pallas("matmat", k=32)
-            # -> "k=32 right-hand sides: the blocked SpMM kernel carries
-            #     1..16 panels; split the block or use interleaved panels"
+            reason = A.why_not_pallas("interleaved", k=32)
+            # -> "k=32 right-hand sides: the interleaved-panel kernel
+            #     carries 1..16 panels (VMEM working set); matmat
+            #     auto-splits wider blocks into 16-wide passes"
 
-        ``dtype`` is the operand dtype (defaults to the matrix dtype).
+        (``matmat`` itself auto-splits k > 16 into 16-wide kernel
+        passes, so the probe audits the per-pass width and returns None
+        when those engage.)  ``dtype`` is the operand dtype (defaults to
+        the matrix dtype).
         """
         n, m = self.shape
         xdt = dtype or self.data.dtype

@@ -369,6 +369,8 @@ def chunk_plan(
     c_max = None
     c = 1 << (max(D, 1).bit_length() - 1)
     if max_chunk is not None:
+        if int(max_chunk) < 1:
+            raise ValueError(f"max_chunk must be >= 1, got {max_chunk}")
         c = min(c, 1 << (int(max_chunk).bit_length() - 1))
     while c >= 1:
         if fit(c) is not None:
