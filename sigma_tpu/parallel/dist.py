@@ -475,17 +475,72 @@ class DistributedDIAMatrix(LinearOperator):
 
         from sigma_tpu.matrix.formats import zero_padded_window
 
+        ring0 = [i for i, (ki, _) in enumerate(self.terms) if ki == 0]
+        # wide-band local blocks (RCM-banded general matrices distributed
+        # by rows) route the ring-0 terms through the blocked/chunked
+        # pallas kernel — the per-term unrolled window loop is both the
+        # slow XLA path on TPU and a compile-size hazard at hundreds of
+        # diagonals.  The stacked data operand is loop-invariant (matrix
+        # args), so XLA hoists it out of solver loops.
+        use_kernel = (
+            len(ring0) > 24
+            and nb % 128 == 0
+            and nb >= 65_536
+            and jnp.dtype(self.dtype) in (jnp.float32, jnp.bfloat16)
+        )
+        if use_kernel:
+            try:
+                use_kernel = jax.default_backend() == "tpu"
+            except RuntimeError:
+                use_kernel = False
+        if use_kernel:
+            from sigma_tpu.ops.spmv_pallas import (
+                _LANES,
+                _full_tile_pick,
+                chunk_plan,
+            )
+
+            offs0 = tuple(self.terms[i][1] for i in ring0)
+            reach = max(max(max(offs0), 0), -min(min(offs0), 0))
+            itemsize = jnp.dtype(self.dtype).itemsize
+            hrows = reach // _LANES + 2
+            full_ok = (
+                _full_tile_pick(nb // _LANES, hrows, len(offs0), itemsize)
+                is not None
+            )
+            use_kernel = full_ok or (
+                chunk_plan(offs0, nb // _LANES, itemsize) is not None
+            )
+
         def local(x_local, vals):
             shifted = [
                 (k, _ring_shift(x_local, k, D, self.axis))
                 for k in ring_offsets
                 if k != 0
             ]
-            y = jnp.zeros_like(x_local)
             # local (ring-0) terms while the shifts are in flight
-            for i, (ki, lo) in enumerate(self.terms):
-                if ki == 0:
-                    y = y + vals[i] * zero_padded_window(x_local, lo, nb, nb)
+            if use_kernel:
+                from sigma_tpu.ops.spmv_pallas import (
+                    dia_spmv_pallas_blocked,
+                    dia_spmv_pallas_chunked,
+                )
+
+                data0 = jnp.stack([vals[i] for i in ring0]).reshape(
+                    len(ring0), nb // 128, 128
+                )
+                kern = (
+                    dia_spmv_pallas_blocked
+                    if full_ok
+                    else dia_spmv_pallas_chunked
+                )
+                y = kern(data0, x_local, offs0, nb, nb)
+            else:
+                y = jnp.zeros_like(x_local)
+                for i, (ki, lo) in enumerate(self.terms):
+                    if ki == 0:
+                        y = y + vals[i] * zero_padded_window(
+                            x_local, lo, nb, nb
+                        )
             for k, xk in shifted:
                 for i, (ki, lo) in enumerate(self.terms):
                     if ki != k:
@@ -498,6 +553,10 @@ class DistributedDIAMatrix(LinearOperator):
             mesh=self.mesh,
             in_specs=(P(self.axis), tuple(P(self.axis) for _ in self.vals)),
             out_specs=P(self.axis),
+            # a pallas_call inside the body cannot annotate its output's
+            # varying-mesh-axes (jax.ShapeDtypeStruct vma), so the VMA
+            # check must be off when the kernel path engages
+            check_vma=not use_kernel,
         )
         return f(x, self.vals)
 
