@@ -197,6 +197,8 @@ class SymmetricDIAMatrix(LinearOperator):
         if y is not None:
             return y
         n = self.n
+        if len(self.offsets) > DIAMatrix._SCAN_THRESHOLD:
+            return self._matvec_scan(x)
         s = self.data.shape[1] * 128
         d2 = self.data2d
         y2 = jnp.zeros((s // 128, 128), dtype=x.dtype)
@@ -209,6 +211,40 @@ class SymmetricDIAMatrix(LinearOperator):
                     s // 128, 128
                 )
         return y2.reshape(-1)[:n]
+
+    def _matvec_scan(self, x):
+        """Wide-band CPU/f64 path: one lax.scan step per stored upper
+        diagonal (O(1) program size — the unrolled window form above is a
+        compile-size hazard at hundreds of diagonals).  Per step, the
+        upper term reads a forward window of the padded x and the mirror
+        term scatters ``data_o * x`` into a padded output frame."""
+        from jax import lax
+
+        n = self.n
+        o_max = max(self.offsets)
+        xp = jnp.concatenate([x, jnp.zeros((o_max,), x.dtype)])
+        off_arr = jnp.asarray(np.asarray(self.offsets), jnp.int32)
+
+        def step(F, inp):
+            off, drow = inp
+            d = drow[:n].astype(x.dtype)
+            t1 = d * lax.dynamic_slice(xp, (off,), (n,))
+            # upper + main: y[i] += d[i] * x[i+o]   (frame slot i)
+            head = lax.dynamic_slice(F, (jnp.asarray(0, off.dtype),), (n,))
+            F = lax.dynamic_update_slice(
+                F, head + t1, (jnp.asarray(0, off.dtype),)
+            )
+            # mirror (o > 0 only): y[i+o] += d[i] * x[i]
+            z = jnp.where(off > 0, d * x, jnp.zeros_like(x))
+            win = lax.dynamic_slice(F, (off,), (n,))
+            return lax.dynamic_update_slice(F, win + z, (off,)), None
+
+        F, _ = lax.scan(
+            step,
+            jnp.zeros((n + o_max,), x.dtype),
+            (off_arr, self.data2d),
+        )
+        return F[:n]
 
     rmatvec = matvec  # symmetric
 

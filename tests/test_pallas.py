@@ -558,3 +558,25 @@ def test_matmat_interleaved_cpu_fallback():
     Y = np.asarray(sp.deinterleave_panels(YI, k, n))
     ref = (dA @ XT.T).T
     assert np.max(np.abs(Y - ref)) < 1e-10
+
+
+def test_symmetric_wide_band_scan_path(rng):
+    """SymmetricDIAMatrix at > _SCAN_THRESHOLD upper diagonals takes the
+    O(1)-program-size scan path on CPU; dense oracle."""
+    from sigma_tpu.matrix.symmetric import SymmetricDIAMatrix
+
+    n = 700
+    dense = np.zeros((n, n))
+    offs = sorted({0} | set(int(v) for v in rng.integers(1, 90, 40)))
+    assert len(offs) > 24
+    for o in offs:
+        v = rng.standard_normal(n - o)
+        dense[np.arange(n - o), np.arange(n - o) + o] = v
+        if o:
+            dense[np.arange(n - o) + o, np.arange(n - o)] = v
+    A = SymmetricDIAMatrix.from_dense(dense)
+    x = rng.standard_normal(n)
+    y = np.asarray(A.matvec(jnp.asarray(x)))
+    assert np.max(np.abs(y - dense @ x)) < 1e-11 * max(
+        1.0, np.abs(dense @ x).max()
+    )
