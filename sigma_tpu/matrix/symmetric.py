@@ -192,6 +192,63 @@ class SymmetricDIAMatrix(LinearOperator):
             return dia_sym_spmv_pallas_chunked(self.data, x, self.offsets, n)
         return None
 
+    def why_not_pallas(self, op: str = "matvec", k: int = 1, dtype=None):
+        """Audit probe for the silent symmetric fast-path gates — same
+        contract as :meth:`DIAMatrix.why_not_pallas`: a human-readable
+        reason, or None when the pallas path engages."""
+        n = self.n
+        xdt = dtype or self.data.dtype
+        try:
+            backend = jax.default_backend()
+        except RuntimeError:
+            backend = "<uninitialized>"
+        if backend != "tpu":
+            return (
+                f"backend is {backend!r}, not 'tpu': pallas Mosaic kernels "
+                "are TPU-only (XLA paths are used instead)"
+            )
+        if n < DIAMatrix._PALLAS_MIN_ELEMS:
+            return (
+                f"n={n} < {DIAMatrix._PALLAS_MIN_ELEMS}: below this the "
+                "XLA window form is VMEM-resident and already fast"
+            )
+        for name, dt in (("operand", xdt), ("matrix data", self.data.dtype)):
+            if dt not in (jnp.float32, jnp.bfloat16):
+                return (
+                    f"{name} dtype {dt} is not float32/bfloat16: Mosaic "
+                    "kernels here are low-precision only"
+                )
+        from sigma_tpu.ops.spmv_pallas import (
+            _LANES,
+            _sym_spmm_tile_pick,
+            _sym_tile_pick,
+            chunk_plan,
+        )
+
+        S = self.data.shape[1]
+        hrows = max(self.offsets) // _LANES + 2
+        isz = self.data.dtype.itemsize
+        if op in ("matmat", "interleaved"):
+            if not (1 <= k <= 16):
+                return (
+                    f"k={k} panels: the symmetric SpMM kernels carry 1..16"
+                )
+            if _sym_spmm_tile_pick(S, hrows, len(self.offsets), isz, k=k) is None:
+                return (
+                    f"band reach {max(self.offsets)} with "
+                    f"{len(self.offsets)} upper diagonals and k={k} panels "
+                    "does not fit the VMEM working set"
+                )
+            return None
+        if _sym_tile_pick(S, hrows, len(self.offsets), isz) is not None:
+            return None
+        if chunk_plan(self.offsets, S, isz, sym=True) is not None:
+            return None  # the chunked symmetric wide-band path engages
+        return (
+            f"band reach {max(self.offsets)} cannot be tiled even one "
+            "diagonal at a time; the XLA scan path is used"
+        )
+
     def matvec(self, x):
         y = self._pallas_path(x)
         if y is not None:

@@ -580,3 +580,21 @@ def test_symmetric_wide_band_scan_path(rng):
     assert np.max(np.abs(y - dense @ x)) < 1e-11 * max(
         1.0, np.abs(dense @ x).max()
     )
+
+
+def test_symmetric_why_not_pallas(monkeypatch):
+    from sigma_tpu.matrix.symmetric import SymmetricDIAMatrix
+
+    n = 70_000
+    i = np.arange(n)
+    rows = np.concatenate([i, i[:-1], i[1:]])
+    cols = np.concatenate([i, i[1:], i[:-1]])
+    A = SymmetricDIAMatrix.from_coo(
+        n, n, rows, cols, np.ones(rows.size), dtype=jnp.float32
+    )
+    assert "backend" in A.why_not_pallas()
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert A.why_not_pallas() is None
+    assert A.why_not_pallas("matmat", k=4) is None
+    assert "1..16" in A.why_not_pallas("matmat", k=40)
+    assert "float" in A.why_not_pallas(dtype=jnp.float64)
