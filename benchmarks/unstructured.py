@@ -56,6 +56,17 @@ def main():
         help="also measure the chunked multi-RHS SpMM at this panel count",
     )
     ap.add_argument(
+        "--shift", type=float, default=1.0,
+        help="diagonal shift of the mesh Laplacian (small = ill-"
+        "conditioned, where multilevel preconditioning matters)",
+    )
+    ap.add_argument(
+        "--gmg", action="store_true",
+        help="also run CG with the 1-D banded pair-GMG preconditioner "
+        "(structured_pair_amg over the RCM order: every level stays "
+        "banded DIA, gather-free) and with Chebyshev, vs plain CG",
+    )
+    ap.add_argument(
         "--no-shuffle", action="store_true",
         help="keep the generator's natural (already banded) vertex order "
         "instead of shuffling labels before the RCM step",
@@ -81,7 +92,8 @@ def main():
     t0 = time.time()
     H, W = args.height, args.width
     rng = np.random.default_rng(args.seed)
-    A = irregular_mesh_laplacian(H, W, rng=rng, dtype=jnp.float32)
+    A = irregular_mesh_laplacian(H, W, rng=rng, dtype=jnp.float32,
+                                 shift=args.shift)
     n = A.shape[0]
     if not args.no_shuffle:
         # matrices arrive in whatever order the mesh generator / partitioner
@@ -282,6 +294,61 @@ def main():
         "wall_s_warm": round(t_warm, 2),
         "s_per_iteration": round(t_warm / max(iters, 1), 4),
     }))
+
+    if args.gmg:
+        # 1-D banded pair-GMG: pair consecutive RCM indices — closed-form
+        # Galerkin on the diagonal value grids, so EVERY level stays
+        # banded DIA (gather-free at any width via the chunked kernel)
+        from sigma_tpu.solvers import chebyshev, structured_pair_amg
+
+        t1 = time.time()
+        Mg = structured_pair_amg(D, (n,), coarse_size=4096)
+        setup_g = time.time() - t1
+        solve_g = jax.jit(
+            lambda Dm, bb, M: cg_solve(
+                Dm, bb, tol=0.0, rtol=1e-6, maxiter=args.iters, M=M
+            )
+        )
+        xg, infog = solve_g(D, jnp.asarray(b_p), Mg)
+        float(infog.residual_norm)
+        t1 = time.time()
+        xg, infog = solve_g(D, jnp.asarray(b_p), Mg)
+        resg = float(infog.residual_norm)
+        tg_warm = time.time() - t1
+        print(json.dumps({
+            "metric": "unstructured_cg_banded_gmg",
+            "levels": len(Mg.levels),
+            "setup_s": round(setup_g, 2),
+            "iterations": int(infog.iterations),
+            "relative_residual": f"{resg / float(np.linalg.norm(b)):.3e}",
+            "wall_s_warm": round(tg_warm, 2),
+            "speedup_vs_plain": round(t_warm / max(tg_warm, 1e-9), 2),
+        }))
+
+        # Chebyshev needs a spectral interval; Gershgorin upper bound
+        row_abs = float(
+            np.abs(np.asarray(D.data2d)).sum(axis=0).max()
+        )
+        Mc = chebyshev(D, degree=4, lmax=row_abs, lmin=row_abs / 30)
+        solve_c = jax.jit(
+            lambda Dm, bb, M: cg_solve(
+                Dm, bb, tol=0.0, rtol=1e-6, maxiter=args.iters, M=M,
+                flexible=True,
+            )
+        )
+        xc, infoc = solve_c(D, jnp.asarray(b_p), Mc)
+        float(infoc.residual_norm)
+        t1 = time.time()
+        xc, infoc = solve_c(D, jnp.asarray(b_p), Mc)
+        resc = float(infoc.residual_norm)
+        tc_warm = time.time() - t1
+        print(json.dumps({
+            "metric": "unstructured_cg_chebyshev",
+            "iterations": int(infoc.iterations),
+            "relative_residual": f"{resc / float(np.linalg.norm(b)):.3e}",
+            "wall_s_warm": round(tc_warm, 2),
+            "speedup_vs_plain": round(t_warm / max(tc_warm, 1e-9), 2),
+        }))
 
 
 if __name__ == "__main__":

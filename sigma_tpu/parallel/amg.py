@@ -51,18 +51,19 @@ def distribute_amg(
         dinv = distribute_vector(np.asarray(lvl.dinv), mesh, axis, Ad.n_pad)
         levels.append(_Level(A=Ad, P=Pd, dinv=dinv, omega=lvl.omega))
 
-    coarse = np.asarray(M.coarse_lu)
-    nc = coarse.shape[0]
+    cinv = np.asarray(M.coarse_inv)
+    nc = cinv.shape[0]
     if levels:
         pad_to = levels[-1].P.m_pad
     else:
         D = mesh.shape[axis]
         pad_to = -(-nc // D) * D
-    cp = np.eye(pad_to, dtype=coarse.dtype)
-    cp[:nc, :nc] = coarse  # identity pad block -> padded slots solve to 0
+    cp = np.eye(pad_to, dtype=cinv.dtype)
+    cp[:nc, :nc] = cinv  # identity pad block passes padded slots
+    # through unchanged (they carry zero residual by construction)
     coarse_rep = jax.device_put(cp, NamedSharding(mesh, P(None, None)))
     return AMGPreconditioner(
-        levels=tuple(levels), coarse_lu=coarse_rep, n_smooth=M.n_smooth
+        levels=tuple(levels), coarse_inv=coarse_rep, n_smooth=M.n_smooth
     )
 
 
@@ -135,8 +136,7 @@ def distribute_structured_amg(M, mesh: Mesh, axis: str = "rows"):
     rep = NamedSharding(mesh, P())
     return StructuredAMGPreconditioner(
         levels=tuple(levels),
-        coarse_lu=jax.device_put(np.asarray(M.coarse_lu), rep),
-        coarse_piv=jax.device_put(np.asarray(M.coarse_piv), rep),
+        coarse_inv=jax.device_put(np.asarray(M.coarse_inv), rep),
         n_smooth=M.n_smooth,
         smoother=M.smoother,
     )

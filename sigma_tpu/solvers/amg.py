@@ -136,7 +136,11 @@ class AMGPreconditioner(LinearOperator):
     solver or as a standalone stationary iteration."""
 
     levels: Tuple[_Level, ...]
-    coarse_lu: jax.Array  # dense coarsest operator (factored on the fly)
+    # dense INVERSE of the coarsest operator (f64 inversion at setup):
+    # applies as one MXU matvec — jnp.linalg.solve per cycle paid a full
+    # dense factorization + TPU-sequential triangular solves every
+    # V-cycle (measured 13.6 ms for the triangular solves alone at 4096)
+    coarse_inv: jax.Array
     n_smooth: int = dataclasses.field(metadata=dict(static=True), default=1)
 
     @property
@@ -144,7 +148,7 @@ class AMGPreconditioner(LinearOperator):
         if self.levels:
             n = self.levels[0].A.shape[0]
         else:  # hierarchy collapsed to the dense coarse solve
-            n = self.coarse_lu.shape[0]
+            n = self.coarse_inv.shape[0]
         return (n, n)
 
     def _smooth(self, lvl: _Level, x, r):
@@ -157,7 +161,9 @@ class AMGPreconditioner(LinearOperator):
 
     def _cycle(self, i: int, r):
         if i == len(self.levels):
-            return jnp.linalg.solve(self.coarse_lu, r)
+            return (
+                self.coarse_inv @ r.astype(self.coarse_inv.dtype)
+            ).astype(r.dtype)
         lvl = self.levels[i]
         x = jnp.zeros_like(r)
         x = self._smooth(lvl, x, r)  # pre-smooth
@@ -231,11 +237,12 @@ def smoothed_aggregation_amg(
         levels.append(_Level(A=Acur, P=P, dinv=dinv, omega=float(omega)))
         Acur = Ac
 
-    coarse = jnp.asarray(Acur.to_dense(), dtype=A.dtype)
+    coarse = np.asarray(Acur.to_dense(), dtype=np.float64)
     # tiny ridge: aggregation can leave a singular coarsest Laplacian
-    coarse = coarse + 1e-12 * jnp.eye(coarse.shape[0], dtype=coarse.dtype)
+    coarse = coarse + 1e-12 * np.eye(coarse.shape[0])
+    cinv = jnp.asarray(np.linalg.inv(coarse), dtype=A.dtype)
     return AMGPreconditioner(
-        levels=tuple(levels), coarse_lu=coarse, n_smooth=n_smooth
+        levels=tuple(levels), coarse_inv=cinv, n_smooth=n_smooth
     )
 
 

@@ -207,8 +207,13 @@ class StructuredAMGPreconditioner(LinearOperator):
     is a valid SPD preconditioner for CG."""
 
     levels: Tuple[_SLevel, ...]
-    coarse_lu: jax.Array  # LU factors of the dense coarsest operator
-    coarse_piv: jax.Array  # pivots (factored ONCE at setup, not per cycle)
+    # dense INVERSE of the coarsest operator, computed once in f64 at
+    # setup: the coarse solve applies as one MXU matvec (~7 us at 4096)
+    # where TPU's sequential triangular lu_solve cost 13.6 ms per cycle
+    # at the same size — it was the dominant V-cycle term (BENCHMARKS.md
+    # round 3); inverse-apply accuracy is preconditioner-grade by
+    # construction (f64 inversion, SPD coarse operator)
+    coarse_inv: jax.Array
     n_smooth: int = dataclasses.field(metadata=dict(static=True), default=1)
     # "jacobi" (n_smooth weighted sweeps) or "chebyshev" (degree-n_smooth
     # polynomial in D^{-1}A over [lmax/30, lmax] — stronger damping per
@@ -220,7 +225,7 @@ class StructuredAMGPreconditioner(LinearOperator):
         if self.levels:
             n = self.levels[0].A.shape[0]
         else:
-            n = self.coarse_lu.shape[0]
+            n = self.coarse_inv.shape[0]
         return (n, n)
 
     def _smooth(self, lvl: _SLevel, x, r, from_zero=False):
@@ -289,8 +294,8 @@ class StructuredAMGPreconditioner(LinearOperator):
 
     def _cycle(self, i: int, r):
         if i == len(self.levels):
-            return jax.scipy.linalg.lu_solve(
-                (self.coarse_lu, self.coarse_piv), r
+            return (self.coarse_inv @ r.astype(self.coarse_inv.dtype)).astype(
+                r.dtype
             )
         lvl = self.levels[i]
         nd = len(lvl.dims)
@@ -306,17 +311,34 @@ class StructuredAMGPreconditioner(LinearOperator):
         for ax in lvl.axes:
             dims_s = stages[-1]
             c = dims_s[ax]
-            sl_e = [slice(None)] * nd
-            sl_e[ax] = slice(0, None, 2)
-            sl_o = [slice(None)] * nd
-            sl_o[ax] = slice(1, None, 2)
-            even = x3[tuple(sl_e)]
-            odd = x3[tuple(sl_o)]
-            if c % 2:  # singleton last aggregate: pad odd half with zero
-                pad = [(0, 0)] * nd
-                pad[ax] = (0, 1)
-                odd = jnp.pad(odd, pad)
-            x3 = w * (even + odd)
+            if nd == 1:
+                # 1-D (wide-band/RCM) grids: stride-2 slices permute
+                # LANES — measured 9.0 vs 1.5 ms on a 1M-row
+                # restrict+prolong round trip — so pair by a contiguous
+                # (c/2, 2) reshape + minor-dim sum (same two operands,
+                # bit-identical result).  Gated to nd == 1: the same
+                # rewrite inside the multi-axis 3-D cycle FAULTS the TPU
+                # worker on this axon stack at nx=216 (fine standalone,
+                # fine at nx=64 — a fusion-dependent runtime fault like
+                # the manual-DMA one, BENCHMARKS.md), while 1-D is
+                # hardware-validated end-to-end
+                if c % 2:
+                    pad = [(0, 0)] * nd
+                    pad[ax] = (0, 1)
+                    x3 = jnp.pad(x3, pad)
+                x3 = w * x3.reshape(x3.shape[:-1] + (-1, 2)).sum(-1)
+            else:
+                sl_e = [slice(None)] * nd
+                sl_e[ax] = slice(0, None, 2)
+                sl_o = [slice(None)] * nd
+                sl_o[ax] = slice(1, None, 2)
+                even = x3[tuple(sl_e)]
+                odd = x3[tuple(sl_o)]
+                if c % 2:  # singleton last aggregate: zero-pad odd half
+                    pad = [(0, 0)] * nd
+                    pad[ax] = (0, 1)
+                    odd = jnp.pad(odd, pad)
+                x3 = w * (even + odd)
             stages.append(
                 tuple(
                     (c + 1) // 2 if k == ax else e
@@ -332,7 +354,14 @@ class StructuredAMGPreconditioner(LinearOperator):
         for si in range(len(lvl.axes) - 1, -1, -1):
             ax = lvl.axes[si]
             c = stages[si][ax]
-            e3 = w * jnp.repeat(e3, 2, axis=ax)
+            if nd == 1:
+                # broadcast-reshape repeat on the lane axis (see above;
+                # gated to 1-D — the multi-axis form faults this stack)
+                e3 = w * jnp.broadcast_to(
+                    e3[..., None], e3.shape + (2,)
+                ).reshape(e3.shape[:-1] + (2 * e3.shape[-1],))
+            else:
+                e3 = w * jnp.repeat(e3, 2, axis=ax)
             if c % 2:
                 trim = [slice(None)] * nd
                 trim[ax] = slice(0, c)
@@ -505,9 +534,7 @@ def structured_pair_amg(
         lo, hi = max(0, -o), min(n, n - o)
         coarse[i[lo:hi], i[lo:hi] + o] += V.reshape(-1)[lo:hi]
     coarse = coarse + 1e-12 * np.eye(n, dtype=dtype)
-    import scipy.linalg as sla
-
-    lu, piv = sla.lu_factor(coarse.astype(np.float64))
+    cinv = np.linalg.inv(coarse.astype(np.float64))
 
     # phase 2: ONE host->device transfer per dtype for the whole
     # hierarchy (each jnp.asarray costs ~0.5 s base latency through a TPU
@@ -533,7 +560,7 @@ def structured_pair_amg(
         dvec = diag.reshape(-1) if diag is not None else np.zeros(nl, dtype)
         dinv = np.where(dvec != 0, 1.0, 0.0) / np.where(dvec != 0, dvec, 1.0)
         pieces.append(("dinv", li, (nl,), dinv.astype(dtype)))
-    pieces.append(("lu", -1, lu.shape, lu.astype(dtype)))
+    pieces.append(("cinv", -1, cinv.shape, cinv.astype(dtype)))
 
     carved = {}
     for buf_dtype in {lvl_np, dtype}:
@@ -591,8 +618,7 @@ def structured_pair_amg(
 
     return StructuredAMGPreconditioner(
         levels=tuple(levels),
-        coarse_lu=carved[("lu", -1)],
-        coarse_piv=jnp.asarray(piv.astype(np.int32)),
+        coarse_inv=carved[("cinv", -1)],
         n_smooth=n_smooth,
         smoother=smoother,
     )

@@ -35,7 +35,7 @@ def test_hierarchy_shapes():
         assert lvl.P.shape[0] == n_prev
         assert lvl.P.shape[1] < n_prev  # strict coarsening
         n_prev = lvl.P.shape[1]
-    assert M.coarse_lu.shape == (n_prev, n_prev)
+    assert M.coarse_inv.shape == (n_prev, n_prev)
 
 
 def test_amg_cg_fast_convergence(rng):

@@ -528,3 +528,35 @@ def test_nonsymmetric_stencil_gmg_bicgstab():
     assert bool(i1.converged)
     assert int(i1.iterations) * 3 <= int(i0.iterations)
     assert np.abs(np.asarray(x) - xstar).max() < 1e-7
+
+
+def test_banded_1d_gmg_for_unstructured(rng):
+    """The unstructured multilevel recipe: RCM-band an irregular matrix,
+    then structured_pair_amg over the 1-D index order — closed-form pair
+    Galerkin keeps every level banded DIA (gather-free on TPU).  Must cut
+    CG iterations substantially on an ill-conditioned mesh Laplacian."""
+    from sigma_tpu import CSRMatrix
+    from sigma_tpu.apps.generators import irregular_mesh_laplacian
+    from sigma_tpu.matrix.banded import to_banded_dia
+
+    A = irregular_mesh_laplacian(
+        80, 24, rng=np.random.default_rng(3), dtype=jnp.float64, shift=0.01
+    )
+    n = A.shape[0]
+    rr, cc, vv = A.entries()
+    sh = np.random.default_rng(4).permutation(n)
+    A = CSRMatrix.from_coo(n, n, sh[rr], sh[cc], vv, dtype=jnp.float64)
+    D, p = to_banded_dia(A)
+
+    M = structured_pair_amg(D, (n,), coarse_size=128)
+    assert len(M.levels) >= 3
+    b = rng.standard_normal(n)
+    x0, i0 = cg_solve(D, jnp.asarray(b), tol=0.0, rtol=1e-8, maxiter=2000)
+    x1, i1 = cg_solve(
+        D, jnp.asarray(b), tol=0.0, rtol=1e-8, maxiter=2000, M=M
+    )
+    assert bool(i1.converged)
+    r1 = np.linalg.norm(np.asarray(D.matvec(x1)) - b) / np.linalg.norm(b)
+    assert r1 < 1e-7
+    # a substantial iteration cut (measured ~4-5x at small sizes)
+    assert int(i1.iterations) < int(i0.iterations) / 2
