@@ -218,6 +218,32 @@ def main():
             "speedup_vs_full_storage": round(t / tsym, 2),
         }))
 
+        if args.nrhs:
+            XTs = jnp.ones((args.nrhs, n), jnp.float32)
+
+            def mksm(K):
+                @jax.jit
+                def f(Ds, XT):
+                    def body(i, V):
+                        return Ds.matmat_rhs_major(V) * jnp.asarray(
+                            0.1, V.dtype
+                        )
+
+                    return lax.fori_loop(0, K, body, XT)
+
+                return f
+
+            tss = timeit_loop(mksm, Ds, XTs, K1=5, K2=25)
+            print(json.dumps({
+                "metric": "unstructured_dia_sym_spmm",
+                "nrhs": args.nrhs,
+                "true_eff_gnnz_s": round(args.nrhs * nnz / tss / 1e9, 3),
+                "ms_per_apply": round(tss * 1e3, 3),
+                "per_rhs_speedup_vs_sym_spmv": round(
+                    args.nrhs * tsym / tss, 2
+                ),
+            }))
+
     if args.nrhs:
         # wide-band multi-RHS SpMM (dia_spmm_rhs_major_chunked through
         # DIAMatrix.matmat_rhs_major): the data slabs stream once for all

@@ -324,7 +324,9 @@ class SymmetricDIAMatrix(LinearOperator):
         from sigma_tpu.ops.spmv_pallas import (
             _LANES,
             _sym_spmm_tile_pick,
+            chunk_plan,
             dia_sym_spmm_rhs_major,
+            dia_sym_spmm_rhs_major_chunked,
         )
 
         pick = _sym_spmm_tile_pick(
@@ -334,9 +336,19 @@ class SymmetricDIAMatrix(LinearOperator):
             self.data.dtype.itemsize,
             k,
         )
-        if pick is None:
-            return None
-        return dia_sym_spmm_rhs_major(self.data, XT, self.offsets, n)
+        if pick is not None:
+            return dia_sym_spmm_rhs_major(self.data, XT, self.offsets, n)
+        if (
+            chunk_plan(
+                self.offsets, self.data.shape[1],
+                self.data.dtype.itemsize, k=k, sym=True,
+            )
+            is not None
+        ):
+            return dia_sym_spmm_rhs_major_chunked(
+                self.data, XT, self.offsets, n
+            )
+        return None
 
     def matmat_rhs_major(self, XT):
         """RHS-major multi-RHS apply (k, n) -> (k, n): the transpose-free
@@ -423,6 +435,12 @@ class SymmetricDIAMatrix(LinearOperator):
             return Y.T
         n = self.n
         k = X.shape[1]
+        if len(self.offsets) > DIAMatrix._SCAN_THRESHOLD:
+            # wide-band CPU/f64 path: column-wise scan matvec (O(1)
+            # program size, like _matvec_scan)
+            return jnp.stack(
+                [self._matvec_scan(X[:, j]) for j in range(k)], axis=1
+            )
         Y = jnp.zeros((n, k), dtype=X.dtype)
         d2 = self.data2d
         for d, o in enumerate(self.offsets):

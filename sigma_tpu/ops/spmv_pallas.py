@@ -69,6 +69,7 @@ __all__ = [
     "dia_sym_spmv_pallas_blocked",
     "dia_sym_spmv_pallas_chunked",
     "dia_sym_spmm_rhs_major",
+    "dia_sym_spmm_rhs_major_chunked",
     "dia_sym_spmm_interleaved",
     "interleave_panels",
     "deinterleave_panels",
@@ -360,7 +361,9 @@ def chunk_plan(
     D = len(offsets)
     reach = max(max(max(offsets), 0), -min(min(offsets), 0))
     hrows = reach // _LANES + 2
-    if sym:
+    if sym and k is not None:
+        fit = lambda c: _sym_spmm_tile_pick(S, hrows, c, itemsize, k)
+    elif sym:
         fit = lambda c: _sym_tile_pick(S, hrows, c, itemsize)
     elif k is None:
         fit = lambda c: _full_tile_pick(S, hrows, c, itemsize)
@@ -696,9 +699,9 @@ def _sym_spmm_tile_pick(S: int, hrows: int, D: int, itemsize: int, k: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("offsets", "n", "interpret")
+    jax.jit, static_argnames=("offsets", "n", "interpret", "dstart")
 )
-def dia_sym_spmm_rhs_major(data, XT, offsets, n, interpret=False):
+def dia_sym_spmm_rhs_major(data, XT, offsets, n, interpret=False, dstart=0):
     """RHS-major multi-RHS SpMM for SYMMETRIC DIA storage: XT is (k, n),
     returns (k, n).  The symmetric matvec kernel
     (:func:`dia_sym_spmv_pallas_blocked`) with a leading RHS dimension:
@@ -713,6 +716,9 @@ def dia_sym_spmm_rhs_major(data, XT, offsets, n, interpret=False):
     if min(offsets) < 0:
         raise ValueError("symmetric kernel takes offsets >= 0 only")
     D = len(offsets)
+    if dstart % max(D, 1) != 0:
+        raise ValueError("dstart must be a multiple of len(offsets)")
+    dblock = np.int32(dstart // max(D, 1))
     k = XT.shape[0]
     data3 = _dia3(data)
     S = data3.shape[1]
@@ -810,11 +816,13 @@ def dia_sym_spmm_rhs_major(data, XT, offsets, n, interpret=False):
                 (k, E, _LANES), clamp_b, memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (D, T, _LANES), lambda i: (_I0, i, _I0), memory_space=pltpu.VMEM
+                (D, T, _LANES),
+                lambda i: (dblock, i, _I0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (D, E, _LANES),
-                lambda i: (_I0, jnp.maximum(F * i - 1, 0), _I0),
+                lambda i: (dblock, jnp.maximum(F * i - 1, 0), _I0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -827,6 +835,44 @@ def dia_sym_spmm_rhs_major(data, XT, offsets, n, interpret=False):
     )(X3, X3, X3, data3, data3)
     Y = y3.reshape(k, S * _LANES)
     return Y if aligned else Y[:, :n]
+
+
+def dia_sym_spmm_rhs_major_chunked(
+    data, XT, offsets, n, interpret=False, max_chunk=None
+):
+    """Wide SYMMETRIC-band multi-RHS SpMM: VMEM-sized slabs of upper
+    diagonals through :func:`dia_sym_spmm_rhs_major` (each slab computes
+    its direct + mirror terms; XLA sums the partials) — block solvers on
+    RCM-banded SPD matrices stream HALF the full-storage values, once
+    for all k right-hand sides."""
+    data3 = _dia3(data)
+    S = data3.shape[1]
+    k = XT.shape[0]
+    if max_chunk is None:
+        # the symmetric SpMM body's mirror-term temporaries (per-diagonal
+        # z concats at (k, T+E, 128)) blow past the working-set model's
+        # scoped-VMEM estimate when Mosaic keeps them live across the
+        # unrolled diagonal loop: 64-wide chunks compiled to a 78.8 MB
+        # scoped allocation (> the 64 MB limit) and 32-wide still OOMed;
+        # 16 compiles and measured 12.1 true G-eff at k=4 on the 1M-row
+        # unstructured band
+        max_chunk = 16
+    plan = chunk_plan(
+        offsets, S, data.dtype.itemsize, max_chunk=max_chunk, k=k, sym=True
+    )
+    if plan is None:
+        raise ValueError(
+            "chunked symmetric SpMM cannot tile this band at this RHS "
+            "count; use the XLA path"
+        )
+    Y = None
+    for start, width in plan:
+        sub = tuple(offsets[start : start + width])
+        part = dia_sym_spmm_rhs_major(
+            data3, XT, sub, n, interpret=interpret, dstart=start
+        )
+        Y = part if Y is None else Y + part
+    return Y
 
 
 @functools.partial(

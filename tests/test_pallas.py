@@ -598,3 +598,55 @@ def test_symmetric_why_not_pallas(monkeypatch):
     assert A.why_not_pallas("matmat", k=4) is None
     assert "1..16" in A.why_not_pallas("matmat", k=40)
     assert "float" in A.why_not_pallas(dtype=jnp.float64)
+
+
+def test_chunked_sym_spmm_interpret(monkeypatch):
+    """Chunked SYMMETRIC wide-band multi-RHS SpMM vs a dense oracle."""
+    import sigma_tpu.ops.spmv_pallas as sp
+
+    monkeypatch.setattr(
+        sp, "_sym_spmm_tile_pick",
+        lambda S, hrows, D, isz, k: (
+            64,
+            next(e for e in range(8, 65, 8) if e >= hrows and 64 % e == 0),
+        ),
+    )
+    rng = np.random.default_rng(47)
+    n, k = 100_000, 3
+    offsets = sorted({0, 2} | set(int(v) for v in rng.integers(1, 1700, 9)))
+    stride = -(-n // 128) * 128
+    data = np.zeros((len(offsets), stride), np.float32)
+    for d, o in enumerate(offsets):
+        data[d, : n - o] = rng.standard_normal(n - o)
+    XT = rng.standard_normal((k, n)).astype(np.float32)
+    Y = sp.dia_sym_spmm_rhs_major_chunked(
+        jnp.asarray(data), jnp.asarray(XT), tuple(offsets), n,
+        interpret=True, max_chunk=4,
+    )
+    ref = np.zeros((k, n))
+    for d, o in enumerate(offsets):
+        ref[:, : n - o] += data[d, : n - o].astype(np.float64) * XT[:, o:]
+        if o:
+            ref[:, o:] += data[d, : n - o].astype(np.float64) * XT[:, : n - o]
+    assert np.max(np.abs(np.asarray(Y) - ref)) / np.max(np.abs(ref)) < 1e-4
+
+
+def test_symmetric_wide_band_matmat_scan(rng):
+    """Wide sym band matmat takes the scan path on CPU; dense oracle."""
+    from sigma_tpu.matrix.symmetric import SymmetricDIAMatrix
+
+    n, k = 600, 3
+    dense = np.zeros((n, n))
+    offs = sorted({0} | set(int(v) for v in rng.integers(1, 80, 35)))
+    assert len(offs) > 24
+    for o in offs:
+        v = rng.standard_normal(n - o)
+        dense[np.arange(n - o), np.arange(n - o) + o] = v
+        if o:
+            dense[np.arange(n - o) + o, np.arange(n - o)] = v
+    A = SymmetricDIAMatrix.from_dense(dense)
+    X = rng.standard_normal((n, k))
+    Y = np.asarray(A.matmat(jnp.asarray(X)))
+    assert np.max(np.abs(Y - dense @ X)) < 1e-11 * max(
+        1.0, np.abs(dense @ X).max()
+    )
