@@ -56,6 +56,13 @@ def main():
         help="also measure the chunked multi-RHS SpMM at this panel count",
     )
     ap.add_argument(
+        "--bf16", action="store_true",
+        help="also measure bf16 matrix values through the chunked kernels "
+        "(halves the dominant HBM stream; values round at ~4e-3) and a "
+        "mixed-precision refined CG that recovers f32-grade residuals "
+        "with every inner matvec streaming bf16",
+    )
+    ap.add_argument(
         "--shift", type=float, default=1.0,
         help="diagonal shift of the mesh Laplacian (small = ill-"
         "conditioned, where multilevel preconditioning matters)",
@@ -270,6 +277,49 @@ def main():
             "per_rhs_speedup_vs_spmv": round(args.nrhs * t / ts, 2),
         }))
 
+    if args.bf16:
+        # bf16 matrix values: the diagonal stream (the n_diags*n-word
+        # dominant term) at half the bytes.  Mesh weights are random, so
+        # this is astype (rounding ~4e-3), NOT astype_exact — kernel-rate
+        # row here; the refined-CG row below shows the accuracy story.
+        Db = D.astype(jnp.bfloat16)
+
+        def mkb(K):
+            @jax.jit
+            def f(Db_, x_):
+                def body(i, vv):
+                    # f32 vectors through the bf16-valued kernel: the
+                    # kernel casts data to x.dtype in-VMEM, so HBM still
+                    # streams 2-byte values
+                    return Db_.matvec(vv) * jnp.asarray(0.1, vv.dtype)
+
+                return lax.fori_loop(0, K, body, x_)
+
+            return f
+
+        tb = timeit_loop(mkb, Db, x, K1=10, K2=50)
+        print(json.dumps({
+            "metric": "unstructured_dia_bf16_spmv",
+            "true_gnnz_s": round(nnz / tb / 1e9, 3),
+            "slot_gnnz_s": round(slots / tb / 1e9, 2),
+            "ms_per_spmv": round(tb * 1e3, 3),
+            "speedup_vs_f32": round(t / tb, 2),
+        }))
+
+        if args.symmetric:
+            from sigma_tpu.matrix.symmetric import SymmetricDIAMatrix
+
+            Dsb = SymmetricDIAMatrix(
+                data=Ds.data.astype(jnp.bfloat16), offsets=Ds.offsets, n=n
+            )
+            tsb = timeit_loop(mkb, Dsb, x, K1=10, K2=50)
+            print(json.dumps({
+                "metric": "unstructured_dia_sym_bf16_spmv",
+                "true_gnnz_s": round(nnz / tsb / 1e9, 3),
+                "ms_per_spmv": round(tsb * 1e3, 3),
+                "speedup_vs_full_f32": round(t / tsb, 2),
+            }))
+
     if args.gather:
         # the floor this recipe replaces: per-element gather + segment-sum
         def mkg(K):
@@ -320,6 +370,42 @@ def main():
         "wall_s_warm": round(t_warm, 2),
         "s_per_iteration": round(t_warm / max(iters, 1), 4),
     }))
+
+    if args.bf16:
+        # mixed-precision refinement, FULLY JITTED (refined_solve_fixed):
+        # EVERY inner matvec streams bf16 values (the 2-3x faster kernel
+        # above) while all Krylov vectors stay f32; each f32-residual
+        # outer sweep contracts the error by ~max(inner_rtol, bf16 value
+        # rounding ~4e-3), so three sweeps land f32-grade residuals.  One
+        # device program — the host-loop refined_solve pays ~25 ms tunnel
+        # dispatch per outer step, which swamps the kernel win here.
+        from sigma_tpu.solvers.refine import refined_solve_fixed
+
+        Db = D.astype(jnp.bfloat16)
+        solve_rf = jax.jit(
+            lambda Dm, Dl, bb: refined_solve_fixed(
+                Dm, bb, A_lo=Dl, sweeps=3, inner_rtol=1e-3,
+                inner_maxiter=args.iters,
+            )
+        )
+        t1 = time.time()
+        xr = solve_rf(D, Db, jnp.asarray(b_p))
+        rr = float(jnp.linalg.norm(b_p - D.matvec(xr)))
+        t_ref_cold = time.time() - t1
+        t1 = time.time()
+        xr = solve_rf(D, Db, jnp.asarray(b_p))
+        rr = float(jnp.linalg.norm(b_p - D.matvec(xr)))
+        t_ref = time.time() - t1
+        err_r = float(np.abs(np.asarray(xr)[p] - xstar).max())
+        print(json.dumps({
+            "metric": "unstructured_cg_bf16_refined",
+            "outer_sweeps": 3,
+            "relative_residual": f"{rr / float(np.linalg.norm(b)):.3e}",
+            "max_err_vs_manufactured": f"{err_r:.3e}",
+            "wall_s_warm": round(t_ref, 2),
+            "wall_s_incl_compile": round(t_ref_cold, 2),
+            "vs_plain_f32_cg": round(t_warm / max(t_ref, 1e-9), 2),
+        }))
 
     if args.gmg:
         # 1-D banded pair-GMG: pair consecutive RCM indices — closed-form

@@ -22,12 +22,76 @@ precision discipline SURVEY §7 names among the hard parts
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 import numpy as np
 
 from sigma_tpu.solvers.krylov import SolveInfo, cg_solve
 
-__all__ = ["refined_solve"]
+__all__ = ["refined_solve", "refined_solve_fixed"]
+
+
+@functools.lru_cache(maxsize=None)
+def _inner_jit(inner_tol, inner_maxiter, with_M):
+    """Module-cached jitted inner solves: a fresh ``jax.jit(lambda ...)``
+    per refined_solve call is a fresh trace cache, so every call paid a
+    re-trace + remote compile-cache round trip (~seconds through the
+    device tunnel).  Keyed by the static solver knobs; the operator and
+    preconditioner stay pytree ARGUMENTS."""
+    import jax
+
+    if with_M:
+        return jax.jit(
+            lambda A, r, M: cg_solve(
+                A, r, tol=0.0, rtol=inner_tol, maxiter=inner_maxiter, M=M
+            )[0]
+        )
+    return jax.jit(
+        lambda A, r: cg_solve(
+            A, r, tol=0.0, rtol=inner_tol, maxiter=inner_maxiter
+        )[0]
+    )
+
+
+def refined_solve_fixed(
+    A,
+    b,
+    A_lo=None,
+    *,
+    sweeps: int = 3,
+    inner_rtol: float = 1e-3,
+    inner_maxiter: int = 200,
+    M=None,
+):
+    """Fixed-sweep iterative refinement with NO host synchronisation —
+    jit the whole thing (``jax.jit(lambda A, A_lo, b: refined_solve_fixed
+    (A, b, A_lo=A_lo))``) so all ``sweeps`` outer residuals and inner
+    Krylov solves run as one device program.  :func:`refined_solve`'s
+    host loop pays a tunnel dispatch per step, which is the right trade
+    only when the early-exit test saves whole sweeps; at a known sweep
+    count this form is the TPU-native one (same lesson as
+    block_cg_solve: eager dispatch costs seconds at the north star).
+
+    The canonical use is a bf16-valued ``A_lo`` (``A.astype(bfloat16)``)
+    with f32 ``b``: every inner matvec streams half the HBM bytes
+    (~2-3x the SpMV rate) and each outer sweep contracts the error by
+    ~max(inner_rtol, bf16 value rounding) — three sweeps reach f32-grade
+    residuals.  Returns ``x`` only (jit-friendly); compute the residual
+    outside if needed."""
+    A_lo = A if A_lo is None else A_lo
+    x = jnp.zeros_like(b)
+    one = jnp.asarray(1.0, b.dtype)
+    for _ in range(sweeps):  # static unroll — sweeps is small
+        r = b - A.matvec(x)
+        rn = jnp.linalg.norm(r)
+        scale = jnp.where(rn > 0, rn, one)
+        d, _ = cg_solve(
+            A_lo, r / scale, tol=0.0, rtol=inner_rtol,
+            maxiter=inner_maxiter, M=M,
+        )
+        x = x + scale * d.astype(b.dtype)
+    return x
 
 
 def refined_solve(
@@ -42,6 +106,7 @@ def refined_solve(
     inner_tol: float = 1e-6,
     inner_maxiter: int = 400,
     M_lo=None,
+    A_lo=None,
 ):
     """Solve A x = b to working-precision ``tol`` with low-precision inner
     solves.
@@ -51,33 +116,31 @@ def refined_solve(
     ``inner_solve(r_lo) -> d_lo``.  The outer loop runs host-side (a few
     iterations; each dispatches jitted device work).
 
+    ``A_lo`` overrides the inner operator independently of the inner
+    VECTOR dtype: pass ``A.astype(jnp.bfloat16)`` with the default
+    ``inner_dtype=float32`` to stream bf16 matrix values (the dominant
+    HBM term, ~2x SpMV) while the Krylov recurrences keep f32 vectors —
+    bf16 dot products would stall CG, but a bf16-valued OPERATOR is just
+    a ~4e-3 perturbation the outer sweeps contract through.
+
     Returns ``(x, SolveInfo)`` where ``info.iterations`` counts OUTER
     refinement sweeps.
     """
     work_dtype = b.dtype
     if inner_solve is None:
-        import jax
-
-        A_lo = A.astype(inner_dtype)
-        # jit the inner solve with the operator/preconditioner as PYTREE
+        if A_lo is None:
+            A_lo = A.astype(inner_dtype)
+        # the inner solve is jitted ONCE per (tol, maxiter, M?) via the
+        # module cache, with the operator/preconditioner as PYTREE
         # ARGUMENTS: an eager Krylov call pays ~25 ms tunnel dispatch per
         # op outside its while_loop (measured 4.6 s eager vs 0.18 s
-        # jitted for one 10M-row solve, BENCHMARKS.md), and closing over
-        # large device arrays oversizes the remote compile request
+        # jitted for one 10M-row solve, BENCHMARKS.md), a per-call
+        # jax.jit(lambda) re-traces every call, and closing over large
+        # device arrays oversizes the remote compile request
+        _inner = _inner_jit(inner_tol, inner_maxiter, M_lo is not None)
         if M_lo is None:
-            _inner = jax.jit(
-                lambda A, r: cg_solve(
-                    A, r, tol=0.0, rtol=inner_tol, maxiter=inner_maxiter
-                )[0]
-            )
             inner_solve = lambda r_lo: _inner(A_lo, r_lo)
         else:
-            _inner = jax.jit(
-                lambda A, r, M: cg_solve(
-                    A, r, tol=0.0, rtol=inner_tol, maxiter=inner_maxiter,
-                    M=M,
-                )[0]
-            )
             inner_solve = lambda r_lo: _inner(A_lo, r_lo, M_lo)
 
     x = jnp.zeros_like(b)

@@ -126,6 +126,32 @@ def test_preconditioned_cg_iteration_cut():
     )
 
 
+def test_fmg_initial_guess_cuts_iterations():
+    """Full-multigrid nested iteration (M.fmg): the guess alone lands a
+    residual ~1 digit below ||b|| (measured 0.13 on this problem), and
+    CG started from it needs strictly fewer iterations than the zero
+    start at the same tolerance, converging to the same solution."""
+    dims = (16, 16, 16)
+    Asp = poisson(dims)
+    n = Asp.shape[0]
+    coo = Asp.tocoo()
+    A = DIAMatrix.from_coo(n, n, coo.row, coo.col, coo.data, dtype=jnp.float64)
+    M = structured_pair_amg(A, dims)
+    b = jnp.asarray(np.random.default_rng(7).standard_normal(n))
+    xf = M.fmg(b)
+    rel0 = float(jnp.linalg.norm(b - A.matvec(xf)) / jnp.linalg.norm(b))
+    assert rel0 < 0.3  # the guess is already ~1 digit in
+    x1, i1 = cg_solve(A, b, tol=1e-10, M=M, maxiter=2000)
+    x2, i2 = cg_solve(A, b, xf, tol=1e-10, M=M, maxiter=2000)
+    assert bool(i2.converged)
+    assert int(i2.iterations) < int(i1.iterations)
+    assert (
+        np.max(np.abs(np.asarray(x2) - np.asarray(x1)))
+        / np.max(np.abs(np.asarray(x1)))
+        < 1e-7
+    )
+
+
 def test_solve_under_jit():
     """The whole preconditioned solve must trace and jit (the production
     calling convention — eager dispatch costs ~25 ms/op on a tunnel)."""

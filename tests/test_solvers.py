@@ -429,6 +429,62 @@ def test_refined_solve_f64_accuracy_from_f32_inner(rng):
     assert int(info.iterations) <= 10  # a handful of outer sweeps
 
 
+def test_refined_solve_bf16_operator_f32_vectors(rng):
+    """A bf16-VALUED inner operator (A_lo override) with f32 inner vectors:
+    the ~4e-3 value rounding is contracted by the working-precision outer
+    sweeps, recovering residuals far below bf16 resolution.  This is the
+    unstructured north star's bf16 solve mode (benchmarks/unstructured.py
+    --bf16): every inner matvec streams half the HBM bytes."""
+    from sigma_tpu.solvers import refined_solve
+
+    n = 256
+    dense, _ = laplacian_1d(n)
+    # random weights so the bf16 cast genuinely rounds (not dyadic-exact)
+    d = 1.0 + 0.1 * rng.standard_normal(n)
+    dense = dense + np.diag(d)
+    A = CSRMatrix.from_dense(dense)  # f64 working precision
+    A_lo = A.astype(jnp.bfloat16)
+    assert not np.array_equal(
+        np.asarray(A_lo.data, dtype=np.float64), np.asarray(A.data)
+    )
+    xstar = rng.standard_normal(n)
+    b = jnp.asarray(dense @ xstar)
+    x, info = refined_solve(
+        A, b, tol=1e-10, A_lo=A_lo, inner_dtype=jnp.float32,
+        inner_tol=1e-3, inner_maxiter=600,
+    )
+    err = np.abs(np.asarray(x) - xstar).max()
+    assert bool(info.converged)
+    assert err < 1e-7  # far below the 4e-3 operator perturbation
+
+
+def test_refined_solve_fixed_is_jittable(rng):
+    """refined_solve_fixed runs as ONE device program (no host syncs):
+    jit it with the working and low operators as pytree arguments and
+    reach f32-grade residuals in the static sweep count."""
+    import jax
+
+    from sigma_tpu.solvers import refined_solve_fixed
+
+    n = 256
+    dense, _ = laplacian_1d(n)
+    d = 1.0 + 0.1 * rng.standard_normal(n)
+    dense = dense + np.diag(d)
+    A = CSRMatrix.from_dense(dense.astype(np.float32))
+    A_lo = A.astype(jnp.bfloat16)
+    xstar = rng.standard_normal(n).astype(np.float32)
+    b = jnp.asarray((dense @ xstar).astype(np.float32))
+    solve = jax.jit(
+        lambda Am, Al, bb: refined_solve_fixed(
+            Am, bb, A_lo=Al, sweeps=3, inner_rtol=1e-3, inner_maxiter=600
+        )
+    )
+    x = solve(A, A_lo, b)
+    assert x.dtype == b.dtype
+    rel = float(jnp.linalg.norm(b - A.matvec(x)) / jnp.linalg.norm(b))
+    assert rel < 1e-5  # three sweeps through a ~4e-3-perturbed operator
+
+
 def test_minres_indefinite_system(rng):
     """MINRES solves a symmetric INDEFINITE system where CG breaks down —
     the capability gap MINRES exists to close (reference is CG-only,
