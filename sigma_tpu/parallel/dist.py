@@ -462,6 +462,16 @@ class DistributedDIAMatrix(LinearOperator):
     def nnz(self) -> int:
         return sum(int(np.count_nonzero(np.asarray(v))) for v in self.vals)
 
+    def astype(self, dtype) -> "DistributedDIAMatrix":
+        """Cast the local diagonal VALUES only (iterate vectors keep the
+        caller's dtype — the kernels promote in-VMEM): ``bfloat16``
+        halves each shard's dominant HBM stream, same trade as the
+        single-chip path; recover full-precision residuals with
+        ``refined_solve_fixed(A, b, A_lo=A.astype(jnp.bfloat16))``."""
+        return dataclasses.replace(
+            self, vals=tuple(v.astype(dtype) for v in self.vals)
+        )
+
     def matvec(self, x: jax.Array) -> jax.Array:
         D = self.n_shards
         nb = self.block

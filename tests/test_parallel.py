@@ -582,3 +582,39 @@ def test_distributed_wide_band_matvec(mesh, rng):
         jax.jit(lambda Ad, xs: Ad.matvec(xs))(Ad, Ad.shard_vector(x))
     )
     assert np.max(np.abs(y - dense @ x)) < TOL
+
+
+def test_distributed_dia_bf16_values_refined(mesh, rng):
+    """bf16-valued distributed operator (DistributedDIAMatrix.astype):
+    the local diagonal streams are 2-byte while iterate vectors stay
+    full precision, and refined_solve_fixed around the bf16 operator
+    recovers working-precision residuals — the distributed mirror of
+    the single-chip bf16 ladder (benchmarks/unstructured.py --bf16)."""
+    from sigma_tpu.parallel import distribute_matrix_dia
+    from sigma_tpu.solvers import refined_solve_fixed
+
+    n = 400
+    dense = laplacian_1d(n) + np.diag(
+        1.0 + 0.1 * rng.standard_normal(n)
+    )  # SPD, values genuinely round in bf16
+    Ad = distribute_matrix_dia(DIAMatrix.from_dense(dense), mesh)
+    Ab = Ad.astype(jnp.bfloat16)
+    assert Ab.dtype == jnp.bfloat16 and Ab.terms == Ad.terms
+
+    # matvec: bf16 values, full-precision vectors, ~4e-3 relative
+    x = rng.standard_normal(n)
+    y = Ab.unshard_vector(Ab.matvec(Ab.shard_vector(x)))
+    ref = dense @ x
+    assert np.max(np.abs(y - ref)) / np.max(np.abs(ref)) < 2e-2
+    assert np.max(np.abs(y - ref)) > 1e-8  # the cast really rounded
+
+    # refined solve: f32-grade residual through the bf16 operator
+    xstar = rng.standard_normal(n)
+    b = Ad.shard_vector(dense @ xstar)
+    solve = jax.jit(
+        lambda Am, Al, bb: refined_solve_fixed(
+            Am, bb, A_lo=Al, sweeps=3, inner_rtol=1e-3, inner_maxiter=800
+        )
+    )
+    xs = Ad.unshard_vector(solve(Ad, Ab, b))
+    assert np.max(np.abs(xs - xstar)) < 1e-5
