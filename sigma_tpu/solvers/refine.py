@@ -33,22 +33,23 @@ __all__ = ["refined_solve", "refined_solve_fixed"]
 
 
 @functools.lru_cache(maxsize=None)
-def _inner_jit(inner_tol, inner_maxiter, with_M):
+def _inner_jit(inner_tol, inner_maxiter, with_M, solver):
     """Module-cached jitted inner solves: a fresh ``jax.jit(lambda ...)``
     per refined_solve call is a fresh trace cache, so every call paid a
     re-trace + remote compile-cache round trip (~seconds through the
-    device tunnel).  Keyed by the static solver knobs; the operator and
-    preconditioner stay pytree ARGUMENTS."""
+    device tunnel).  Keyed by the static solver knobs (including the
+    solver function itself); the operator and preconditioner stay pytree
+    ARGUMENTS."""
     import jax
 
     if with_M:
         return jax.jit(
-            lambda A, r, M: cg_solve(
+            lambda A, r, M: solver(
                 A, r, tol=0.0, rtol=inner_tol, maxiter=inner_maxiter, M=M
             )[0]
         )
     return jax.jit(
-        lambda A, r: cg_solve(
+        lambda A, r: solver(
             A, r, tol=0.0, rtol=inner_tol, maxiter=inner_maxiter
         )[0]
     )
@@ -63,6 +64,7 @@ def refined_solve_fixed(
     inner_rtol: float = 1e-3,
     inner_maxiter: int = 200,
     M=None,
+    inner_solver=cg_solve,
 ):
     """Fixed-sweep iterative refinement with NO host synchronisation —
     jit the whole thing (``jax.jit(lambda A, A_lo, b: refined_solve_fixed
@@ -78,7 +80,11 @@ def refined_solve_fixed(
     (~2-3x the SpMV rate) and each outer sweep contracts the error by
     ~max(inner_rtol, bf16 value rounding) — three sweeps reach f32-grade
     residuals.  Returns ``x`` only (jit-friendly); compute the residual
-    outside if needed."""
+    outside if needed.
+
+    ``inner_solver`` defaults to CG (SPD A); pass ``bicgstab_solve`` or
+    ``gmres_solve`` for nonsymmetric systems — any solver with the
+    ``(A, b, *, tol, rtol, maxiter, M) -> (x, info)`` contract works."""
     A_lo = A if A_lo is None else A_lo
     x = jnp.zeros_like(b)
     one = jnp.asarray(1.0, b.dtype)
@@ -86,7 +92,7 @@ def refined_solve_fixed(
         r = b - A.matvec(x)
         rn = jnp.linalg.norm(r)
         scale = jnp.where(rn > 0, rn, one)
-        d, _ = cg_solve(
+        d, _ = inner_solver(
             A_lo, r / scale, tol=0.0, rtol=inner_rtol,
             maxiter=inner_maxiter, M=M,
         )
@@ -107,6 +113,7 @@ def refined_solve(
     inner_maxiter: int = 400,
     M_lo=None,
     A_lo=None,
+    inner_solver=cg_solve,
 ):
     """Solve A x = b to working-precision ``tol`` with low-precision inner
     solves.
@@ -123,6 +130,9 @@ def refined_solve(
     bf16 dot products would stall CG, but a bf16-valued OPERATOR is just
     a ~4e-3 perturbation the outer sweeps contract through.
 
+    ``inner_solver`` defaults to CG (SPD A); pass ``bicgstab_solve`` or
+    ``gmres_solve`` for nonsymmetric systems.
+
     Returns ``(x, SolveInfo)`` where ``info.iterations`` counts OUTER
     refinement sweeps.
     """
@@ -137,7 +147,9 @@ def refined_solve(
         # jitted for one 10M-row solve, BENCHMARKS.md), a per-call
         # jax.jit(lambda) re-traces every call, and closing over large
         # device arrays oversizes the remote compile request
-        _inner = _inner_jit(inner_tol, inner_maxiter, M_lo is not None)
+        _inner = _inner_jit(
+            inner_tol, inner_maxiter, M_lo is not None, inner_solver
+        )
         if M_lo is None:
             inner_solve = lambda r_lo: _inner(A_lo, r_lo)
         else:

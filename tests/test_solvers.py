@@ -485,6 +485,28 @@ def test_refined_solve_fixed_is_jittable(rng):
     assert rel < 1e-5  # three sweeps through a ~4e-3-perturbed operator
 
 
+def test_refined_solve_nonsymmetric_inner_bicgstab(rng):
+    """The refinement ladder is not CG-only: a NONSYMMETRIC system
+    (1-D convection-diffusion) refines through inner BiCGStab on a
+    bf16-valued operator to f64-grade residuals."""
+    from sigma_tpu.solvers import bicgstab_solve, refined_solve
+
+    n = 200
+    dense, _ = laplacian_1d(n)
+    conv = 0.4 * (np.eye(n, k=1) - np.eye(n, k=-1))  # skew advection
+    dense = dense + conv + np.diag(1.0 + 0.05 * rng.standard_normal(n))
+    A = CSRMatrix.from_dense(dense)  # f64 working precision
+    xstar = rng.standard_normal(n)
+    b = jnp.asarray(dense @ xstar)
+    x, info = refined_solve(
+        A, b, tol=1e-11, A_lo=A.astype(jnp.bfloat16),
+        inner_dtype=jnp.float64, inner_tol=1e-4, inner_maxiter=2000,
+        inner_solver=bicgstab_solve,
+    )
+    assert bool(info.converged)
+    assert np.abs(np.asarray(x) - xstar).max() < 1e-8
+
+
 def test_minres_indefinite_system(rng):
     """MINRES solves a symmetric INDEFINITE system where CG breaks down —
     the capability gap MINRES exists to close (reference is CG-only,
