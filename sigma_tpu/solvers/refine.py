@@ -65,6 +65,7 @@ def refined_solve_fixed(
     inner_maxiter: int = 200,
     M=None,
     inner_solver=cg_solve,
+    inner_dtype=None,
 ):
     """Fixed-sweep iterative refinement with NO host synchronisation —
     jit the whole thing (``jax.jit(lambda A, A_lo, b: refined_solve_fixed
@@ -84,16 +85,26 @@ def refined_solve_fixed(
 
     ``inner_solver`` defaults to CG (SPD A); pass ``bicgstab_solve`` or
     ``gmres_solve`` for nonsymmetric systems — any solver with the
-    ``(A, b, *, tol, rtol, maxiter, M) -> (x, info)`` contract works."""
-    A_lo = A if A_lo is None else A_lo
+    ``(A, b, *, tol, rtol, maxiter, M) -> (x, info)`` contract works.
+
+    ``inner_dtype`` additionally casts the inner Krylov VECTORS (e.g.
+    f64 working precision with an f32 inner — the f64-grade-at-f32-speed
+    ladder of :func:`refined_solve`, but as one device program); without
+    it the inner vectors follow ``b``'s dtype and only the operator
+    values are low-precision."""
+    if A_lo is None:
+        A_lo = A if inner_dtype is None else A.astype(inner_dtype)
     x = jnp.zeros_like(b)
     one = jnp.asarray(1.0, b.dtype)
     for _ in range(sweeps):  # static unroll — sweeps is small
         r = b - A.matvec(x)
         rn = jnp.linalg.norm(r)
         scale = jnp.where(rn > 0, rn, one)
+        r_lo = r / scale
+        if inner_dtype is not None:
+            r_lo = r_lo.astype(inner_dtype)
         d, _ = inner_solver(
-            A_lo, r / scale, tol=0.0, rtol=inner_rtol,
+            A_lo, r_lo, tol=0.0, rtol=inner_rtol,
             maxiter=inner_maxiter, M=M,
         )
         x = x + scale * d.astype(b.dtype)
