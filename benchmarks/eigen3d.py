@@ -115,9 +115,14 @@ def main():
             data=jnp.asarray(data.astype(np.float64).reshape(7, -1, 128)),
         )
         V = res.eigenvectors.astype(jnp.float64)
-        AV = A64.matmat(V)
-        rq = jnp.einsum("nj,nj->j", V, AV) / jnp.einsum("nj,nj->j", V, V)
-        lam_rq = np.sort(np.asarray(rq))
+        # jit the f64 block product: eager emulated-f64 matmat dispatches
+        # per-diagonal with 300 MB intermediates (measured ~30 s eager vs
+        # sub-second jitted at 10.1M rows)
+        rq_f = jax.jit(
+            lambda A_, V_: jnp.einsum("nj,nj->j", V_, A_.matmat(V_))
+            / jnp.einsum("nj,nj->j", V_, V_)
+        )
+        lam_rq = np.sort(np.asarray(rq_f(A64, V)))
         out["rq_f64_eigenvalues"] = [float(f"{v:.8e}") for v in lam_rq]
         out["rq_f64_rel_err"] = [
             float(f"{v:.2e}") for v in np.abs(lam_rq - exact) / exact
@@ -133,13 +138,19 @@ def main():
             t0 = time.perf_counter()
             ref = refine_eigenpairs(A64, res.eigenvectors, M_lo=M)
             lam_ii = ref.eigenvalues
+            out["inverse_step_s_incl_compile"] = round(
+                time.perf_counter() - t0, 2
+            )
+            t0 = time.perf_counter()
+            ref = refine_eigenpairs(A64, res.eigenvectors, M_lo=M)
+            lam_ii = ref.eigenvalues
             out["inverse_step_eigenvalues"] = [
                 float(f"{v:.10e}") for v in lam_ii
             ]
             out["inverse_step_rel_err"] = [
                 float(f"{v:.2e}") for v in np.abs(lam_ii - exact) / exact
             ]
-            out["inverse_step_s"] = round(time.perf_counter() - t0, 2)
+            out["inverse_step_s_warm"] = round(time.perf_counter() - t0, 2)
 
     print(json.dumps(out), flush=True)
 
