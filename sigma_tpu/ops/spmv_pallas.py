@@ -73,6 +73,10 @@ __all__ = [
     "dia_sym_spmm_interleaved",
     "interleave_panels",
     "deinterleave_panels",
+    "dia_spmm_grouped",
+    "dia_spmm_grouped_chunked",
+    "interleave_panels_grouped",
+    "deinterleave_panels_grouped",
     "pallas_supported",
 ]
 
@@ -94,6 +98,10 @@ _MAX_X_ELEMS = 3 * 1024 * 1024
 # full — T=3072 leads both pick lists.
 _VMEM_BUDGET_BYTES = 32 * 1024 * 1024
 _VMEM_LIMIT_BYTES = 64 * 1024 * 1024
+# Mosaic scoped-allocation ceiling with headroom: the SpMM kernels'
+# unrolled diagonal loops hold per-diagonal temporaries that compile
+# into the scoped (stack) allocation — see _spmm_tile_pick
+_SCOPED_LIMIT_BYTES = 62 * 1024 * 1024
 
 
 def pallas_supported(n: int, m: int | None = None) -> bool:
@@ -949,7 +957,15 @@ def dia_spmm_pallas_chunked(
 
 def _spmm_tile_pick(S: int, hrows: int, D: int, itemsize: int, k: int):
     """(T, E) for the zero-construction SpMM kernel (k RHS panels of
-    tile + 2 halos + data tile + k output panels, double buffered)."""
+    tile + 2 halos + data tile + k output panels, double buffered).
+
+    Beyond the block working set, the unrolled per-diagonal loop's
+    (k*T, 128) f32 temporaries count against Mosaic's 64 MB scoped
+    limit — measured scoped allocations put the live fraction at ~0.63
+    of one temporary per diagonal (D=64, k=16, T=256 compiled to
+    113.75 MB = 25.4 MB blocks + 0.65*D*k*T*128*4; D=64, k=4, T=384 at
+    ~61 MB ran).  Ignoring it, chunk plans at k >= 16 picked 64-wide
+    slabs that failed to compile (scoped-vmem OOM)."""
     for T in (3072, 1536, 2048, 1024, 768, 512, 384, 256):
         if T > S:
             continue
@@ -962,7 +978,8 @@ def _spmm_tile_pick(S: int, hrows: int, D: int, itemsize: int, k: int):
         byts = 2 * _LANES * (
             4 * k * (T + 2 * E) + itemsize * D * T + 4 * k * T
         )
-        if byts <= _VMEM_BUDGET_BYTES:
+        scoped = byts + int(0.65 * 4 * D * k * T * _LANES)
+        if byts <= _VMEM_BUDGET_BYTES and scoped <= _SCOPED_LIMIT_BYTES:
             return T, E
     return None
 
@@ -1520,3 +1537,216 @@ def dia_sym_spmm_interleaved(data, XI, offsets, n, interpret=False):
         compiler_params=_compiler_params(interpret),
         interpret=interpret,
     )(XI, XI, XI, data3, data3)
+
+
+# ---------------------------------------------------------------------------
+# Two-level interleave: wide RHS blocks (k > 16) in ONE matrix stream.
+#
+# The single-level interleaved kernel folds k panels into the sublane
+# axis; its VMEM working set scales with k, so k > 16 cannot tile and
+# DIAMatrix.matmat auto-splits into 16-wide passes — re-streaming the
+# diagonal values once PER PASS.  For narrow bands that is cheap (x/y
+# traffic dominates), but on RCM-banded unstructured matrices the band
+# is hundreds of diagonals wide and the VALUES dominate: each extra
+# pass nearly doubles total HBM traffic.
+#
+# The grouped layout fixes it with a second grid dimension: panels are
+# interleaved in groups of kb <= 16 (inner level: sublane fold, exactly
+# interleave_panels per group), the KO = ceil(k/kb) groups stacked on a
+# leading axis (outer level).  The kernel runs grid (G, KO) with the
+# OUTER-GROUP index fastest-varying and the data BlockSpec index map a
+# function of the row tile only — Mosaic's pipeline skips the DMA when
+# consecutive grid steps map the same block, so the diagonal values of
+# each row tile are fetched ONCE and shared by all KO groups (the same
+# revisit rule the clamped halos rely on).  Matrix traffic for ANY k
+# equals the k=1 stream; x/y traffic is the unavoidable 2k words/row.
+# Each x/y block is one contiguous (kb*T, 128) chunk, preserving the
+# DMA-chunk win of the single-level layout (benchmarks/spmm_probe4.py).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("kb", "m"))
+def interleave_panels_grouped(XT, kb, m=None):
+    """(k, m) RHS-major panels -> grouped-interleaved (KO, kb*Sx, 128):
+    group j's slab is ``interleave_panels(XT[j*kb:(j+1)*kb])`` (row
+    ``s*kb + i`` holds element-row ``s`` of the group's panel ``i``).
+    k is zero-padded up to KO*kb panels, m up to Sx*128 elements.  One
+    XLA transpose — do it ONCE per solve, not per product."""
+    k, m_in = XT.shape
+    m = m_in if m is None else m
+    Sx = -(-m // _LANES)
+    KO = -(-k // kb)
+    if Sx * _LANES != m_in:
+        XT = jnp.concatenate(
+            [XT, jnp.zeros((k, Sx * _LANES - m_in), XT.dtype)], axis=1
+        )
+    if KO * kb != k:
+        XT = jnp.concatenate(
+            [XT, jnp.zeros((KO * kb - k, Sx * _LANES), XT.dtype)], axis=0
+        )
+    return jnp.transpose(
+        XT.reshape(KO, kb, Sx, _LANES), (0, 2, 1, 3)
+    ).reshape(KO, kb * Sx, _LANES)
+
+
+@functools.partial(jax.jit, static_argnames=("kb", "k", "n"))
+def deinterleave_panels_grouped(YG, kb, k, n):
+    """Inverse of :func:`interleave_panels_grouped`: (KO, kb*S, 128) ->
+    (k, n) RHS-major panels (padding groups/rows trimmed)."""
+    KO = YG.shape[0]
+    S = YG.shape[1] // kb
+    out = jnp.transpose(
+        YG.reshape(KO, S, kb, _LANES), (0, 2, 1, 3)
+    ).reshape(KO * kb, S * _LANES)
+    return out[:k, :n]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "n", "m", "interpret", "dstart")
+)
+def dia_spmm_grouped(data, XG, offsets, n, m, interpret=False, dstart=0):
+    """Wide-RHS DIA SpMM on GROUPED-INTERLEAVED panels: XG is
+    (KO, kb*Sx, 128) from :func:`interleave_panels_grouped`; returns the
+    product in the same layout ((KO, kb*S, 128), S = data row-blocks).
+
+    Grid is (row tiles, outer groups) with the group index minor: the
+    data tile's index map depends on the row tile only, so Mosaic
+    fetches each diagonal slab ONCE per row tile and revisits it for
+    all KO groups — the k > 16 multi-vector capability (the reference
+    names multi-vector kernels as its missing critical optimization,
+    README.md:83) at single-stream matrix traffic.  ``dstart``
+    addresses a leading-axis slab of ``data`` purely through the
+    BlockSpec index map (the chunked wide-band path; must be a multiple
+    of ``len(offsets)``)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    D = len(offsets)
+    if dstart % max(D, 1) != 0:
+        raise ValueError("dstart must be a multiple of len(offsets)")
+    dblock = np.int32(dstart // max(D, 1))
+    data3 = _dia3(data)
+    S = data3.shape[1]
+    o_min = min(min(offsets), 0)
+    o_max = max(max(offsets), 0)
+    hrows = max(-o_min, o_max) // _LANES + 2
+
+    Sx = -(-m // _LANES)
+    KO = XG.shape[0]
+    kb = XG.shape[1] // Sx
+    if kb * Sx != XG.shape[1] or XG.shape[2] != _LANES:
+        raise ValueError(
+            f"XG shape {XG.shape} is not (KO, kb*{Sx}, {_LANES}) — pass "
+            "panels through interleave_panels_grouped"
+        )
+
+    pick = _spmm_tile_pick(S, hrows, D, data.dtype.itemsize, k=kb)
+    if pick is None:
+        raise ValueError(
+            f"grouped SpMM cannot fit {D} diagonals x {kb} inner RHS in "
+            "VMEM; reduce kb or use DIAMatrix.matmat (XLA paths)"
+        )
+    T, E = pick
+    F = T // E
+    G = -(-S // T)
+    PL = E * _LANES
+
+    EBx = -(-Sx // E)
+    TBx = -(-Sx // T)
+    exact = (m % _LANES == 0) and (S == Sx) and (G * T == S)
+
+    elem_ids, shifted = _interleaved_window_helpers(kb)
+
+    def kernel(xm_ref, xf_ref, xb_ref, d_ref, y_ref):
+        i = pl.program_id(0)
+        base = i * T * _LANES
+        xm = xm_ref[0]
+        if not exact:
+            xm = jnp.where(base + elem_ids(T) < m, xm, jnp.zeros_like(xm))
+        xf = xf_ref[0]
+        if not exact or o_max > 0:
+            xf = jnp.where(
+                (i + 1) * T * _LANES + elem_ids(E) < m,
+                xf,
+                jnp.zeros_like(xf),
+            )
+        xb_idx = base - PL + elem_ids(E)
+        xb = jnp.where(
+            (xb_idx >= 0) & (xb_idx < m),
+            xb_ref[0],
+            jnp.zeros_like(xb_ref[0]),
+        )
+        xcat = jnp.concatenate([xb, xm, xf], axis=0)
+        acc = jnp.zeros((kb * T, _LANES), y_ref.dtype)
+        for d, o in enumerate(offsets):
+            dk = jnp.repeat(d_ref[d].astype(acc.dtype), kb, axis=0)
+            acc = acc + dk * shifted(xcat, PL + o, T)
+        if not exact:
+            acc = jnp.where(base + elem_ids(T) < n, acc, jnp.zeros_like(acc))
+        y_ref[0] = acc
+
+    clamp_m = lambda i, j: (j, jnp.minimum(i, TBx - 1), _I0)
+    clamp_f = lambda i, j: (j, jnp.minimum(F * i + F, EBx - 1), _I0)
+    clamp_b = lambda i, j: (
+        j,
+        jnp.maximum(jnp.minimum(F * i - 1, EBx - 1), 0),
+        _I0,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(G, KO),
+        in_specs=[
+            pl.BlockSpec(
+                (1, kb * T, _LANES), clamp_m, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, kb * E, _LANES), clamp_f, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, kb * E, _LANES), clamp_b, memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (D, T, _LANES),
+                lambda i, j: (dblock, i, _I0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, kb * T, _LANES), lambda i, j: (j, i, _I0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((KO, kb * S, _LANES), XG.dtype),
+        compiler_params=_compiler_params(interpret),
+        interpret=interpret,
+    )(XG, XG, XG, data3)
+
+
+def dia_spmm_grouped_chunked(
+    data, XG, offsets, n, m, interpret=False, max_chunk=None
+):
+    """Wide-band wide-RHS SpMM: VMEM-sized diagonal slabs through
+    :func:`dia_spmm_grouped` (XLA sums the partials).  Each slab's
+    values stream ONCE for all k = KO*kb right-hand sides — where the
+    16-wide auto-split re-streams the whole band per pass, this path's
+    matrix traffic is pass-count-independent (the win case: LOBPCG /
+    block solvers with wide bases on RCM-banded general matrices)."""
+    data3 = _dia3(data)
+    S = data3.shape[1]
+    Sx = -(-m // _LANES)
+    kb = XG.shape[1] // Sx
+    plan = chunk_plan(
+        offsets, S, data.dtype.itemsize, max_chunk=max_chunk, k=kb
+    )
+    if plan is None:
+        raise ValueError(
+            "chunked grouped SpMM cannot tile this band at this inner "
+            "RHS count; reduce kb or use DIAMatrix.matmat (XLA paths)"
+        )
+    Y = None
+    for start, width in plan:
+        sub = tuple(offsets[start : start + width])
+        part = dia_spmm_grouped(
+            data3, XG, sub, n, m, interpret=interpret, dstart=start
+        )
+        Y = part if Y is None else Y + part
+    return Y

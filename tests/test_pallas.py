@@ -650,3 +650,167 @@ def test_symmetric_wide_band_matmat_scan(rng):
     assert np.max(np.abs(Y - dense @ X)) < 1e-11 * max(
         1.0, np.abs(dense @ X).max()
     )
+
+
+def test_grouped_interleave_roundtrip():
+    """interleave_panels_grouped/deinterleave_panels_grouped are exact
+    inverses, with zero padding past m and past k up to KO*kb panels."""
+    import sigma_tpu.ops.spmv_pallas as sp
+
+    rng = np.random.default_rng(37)
+    for kb, k, m in ((16, 40, 640), (8, 20, 1000), (16, 17, 127)):
+        XT = rng.standard_normal((k, m)).astype(np.float32)
+        XG = sp.interleave_panels_grouped(jnp.asarray(XT), kb, m)
+        Sx = -(-m // 128)
+        KO = -(-k // kb)
+        assert XG.shape == (KO, kb * Sx, 128)
+        xg = np.asarray(XG)
+        for j in range(k):
+            flat = xg[j // kb, j % kb :: kb].reshape(-1)
+            assert np.array_equal(flat[:m], XT[j])
+            assert not flat[m:].any()
+        # padding panels are zero
+        for j in range(k, KO * kb):
+            assert not xg[j // kb, j % kb :: kb].any()
+        back = np.asarray(sp.deinterleave_panels_grouped(XG, kb, k, m))
+        assert np.array_equal(back, XT)
+
+
+@pytest.mark.parametrize(
+    "n,diags,k,kb",
+    [
+        (60_000, [0, 1, -1, 300, -300], 40, 16),
+        (49_999, [0, 5, -7, 999], 20, 8),
+        (50_001, [0, -2, 131], 17, 16),
+    ],
+)
+def test_grouped_spmm_interpret(n, diags, k, kb, monkeypatch):
+    """Two-level grouped-interleaved SpMM kernel vs oracle: k > 16
+    right-hand sides with the diagonal values streamed once (the outer
+    grid axis revisits each data tile)."""
+    import sigma_tpu.ops.spmv_pallas as sp
+
+    monkeypatch.setattr(
+        sp, "_spmm_tile_pick",
+        lambda S, hrows, D, isz, k=1: (
+            64,
+            next(e for e in range(8, 65, 8) if e >= hrows and 64 % e == 0),
+        ),
+    )
+    rng = np.random.default_rng(41)
+    stride = -(-n // 128) * 128
+    data = np.zeros((len(diags), stride), np.float32)
+    for d, o in enumerate(diags):
+        lo, hi = max(0, -o), min(n, n - o)
+        data[d, lo:hi] = rng.standard_normal(hi - lo)
+    XT = rng.standard_normal((k, n)).astype(np.float32)
+    XG = sp.interleave_panels_grouped(jnp.asarray(XT), kb, n)
+    YG = sp.dia_spmm_grouped(
+        jnp.asarray(data), XG, tuple(diags), n, n, interpret=True
+    )
+    Y = np.asarray(sp.deinterleave_panels_grouped(YG, kb, k, n))
+    ref = np.zeros((k, n), np.float32)
+    for d, o in enumerate(diags):
+        lo, hi = max(0, -o), min(n, n - o)
+        ref[:, lo:hi] += data[None, d, lo:hi] * XT[:, lo + o : hi + o]
+    assert np.max(np.abs(Y - ref)) / np.max(np.abs(ref)) < 1e-5
+
+
+def test_grouped_spmm_chunked_interpret(monkeypatch):
+    """Chunked grouped SpMM: a wide band in diagonal slabs, each slab's
+    values streamed once for all k = KO*kb right-hand sides."""
+    import sigma_tpu.ops.spmv_pallas as sp
+
+    monkeypatch.setattr(
+        sp, "_spmm_tile_pick",
+        lambda S, hrows, D, isz, k=1: (
+            (64, next(e for e in range(8, 65, 8) if e >= hrows and 64 % e == 0))
+            if D <= 4
+            else None
+        ),
+    )
+    rng = np.random.default_rng(43)
+    n = 50_000
+    diags = sorted({0, 1, -1, 2, -2, 64, -64, 129, -129, 300, -300, 511})
+    k, kb = 24, 8
+    stride = -(-n // 128) * 128
+    data = np.zeros((len(diags), stride), np.float32)
+    for d, o in enumerate(diags):
+        lo, hi = max(0, -o), min(n, n - o)
+        data[d, lo:hi] = rng.standard_normal(hi - lo)
+    XT = rng.standard_normal((k, n)).astype(np.float32)
+    XG = sp.interleave_panels_grouped(jnp.asarray(XT), kb, n)
+    plan = sp.chunk_plan(tuple(diags), stride // 128, 4, k=kb)
+    assert plan is not None and len(plan) > 1  # genuinely slabbed
+    YG = sp.dia_spmm_grouped_chunked(
+        jnp.asarray(data), XG, tuple(diags), n, n, interpret=True
+    )
+    Y = np.asarray(sp.deinterleave_panels_grouped(YG, kb, k, n))
+    ref = np.zeros((k, n), np.float32)
+    for d, o in enumerate(diags):
+        lo, hi = max(0, -o), min(n, n - o)
+        ref[:, lo:hi] += data[None, d, lo:hi] * XT[:, lo + o : hi + o]
+    assert np.max(np.abs(Y - ref)) / np.max(np.abs(ref)) < 1e-5
+
+
+def test_grouped_routing_model(monkeypatch):
+    """DIAMatrix routes k > 16 SpMM through the grouped kernel exactly
+    when the traffic model says the saved value re-streams beat the
+    layout transposes — wide bands yes, the 7-pt stencil never — and
+    the routed product matches the XLA fallback."""
+    import unittest.mock as mock
+
+    import sigma_tpu.ops.spmv_pallas as sp
+    from sigma_tpu.graph.graph import DIAGraph
+    from sigma_tpu.matrix.formats import DIAMatrix
+
+    def make_dia(data, diags, n):
+        g = DIAGraph(
+            offsets=tuple(diags),
+            shape=(n, n),
+            nnz=sum(n - abs(o) for o in diags),
+        )
+        return DIAMatrix.from_graph(
+            g, jnp.asarray(data).reshape(len(diags), -1, 128)
+        )
+
+    rng = np.random.default_rng(47)
+    n = 70_000  # above _PALLAS_MIN_ELEMS so the model gate decides
+    # narrow band: model must decline (P-1)*D*4 <= 16*k
+    diags7 = [0, 1, -1, 216, -216, 4096, -4096]
+    stride = -(-n // 128) * 128
+    d7 = np.zeros((len(diags7), stride), np.float32)
+    for d, o in enumerate(diags7):
+        lo, hi = max(0, -o), min(n, n - o)
+        d7[d, lo:hi] = rng.standard_normal(hi - lo)
+    A7 = make_dia(d7, diags7, n)
+    with mock.patch.object(jax, "default_backend", lambda: "tpu"):
+        assert A7._pallas_spmm_grouped(jnp.zeros((32, n), jnp.float32)) is None
+
+    # wide band: model accepts; run the kernel in interpret mode on CPU
+    diags = sorted(set(
+        [0] + [int(o) for o in rng.integers(1, 512, 60)]
+        + [-int(o) for o in rng.integers(1, 512, 60)]
+    ))
+    data = np.zeros((len(diags), stride), np.float32)
+    for d, o in enumerate(diags):
+        lo, hi = max(0, -o), min(n, n - o)
+        data[d, lo:hi] = rng.standard_normal(hi - lo)
+    A = make_dia(data, diags, n)
+    XT = rng.standard_normal((20, n)).astype(np.float32)
+    oracle = np.asarray(A.matmat(jnp.asarray(XT.T))).T  # XLA path (CPU)
+    orig_g = sp.dia_spmm_grouped
+    orig_c = sp.dia_spmm_grouped_chunked
+    with mock.patch.object(jax, "default_backend", lambda: "tpu"), \
+         mock.patch.object(
+             sp, "dia_spmm_grouped",
+             lambda *a, **kw: orig_g(*a, **{**kw, "interpret": True}),
+         ), \
+         mock.patch.object(
+             sp, "dia_spmm_grouped_chunked",
+             lambda *a, **kw: orig_c(*a, **{**kw, "interpret": True}),
+         ):
+        Y = A._pallas_spmm_grouped(jnp.asarray(XT))
+    assert Y is not None and Y.shape == (20, n)
+    err = np.max(np.abs(np.asarray(Y) - oracle)) / np.max(np.abs(oracle))
+    assert err < 1e-5
