@@ -13,6 +13,7 @@ This umbrella module re-exports the public API, mirroring
 from sigma_tpu.matrix import (
     BSRMatrix,
     DIAMatrix,
+    PrunedDIAMatrix,
     SymmetricDIAMatrix,
     BlockMatrix,
     PtAPPlan,

@@ -22,6 +22,7 @@ from sigma_tpu.matrix.formats import (
     CSRMatrix,
     ELLMatrix,
 )
+from sigma_tpu.matrix.pruned import PrunedDIAMatrix
 from sigma_tpu.matrix.symmetric import SymmetricDIAMatrix
 from sigma_tpu.matrix.factory import (
     MATRIX_FORMATS,
@@ -40,6 +41,7 @@ __all__ = [
     "BSRMatrix",
     "DIAMatrix",
     "SymmetricDIAMatrix",
+    "PrunedDIAMatrix",
     "MATRIX_FORMATS",
     "num_matrix_types",
     "choose_matrix_type",

@@ -23,7 +23,7 @@ from sigma_tpu.graph.permutations import breadth_first_search
 from sigma_tpu.matrix.base import SparseMatrix
 from sigma_tpu.matrix.formats import DIAMatrix
 
-__all__ = ["to_banded_dia", "bandwidth", "band_occupancy"]
+__all__ = ["to_banded_dia", "to_pruned_dia", "bandwidth", "band_occupancy"]
 
 
 def bandwidth(A) -> int:
@@ -90,3 +90,53 @@ def to_banded_dia(
         A.shape[0], A.shape[1], rows, cols, vals, dtype=A.dtype
     )
     return D, p
+
+
+def to_pruned_dia(
+    A: SparseMatrix,
+    reorder: bool = True,
+    method: str = "rcm",
+    tile_rows: int = 16384,
+    group: int = 8,
+):
+    """RCM-reorder and pack directly into the PRUNED block-DIA layout
+    (:class:`sigma_tpu.matrix.pruned.PrunedDIAMatrix`) — the full DIA
+    band is never materialized, so memory is the packed size (e.g. a
+    10M-row RCM band that would store 10+ GB in full DIA packs into
+    ~1-2 GB).  Same return/permutation contract as :func:`to_banded_dia`;
+    same order-keeping rule (better of input vs reordered order, judged
+    on (diagonal count, reach)).
+
+    This is the unstructured-sparsity default on TPU: the pruned kernel
+    streams only the active (row-tile x diagonal) blocks — measured
+    5x the chunked full-band kernel's true-nnz rate at the 1M-row
+    irregular-mesh north star (benchmarks/pruned_sweep.py).
+    """
+    from sigma_tpu.matrix.pruned import PrunedDIAMatrix
+
+    if A.shape[0] != A.shape[1]:
+        raise ValueError("banded conversion expects a square matrix")
+    rows, cols, vals = A.entries()
+    p = None
+    if reorder:
+        if method == "rcm":
+            from sigma_tpu.graph.permutations import reverse_cuthill_mckee
+
+            p = reverse_cuthill_mckee(A.graph)
+        elif method == "bfs":
+            p = breadth_first_search(A.graph)
+        else:
+            raise ValueError(f"unknown reorder method {method!r}")
+        d_new = p[cols] - p[rows]
+        d_in = cols - rows
+        key_new = (np.unique(d_new).size, int(np.abs(d_new).max(initial=0)))
+        key_in = (np.unique(d_in).size, int(np.abs(d_in).max(initial=0)))
+        if key_new <= key_in:
+            rows, cols = p[rows], p[cols]
+        else:
+            p = np.arange(A.shape[0], dtype=p.dtype)
+    P = PrunedDIAMatrix.from_coo(
+        A.shape[0], A.shape[1], rows, cols, vals, dtype=A.dtype,
+        tile_rows=tile_rows, group=group,
+    )
+    return P, p

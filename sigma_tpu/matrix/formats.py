@@ -909,6 +909,15 @@ class DIAMatrix(SparseMatrix):
         passes, so the probe audits the per-pass width and returns None
         when those engage.)  ``dtype`` is the operand dtype (defaults to
         the matrix dtype).
+
+        Routing note: None means the pallas path engages, not that it is
+        the best format.  A wide band at low occupancy (RCM-reordered
+        irregular meshes: ``nnz / (n_diags * n)`` of a few percent)
+        streams mostly structural zeros here — repack with
+        :func:`sigma_tpu.matrix.banded.to_pruned_dia` /
+        :class:`~sigma_tpu.matrix.pruned.PrunedDIAMatrix`, whose kernel
+        streams only the active (row-tile x diagonal) blocks (measured
+        5x at 2.8% occupancy, benchmarks/pruned_sweep.py).
         """
         n, m = self.shape
         xdt = dtype or self.data.dtype
