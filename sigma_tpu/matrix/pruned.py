@@ -67,8 +67,13 @@ class PrunedDIAMatrix(LinearOperator):
     is_get_row_fast: ClassVar[bool] = False
     is_get_column_fast: ClassVar[bool] = False
 
-    # pallas engages above this x length (same rationale as DIAMatrix)
-    _PALLAS_MIN_ELEMS: ClassVar[int] = 65_536
+    # pallas engages above this x length.  Much lower than DIAMatrix's
+    # 65_536: DIA below that size has a VMEM-resident XLA window path at
+    # speed-of-light, but the pruned layout's only non-pallas apply is
+    # the O(slots) gather reference — never competitive on TPU, so the
+    # kernel (which handles G = 1 tiles fine) engages for anything
+    # bigger than trivial (e.g. deep pruned-AMG levels).
+    _PALLAS_MIN_ELEMS: ClassVar[int] = 1024
 
     @property
     def shape(self) -> Tuple[int, int]:

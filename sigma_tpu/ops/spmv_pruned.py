@@ -79,7 +79,8 @@ def _pick_halo(T: int, hrows: int):
 
 
 def build_pruned_plan(
-    n, m, rows, cols, vals, *, tile_rows=16384, group=8, dtype=np.float32
+    n, m, rows, cols, vals, *, tile_rows=16384, group=8, dtype=np.float32,
+    min_reach=0,
 ) -> PrunedPlan:
     """Pack COO entries into the pruned block-DIA layout.
 
@@ -93,6 +94,11 @@ def build_pruned_plan(
     Ordering contract: slots are sorted by (tile, diagonal offset), the
     same per-row accumulation order as the full blocked kernel, so
     results match it bitwise whenever one step covers a whole tile.
+
+    ``min_reach``: floor on the band reach used to size the halo (E) —
+    the distributed layer passes a mesh-global reach so every shard's
+    plan shares one (T, E, C) and stacks into a single shard_map
+    program.
     """
     if tile_rows % 1024:
         raise ValueError("tile_rows must be a multiple of 1024")
@@ -101,7 +107,7 @@ def build_pruned_plan(
     vals = np.asarray(vals).ravel()
     n, m = int(n), int(m if m is not None else n)
     offs = cols - rows
-    reach = int(max(offs.max(initial=0), -offs.min(initial=0)))
+    reach = int(max(offs.max(initial=0), -offs.min(initial=0), min_reach))
     hrows = reach // _LANES + 2
     T = tile_rows // _LANES
     while _pick_halo(T, hrows) is None:

@@ -4,6 +4,11 @@ from sigma_tpu.parallel.amg import (
     distribute_structured_amg,
     distributed_amg,
 )
+from sigma_tpu.parallel.pruned import (
+    DistributedPrunedMatrix,
+    distribute_pruned,
+    distributed_pruned_pair_amg,
+)
 from sigma_tpu.parallel.dist import (
     balance_rows,
     DistributedDIAMatrix,
@@ -23,6 +28,9 @@ __all__ = [
     "distributed_amg",
     "DistributedMatrix",
     "DistributedDIAMatrix",
+    "DistributedPrunedMatrix",
+    "distribute_pruned",
+    "distributed_pruned_pair_amg",
     "distribute_matrix_dia",
     "distribute_matrix",
     "distribute_vector",

@@ -1,0 +1,395 @@
+"""Distributed pruned block-DIA: the unstructured flagship format over a
+device mesh, plus its multilevel preconditioner.
+
+Row-partitions a banded (RCM-reordered) general matrix into equal shard
+blocks; each shard holds its OWN pruned plan (packed active (row-tile x
+diagonal) blocks of its row slab, :mod:`sigma_tpu.ops.spmv_pruned`),
+padded to a common step count so one shard_map program serves every
+shard.  The SpMV communication is two nearest-neighbor ``ppermute``
+halo exchanges (the band reach never exceeds a shard), issued before the
+local kernel so XLA overlaps the ICI hop with compute — the same
+halo-before-local ordering as :class:`~sigma_tpu.parallel.dist.
+DistributedDIAMatrix`.
+
+``distributed_pruned_pair_amg`` builds the 1-D pair-aggregation
+hierarchy of :func:`sigma_tpu.solvers.gmg.pruned_pair_amg` with every
+level a :class:`DistributedPrunedMatrix`: shard blocks are powers of two
+times 128, so pair aggregates never straddle a shard boundary and every
+reshape-pair transfer is shard-local under GSPMD; the coarsest dense
+inverse is replicated.  Same numerics as the single-device hierarchy
+built over the same padded index space (``pad_to=n_pad``) — iteration
+parity is asserted in tests and the driver dry run.
+
+This closes the reference's distribution seam for its any-pattern
+matrices (``sparse_matrix_composites.f90:1076-1129`` — "This loop can be
+parallelized" — over ``cs_matrices.f90:600-622``-class operators): the
+strongest unstructured preconditioner in the library now distributes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from sigma_tpu.operators.linear_operator import LinearOperator
+from sigma_tpu.parallel.dist import distribute_vector, undistribute_vector
+
+__all__ = [
+    "DistributedPrunedMatrix",
+    "distribute_pruned",
+    "distributed_pruned_pair_amg",
+]
+
+_LANES = 128
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True, repr=False)
+class DistributedPrunedMatrix(LinearOperator):
+    """Row-sharded pruned block-DIA (see module docstring).
+
+    Leading axes of ``data``/``tile``/``first``/``rowoff``/``laneoff``
+    are sharded over ``mesh[axis]``; each shard's slice is its local
+    plan (padded to the common ``Lmax`` steps with zero-value slots).
+    Local matrices are rectangular ``(block, block + 2*halo_words)``:
+    column index ``c_loc = c_global - shard_start + halo_words``.
+    """
+
+    data: jax.Array  # (D*Lmax, C, T, 128)
+    tile: jax.Array  # (D*Lmax,)
+    first: jax.Array  # (D*Lmax,)
+    rowoff: jax.Array  # (D*Lmax*C,)
+    laneoff: jax.Array  # (D*Lmax*C,)
+    mesh: Mesh = dataclasses.field(metadata=dict(static=True))
+    axis: str = dataclasses.field(metadata=dict(static=True))
+    n: int = dataclasses.field(metadata=dict(static=True))
+    block: int = dataclasses.field(metadata=dict(static=True))
+    halo_words: int = dataclasses.field(metadata=dict(static=True))
+    halo_E: int = dataclasses.field(metadata=dict(static=True))
+    nnz: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n, self.n)
+
+    @property
+    def n_shards(self) -> int:
+        return self.mesh.shape[self.axis]
+
+    @property
+    def n_pad(self) -> int:
+        return self.block * self.n_shards
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def astype(self, dtype) -> "DistributedPrunedMatrix":
+        """Cast the packed VALUES only (bf16 halves each shard's
+        dominant HBM stream; iterate vectors keep the caller's dtype)."""
+        return dataclasses.replace(self, data=self.data.astype(dtype))
+
+    def _use_kernel(self, xdt) -> bool:
+        if jnp.dtype(xdt) not in (jnp.float32, jnp.bfloat16):
+            return False
+        if jnp.dtype(self.dtype) not in (jnp.float32, jnp.bfloat16):
+            return False
+        try:
+            return jax.default_backend() == "tpu"
+        except RuntimeError:
+            return False
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        D = self.n_shards
+        Hw = self.halo_words
+        C, T = self.data.shape[1], self.data.shape[2]
+        kw = dict(
+            T=T, E=self.halo_E, C=C, n=self.block,
+            m=self.block + 2 * Hw,
+        )
+        use_kernel = self._use_kernel(x.dtype)
+
+        def local(x_local, data, tile, first, ro, lo_):
+            # nearest-neighbor halos FIRST (no dependency on the local
+            # FMA work -> XLA overlaps the ICI hop with ring-0 compute).
+            # Ring wrap at the edge shards delivers finite garbage that
+            # only ever multiplies structurally-zero packed slots.
+            if D > 1:
+                left = lax.ppermute(
+                    x_local[-Hw:], self.axis,
+                    [(s, (s + 1) % D) for s in range(D)],
+                )
+                right = lax.ppermute(
+                    x_local[:Hw], self.axis,
+                    [(s, (s - 1) % D) for s in range(D)],
+                )
+            else:
+                left = jnp.zeros((Hw,), x_local.dtype)
+                right = jnp.zeros((Hw,), x_local.dtype)
+            x_ext = jnp.concatenate([left, x_local, right])
+            if use_kernel:
+                from sigma_tpu.ops.spmv_pruned import dia_spmv_pallas_pruned
+
+                return dia_spmv_pallas_pruned(
+                    data, x_ext, tile, first, ro, lo_, **kw
+                )
+            from sigma_tpu.ops.spmv_pruned import pruned_matvec_reference
+
+            return pruned_matvec_reference(data, x_ext, tile, ro, lo_, **kw)
+
+        f = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(
+                P(self.axis), P(self.axis), P(self.axis), P(self.axis),
+                P(self.axis), P(self.axis),
+            ),
+            out_specs=P(self.axis),
+            check_vma=not use_kernel,
+        )
+        return f(
+            x, self.data, self.tile, self.first, self.rowoff, self.laneoff
+        )
+
+    def diagonal(self) -> jax.Array:
+        """Main-diagonal entries as a sharded (n_pad,) vector (host
+        extraction at setup time is the intended path; this exists for
+        operator-generic preconditioners)."""
+        raise NotImplementedError(
+            "extract the diagonal from the COO triples at setup time"
+        )
+
+    def shard_vector(self, x) -> jax.Array:
+        return distribute_vector(x, self.mesh, self.axis, self.n_pad)
+
+    def unshard_vector(self, x: jax.Array) -> np.ndarray:
+        return undistribute_vector(x, self.n)
+
+    def __repr__(self) -> str:
+        return (
+            f"DistributedPrunedMatrix(n={self.n}, shards={self.n_shards}, "
+            f"block={self.block}, halo={self.halo_words}, "
+            f"steps/shard={self.data.shape[0] // self.n_shards})"
+        )
+
+
+def _next_pow2(v: int) -> int:
+    return 1 << max(int(v) - 1, 0).bit_length()
+
+
+def distribute_pruned(
+    n,
+    rows,
+    cols,
+    vals,
+    mesh: Mesh,
+    *,
+    axis: str = "rows",
+    tile_rows: int = 16384,
+    group: int = 8,
+    block: int | None = None,
+    dtype=None,
+) -> DistributedPrunedMatrix:
+    """Build a row-sharded pruned matrix from (RCM-ordered) COO triples.
+
+    ``block`` (rows per shard) defaults to the smallest power-of-two
+    multiple of 128 covering ``ceil(n / n_shards)`` — the power-of-two
+    choice keeps pair-aggregation levels shard-aligned
+    (:func:`distributed_pruned_pair_amg`).  The band reach must not
+    exceed ``block`` (one-neighbor halo exchange).
+    """
+    from sigma_tpu.ops.spmv_pruned import build_pruned_plan
+
+    D = mesh.shape[axis]
+    rows = np.asarray(rows, dtype=np.int64).ravel()
+    cols = np.asarray(cols, dtype=np.int64).ravel()
+    vals = np.asarray(vals).ravel()
+    dt = np.dtype(dtype or vals.dtype)
+    if dt == np.float64 and not jax.config.read("jax_enable_x64"):
+        dt = np.dtype(np.float32)
+    n = int(n)
+    if block is None:
+        # floor 1024: the pruned plan's minimum tile (8 sublanes x 128)
+        block = max(128 * _next_pow2(-(-n // (D * 128))), 1024)
+    if block % 1024:
+        raise ValueError("block must be a multiple of 1024 (minimum tile)")
+    offs = cols - rows
+    reach = int(max(offs.max(initial=0), -offs.min(initial=0)))
+    if reach > block:
+        raise ValueError(
+            f"band reach {reach} exceeds the shard block {block}: "
+            "halo exchange is nearest-neighbor only — raise block or "
+            "reduce bandwidth (RCM)"
+        )
+    Hw = (reach // _LANES + 1) * _LANES
+    tr = min(tile_rows, block)
+
+    order = np.argsort(rows // block, kind="stable")
+    rows, cols, vals = rows[order], cols[order], vals[order]
+    bounds = np.searchsorted(rows // block, np.arange(D + 1))
+    plans = []
+    for s in range(D):
+        sl = slice(bounds[s], bounds[s + 1])
+        plans.append(
+            build_pruned_plan(
+                block, block + 2 * Hw,
+                rows[sl] - s * block,
+                cols[sl] - s * block + Hw,
+                vals[sl],
+                tile_rows=tr, group=group, dtype=dt,
+                min_reach=reach + Hw,
+            )
+        )
+    T, E, C = plans[0].T, plans[0].E, plans[0].C
+    assert all((p.T, p.E, p.C) == (T, E, C) for p in plans)
+    Lmax = max(p.L for p in plans)
+    G = -(-(block // _LANES) // T)
+    data = np.zeros((D * Lmax, C, T, _LANES), dt)
+    tile = np.full(D * Lmax, G - 1, np.int32)
+    first = np.zeros(D * Lmax, np.int32)
+    rowoff = np.full(D * Lmax * C, E, np.int32)
+    laneoff = np.zeros(D * Lmax * C, np.int32)
+    for s, p in enumerate(plans):
+        data[s * Lmax : s * Lmax + p.L] = p.data.reshape(p.L, C, T, _LANES)
+        tile[s * Lmax : s * Lmax + p.L] = p.tile
+        first[s * Lmax : s * Lmax + p.L] = p.first
+        rowoff[s * Lmax * C : s * Lmax * C + p.L * C] = p.rowoff
+        laneoff[s * Lmax * C : s * Lmax * C + p.L * C] = p.laneoff
+
+    shard = NamedSharding(mesh, P(axis))
+    key = rows * np.int64(n) + cols
+    return DistributedPrunedMatrix(
+        data=jax.device_put(data, shard),
+        tile=jax.device_put(tile, shard),
+        first=jax.device_put(first, shard),
+        rowoff=jax.device_put(rowoff, shard),
+        laneoff=jax.device_put(laneoff, shard),
+        mesh=mesh, axis=axis, n=n, block=int(block),
+        halo_words=int(Hw), halo_E=int(E),
+        nnz=int(np.unique(key).size),
+    )
+
+
+def distributed_pruned_pair_amg(
+    n,
+    rows,
+    cols,
+    vals,
+    mesh: Mesh,
+    *,
+    axis: str = "rows",
+    coarse_size: int = 4096,
+    omega: float = 2.0 / 3.0,
+    n_smooth: int = 1,
+    smoother: str = "chebyshev",
+    level_dtype=None,
+    tile_rows: int = 16384,
+    group: int = 8,
+    fine_A: DistributedPrunedMatrix | None = None,
+):
+    """Distributed 1-D pair-aggregation AMG over COO triples: every level
+    a :class:`DistributedPrunedMatrix`, transfers shard-local (see module
+    docstring), coarsest dense inverse replicated.  Numerically identical
+    to ``pruned_pair_amg(..., pad_to=fine.n_pad)`` — the dry run asserts
+    iteration parity."""
+    from sigma_tpu.solvers.gmg import (
+        StructuredAMGPreconditioner,
+        _SLevel,
+    )
+
+    if smoother not in ("jacobi", "chebyshev"):
+        raise ValueError(f"unknown smoother {smoother!r}")
+    if coarse_size > 8192:
+        raise ValueError("coarse_size above ~8K is dense-inverted")
+
+    D = mesh.shape[axis]
+    rows = np.asarray(rows, dtype=np.int64).ravel()
+    cols = np.asarray(cols, dtype=np.int64).ravel()
+    vals = np.asarray(vals).ravel()
+    dtype = np.dtype(vals.dtype)
+    if dtype == np.float64 and not jax.config.read("jax_enable_x64"):
+        dtype = np.dtype(np.float32)
+        vals = vals.astype(dtype)
+    lvl_np = np.dtype(level_dtype) if level_dtype is not None else dtype
+    n = int(n)
+
+    if fine_A is not None:
+        block = fine_A.block
+    else:
+        block = 128 * _next_pow2(-(-n // (D * 128)))
+    if block & (block - 1) or block % 128:
+        raise ValueError("shard block must be a power-of-two multiple of 128")
+    n_pad = D * block
+
+    def _dinv_lmax(nl, r, c, v):
+        diag = np.zeros(nl, np.float64)
+        np.add.at(diag, r[r == c], v[r == c].astype(np.float64))
+        dinv = np.where(diag != 0, 1.0, 0.0) / np.where(diag != 0, diag, 1.0)
+        lmax = None
+        if smoother == "chebyshev":
+            rs = np.zeros(nl, np.float64)
+            np.add.at(rs, r, np.abs(v).astype(np.float64))
+            ad = np.abs(diag)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ratio = np.where(ad > 0, rs / np.where(ad > 0, ad, 1.0), 0.0)
+            lmax = float(ratio.max())
+        return dinv.astype(dtype), lmax
+
+    rep = NamedSharding(mesh, P())
+    levels = []
+    nl, blk = n_pad, block
+    r, c, v = rows, cols, vals
+    # blk >= 1024: the pruned plan's minimum tile is 8 sublanes x 128
+    # lanes; once shard blocks reach 512 the remainder goes to the
+    # replicated dense coarse solve (n_shards * 512 rows)
+    while nl > coarse_size and blk >= 1024:
+        if not levels and fine_A is not None:
+            Alvl = fine_A
+            if lvl_np != np.dtype(fine_A.data.dtype):
+                Alvl = fine_A.astype(lvl_np)
+        else:
+            Alvl = distribute_pruned(
+                nl, r, c, v, mesh, axis=axis,
+                tile_rows=min(tile_rows, blk), group=group,
+                block=blk, dtype=lvl_np,
+            )
+        dinv, lmax = _dinv_lmax(nl, r, c, v)
+        levels.append(
+            _SLevel(
+                A=Alvl,
+                dinv=distribute_vector(dinv, mesh, axis, nl),
+                dims=(nl,),
+                axes=(0,),
+                omega=float(omega),
+                lmax=None if lmax is None
+                else jax.device_put(np.asarray(lmax, dtype), rep),
+            )
+        )
+        nc = nl // 2
+        key = (r // 2) * nc + c // 2
+        ukey, inv = np.unique(key, return_inverse=True)
+        cv = np.zeros(ukey.size, dtype)
+        np.add.at(cv, inv, (0.5 * v).astype(dtype))
+        keep = cv != 0
+        ukey, cv = ukey[keep], cv[keep]
+        r, c, v = ukey // nc, ukey % nc, cv
+        nl, blk = nc, blk // 2
+
+    coarse = np.zeros((nl, nl), np.float64)
+    coarse[r, c] = v.astype(np.float64)
+    coarse += 1e-12 * np.eye(nl)
+    cinv = jax.device_put(np.linalg.inv(coarse).astype(dtype), rep)
+
+    return StructuredAMGPreconditioner(
+        levels=tuple(levels),
+        coarse_inv=cinv,
+        n_smooth=n_smooth,
+        smoother=smoother,
+    )

@@ -54,6 +54,7 @@ from sigma_tpu.operators.linear_operator import LinearOperator
 __all__ = [
     "StructuredAMGPreconditioner",
     "structured_pair_amg",
+    "pruned_pair_amg",
     "structured_amg",
 ]
 
@@ -669,6 +670,142 @@ def _gershgorin_dinv_a(grids) -> float:
     with np.errstate(divide="ignore", invalid="ignore"):
         ratio = np.where(diag > 0, rows / np.where(diag > 0, diag, 1.0), 0.0)
     return float(ratio.max())
+
+
+def pruned_pair_amg(
+    n,
+    rows,
+    cols,
+    vals,
+    *,
+    coarse_size: int = 4096,
+    omega: float = 2.0 / 3.0,
+    n_smooth: int = 1,
+    smoother: str = "chebyshev",
+    max_levels: int = 64,
+    level_dtype=None,
+    tile_rows: int = 16384,
+    group: int = 8,
+    fine_A=None,
+    pad_to: int | None = None,
+) -> StructuredAMGPreconditioner:
+    """1-D pair-aggregation AMG over COO input, every level stored in
+    the PRUNED block-DIA layout (:class:`~sigma_tpu.matrix.pruned.
+    PrunedDIAMatrix`) — the multilevel preconditioner for RCM-banded
+    unstructured matrices at scales where the full DIA band does not
+    fit memory (10M rows x 245 diagonals = 10.3 GB full vs ~1-2 GB
+    pruned), which is where :func:`structured_pair_amg`'s dense
+    diagonal-grid setup stops applying.
+
+    Same mathematical hierarchy as ``structured_pair_amg(D, (n,))``:
+    pair consecutive indices with weight 1/sqrt(2) columns of P, so the
+    Galerkin coarse operator is the closed form
+    ``C[r//2, c//2] += 0.5 * A[r, c]`` — here evaluated directly on the
+    COO triples (one ``np.unique`` + scatter-add per level, O(nnz log
+    nnz) host work, no diagonal value grids), so setup never touches
+    the padded band.  The returned
+    :class:`StructuredAMGPreconditioner` reuses the standard cycle:
+    1-D reshape-pair transfers (lane-axis safe), Jacobi or Chebyshev
+    smoothing (Gershgorin-bounded interval — a power-iteration
+    under-estimate diverges, BENCHMARKS.md), dense-inverse coarse solve.
+
+    Pass ``fine_A`` (a PrunedDIAMatrix over the SAME COO triples) to
+    reuse it as the level-0 operator instead of re-packing.  ``pad_to``
+    coarsens in a padded index space (zero rows beyond ``n``) — pass the
+    distributed layout's ``n_pad`` to make this hierarchy the exact
+    single-device twin of :func:`sigma_tpu.parallel.pruned.
+    distributed_pruned_pair_amg` for parity tests.
+
+    No reference analogue (the reference has no multigrid); the
+    capability it extends is the any-pattern solve of
+    ``/root/reference/src/matrix/formats/cs_matrices.f90:600-622``
+    composed with its solver stack.
+    """
+    from sigma_tpu.matrix.pruned import PrunedDIAMatrix
+
+    if coarse_size > 8192:
+        raise ValueError(
+            "the coarsest level is dense-inverted; coarse_size above "
+            "~8K is intractable (see structured_pair_amg CAUTION)"
+        )
+    n = int(n)
+    if pad_to is not None:
+        if pad_to < n:
+            raise ValueError(f"pad_to {pad_to} < n {n}")
+        n = int(pad_to)
+    rows = np.asarray(rows, dtype=np.int64).ravel()
+    cols = np.asarray(cols, dtype=np.int64).ravel()
+    vals = np.asarray(vals).ravel()
+    dtype = np.dtype(vals.dtype)
+    if dtype == np.float64 and not jax.config.read("jax_enable_x64"):
+        dtype = np.dtype(np.float32)
+        vals = vals.astype(dtype)
+    lvl_np = np.dtype(level_dtype) if level_dtype is not None else dtype
+
+    if smoother not in ("jacobi", "chebyshev"):
+        raise ValueError(f"unknown smoother {smoother!r}")
+
+    def _dinv_lmax(nl, r, c, v):
+        diag = np.zeros(nl, np.float64)
+        np.add.at(diag, r[r == c], v[r == c].astype(np.float64))
+        dinv = np.where(diag != 0, 1.0, 0.0) / np.where(diag != 0, diag, 1.0)
+        lmax = None
+        if smoother == "chebyshev":
+            rs = np.zeros(nl, np.float64)
+            np.add.at(rs, r, np.abs(v).astype(np.float64))
+            ad = np.abs(diag)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ratio = np.where(ad > 0, rs / np.where(ad > 0, ad, 1.0), 0.0)
+            lmax = float(ratio.max())
+        return dinv.astype(dtype), lmax
+
+    specs = []  # (nl, rows, cols, vals)
+    while n > coarse_size and len(specs) < max_levels - 1:
+        specs.append((n, rows, cols, vals))
+        nc = (n + 1) // 2
+        key = (rows // 2) * nc + cols // 2
+        ukey, inv = np.unique(key, return_inverse=True)
+        cv = np.zeros(ukey.size, dtype)
+        np.add.at(cv, inv, (0.5 * vals).astype(dtype))
+        keep = cv != 0  # prune exact cancellations to keep packing tight
+        ukey, cv = ukey[keep], cv[keep]
+        rows, cols, vals = ukey // nc, ukey % nc, cv
+        n = nc
+
+    coarse = np.zeros((n, n), np.float64)
+    coarse[rows, cols] = vals.astype(np.float64)  # post-unique: no dups
+    coarse += 1e-12 * np.eye(n)
+    cinv = jnp.asarray(np.linalg.inv(coarse).astype(dtype))
+
+    levels = []
+    for li, (nl, r, c, v) in enumerate(specs):
+        if li == 0 and fine_A is not None:
+            Alvl = fine_A
+            if lvl_np != np.dtype(fine_A.data.dtype):
+                Alvl = fine_A.astype(lvl_np)
+        else:
+            Alvl = PrunedDIAMatrix.from_coo(
+                nl, nl, r, c, v, dtype=lvl_np,
+                tile_rows=tile_rows, group=group,
+            )
+        dinv, lmax = _dinv_lmax(nl, r, c, v)
+        levels.append(
+            _SLevel(
+                A=Alvl,
+                dinv=jnp.asarray(dinv),
+                dims=(nl,),
+                axes=(0,),
+                omega=float(omega),
+                lmax=None if lmax is None else jnp.asarray(lmax, dtype),
+            )
+        )
+
+    return StructuredAMGPreconditioner(
+        levels=tuple(levels),
+        coarse_inv=cinv,
+        n_smooth=n_smooth,
+        smoother=smoother,
+    )
 
 
 class StructuredAMGFactory:

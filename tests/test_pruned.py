@@ -159,6 +159,163 @@ def test_why_not_pallas_reasons(rng):
     assert "f32/bf16" in big.why_not_pallas(dtype=jnp.float64)
 
 
+def test_pruned_pair_amg_matches_structured(rng):
+    # pruned-level hierarchy over COO == structured_pair_amg(D, (n,)):
+    # same pair aggregation, same closed-form Galerkin, so the V-cycle
+    # applications agree to roundoff and the CG win carries over
+    from sigma_tpu.solvers import (
+        cg_solve,
+        pruned_pair_amg,
+        structured_pair_amg,
+    )
+
+    n = 700
+    dense = np.zeros((n, n))
+    i = np.arange(n)
+    for o in (1, 3, 7):
+        v = -np.abs(rng.random(n - o)) * 0.5
+        dense[i[:-o], i[:-o] + o] = v
+        dense[i[:-o] + o, i[:-o]] = v
+    dense[i, i] = np.abs(dense).sum(1) + 0.5
+    rows, cols = np.nonzero(dense)
+    vals = dense[rows, cols]
+    D = DIAMatrix.from_coo(n, n, rows, cols, vals)
+    r = rng.standard_normal(n)
+    for sm in ("jacobi", "chebyshev"):
+        M1 = structured_pair_amg(D, (n,), coarse_size=64, smoother=sm)
+        M2 = pruned_pair_amg(n, rows, cols, vals, coarse_size=64,
+                             smoother=sm, tile_rows=1024, group=2)
+        assert len(M1.levels) == len(M2.levels)
+        y1 = np.asarray(M1.matvec(jnp.asarray(r)))
+        y2 = np.asarray(M2.matvec(jnp.asarray(r)))
+        assert np.abs(y1 - y2).max() < 1e-10 * np.abs(y1).max()
+    xstar = rng.standard_normal(n)
+    b = jnp.asarray(dense @ xstar)
+    x, info = cg_solve(D, b, tol=0.0, rtol=1e-12, maxiter=200, M=M2)
+    x0, info0 = cg_solve(D, b, tol=0.0, rtol=1e-12, maxiter=200)
+    assert int(info.iterations) < int(info0.iterations)
+    assert np.abs(np.asarray(x) - xstar).max() < 1e-9
+
+
+def test_pruned_pair_amg_guards():
+    from sigma_tpu.solvers import pruned_pair_amg
+
+    with pytest.raises(ValueError, match="coarse_size"):
+        pruned_pair_amg(10, [0], [0], [1.0], coarse_size=100000)
+    with pytest.raises(ValueError, match="smoother"):
+        pruned_pair_amg(10, [0], [0], [1.0], smoother="sor")
+
+
+def _banded_spd(rng, n, offs=(1, 2, 5, 11), shift=0.01):
+    dense = np.zeros((n, n))
+    i = np.arange(n)
+    for o in offs:
+        v = -np.abs(rng.random(n - o)) * 0.4
+        dense[i[:-o], i[:-o] + o] = v
+        dense[i[:-o] + o, i[:-o]] = v
+    dense[i, i] = np.abs(dense).sum(1) + shift
+    rows, cols = np.nonzero(dense)
+    return dense, rows, cols, dense[rows, cols]
+
+
+def test_distributed_pruned_matvec_and_cg_parity(rng):
+    # row-sharded pruned matvec is BITWISE the single-device twin's
+    # (same tiles, same per-tile slot order), and distributed CG matches
+    # iterate + iteration count
+    from sigma_tpu.parallel import distribute_pruned, make_mesh
+    from sigma_tpu.solvers import cg_solve
+
+    n = 6000
+    dense, rows, cols, vals = _banded_spd(rng, n)
+    mesh = make_mesh(8)
+    Ad = distribute_pruned(n, rows, cols, vals, mesh, tile_rows=1024,
+                           group=4)
+    n_pad = Ad.n_pad
+    P1 = PrunedDIAMatrix.from_coo(
+        n_pad, n_pad, rows, cols, vals,
+        tile_rows=min(1024, Ad.block), group=4,
+    )
+    x = rng.standard_normal(n)
+    yd = Ad.unshard_vector(Ad.matvec(Ad.shard_vector(x)))
+    xp = np.zeros(n_pad)
+    xp[:n] = x
+    y1 = np.asarray(P1.matvec(jnp.asarray(xp)))[:n]
+    assert np.abs(yd - dense @ x).max() < 1e-10 * np.abs(dense @ x).max()
+    assert np.abs(yd - y1).max() == 0.0
+
+    b = dense @ rng.standard_normal(n)
+    bp = np.zeros(n_pad)
+    bp[:n] = b
+    xd, infod = jax.jit(
+        lambda A_, bb: cg_solve(A_, bb, tol=0.0, rtol=1e-8, maxiter=40)
+    )(Ad, Ad.shard_vector(b))
+    x1, info1 = jax.jit(
+        lambda A_, bb: cg_solve(A_, bb, tol=0.0, rtol=1e-8, maxiter=40)
+    )(P1, jnp.asarray(bp))
+    assert int(infod.iterations) == int(info1.iterations)
+    err = np.abs(Ad.unshard_vector(xd) - np.asarray(x1)[:n]).max()
+    assert err < 1e-8
+
+
+def test_distributed_pruned_pair_amg_parity(rng):
+    # the distributed multilevel preconditioner for unstructured banded
+    # matrices: exact iteration parity with the single-device hierarchy
+    # over the same padded index space (VERDICT r03 item 3)
+    from sigma_tpu.parallel import (
+        distribute_pruned,
+        distributed_pruned_pair_amg,
+        make_mesh,
+    )
+    from sigma_tpu.solvers import cg_solve, pruned_pair_amg
+
+    n = 6000
+    dense, rows, cols, vals = _banded_spd(rng, n)
+    mesh = make_mesh(4)
+    Ad = distribute_pruned(n, rows, cols, vals, mesh, tile_rows=1024,
+                           group=4)
+    n_pad = Ad.n_pad
+    P1 = PrunedDIAMatrix.from_coo(
+        n_pad, n_pad, rows, cols, vals,
+        tile_rows=min(1024, Ad.block), group=4,
+    )
+    Mg_d = distributed_pruned_pair_amg(
+        n, rows, cols, vals, mesh, coarse_size=2048, tile_rows=1024,
+        group=4, fine_A=Ad,
+    )
+    Mg_1 = pruned_pair_amg(
+        n, rows, cols, vals, coarse_size=2048,
+        tile_rows=min(1024, Ad.block), group=4, pad_to=n_pad, fine_A=P1,
+    )
+    assert len(Mg_d.levels) == len(Mg_1.levels)
+    b = dense @ rng.standard_normal(n)
+    bp = np.zeros(n_pad)
+    bp[:n] = b
+    solve = lambda A_, bb, M: cg_solve(
+        A_, bb, tol=0.0, rtol=1e-8, maxiter=60, M=M
+    )
+    xg, infog = jax.jit(solve)(Ad, Ad.shard_vector(b), Mg_d)
+    xg1, infog1 = jax.jit(solve)(P1, jnp.asarray(bp), Mg_1)
+    x0, info0 = jax.jit(
+        lambda A_, bb: cg_solve(A_, bb, tol=0.0, rtol=1e-8, maxiter=60)
+    )(Ad, Ad.shard_vector(b))
+    assert int(infog.iterations) == int(infog1.iterations)
+    assert int(infog.iterations) < int(info0.iterations)  # multilevel wins
+    errg = np.abs(Ad.unshard_vector(xg) - np.asarray(xg1)[:n]).max()
+    assert errg < 1e-6 * max(1.0, np.abs(np.asarray(xg1)).max())
+
+
+def test_distributed_pruned_guards(rng):
+    from sigma_tpu.parallel import distribute_pruned, make_mesh
+
+    mesh = make_mesh(4)
+    # band reach beyond the shard block: nearest-neighbor halo cannot
+    # serve it
+    with pytest.raises(ValueError, match="reach"):
+        distribute_pruned(
+            4096, [0], [4000], [1.0], mesh, block=1024
+        )
+
+
 def test_empty_tiles_and_tiny(rng):
     # rows concentrated in one tile; other tiles must still zero their y
     n = 5000
