@@ -61,6 +61,28 @@ __all__ = [
 _W = 1.0 / math.sqrt(2.0)  # aggregate weight (columns of P unit-norm for pairs)
 
 
+def _pair_matrices():
+    """0/1 lane-deinterleave matrices for the MXU pair transfer:
+    ``M0[k, l] = 1`` iff ``l < 64`` and ``k in {2l, 2l+1}``; ``M1`` the
+    upper-half counterpart.  Restricting via ``X @ M0`` turns the
+    lane-interleaved pair sum into two 128x128 matmuls — measured 38x
+    faster than the reshape-pair form at 1M rows (1.56 -> 0.041 ms per
+    restrict+prolong round trip; the reshape's stride-2 lane access is a
+    relayout, benchmarks/transfer_probe.py).  Entries are 0/1 so
+    Precision.HIGHEST keeps the product f32-exact (each output is the
+    sum of exactly two inputs)."""
+    M0 = np.zeros((128, 128), np.float32)
+    M1 = np.zeros((128, 128), np.float32)
+    for l in range(64):
+        M0[2 * l, l] = M0[2 * l + 1, l] = 1.0
+        M1[2 * l, 64 + l] = M1[2 * l + 1, 64 + l] = 1.0
+    return M0, M1
+
+
+_PAIR_M0, _PAIR_M1 = _pair_matrices()
+_HI = jax.lax.Precision.HIGHEST
+
+
 def _axis_candidates(o, dims):
     """All per-axis displacement tuples that flatten to offset ``o`` with
     minimal-magnitude remainders.  Usually one; a remainder that lands
@@ -306,17 +328,29 @@ class StructuredAMGPreconditioner(LinearOperator):
         for ax in lvl.axes:
             dims_s = stages[-1]
             c = dims_s[ax]
-            if nd == 1:
-                # 1-D (wide-band/RCM) grids: stride-2 slices permute
-                # LANES — measured 9.0 vs 1.5 ms on a 1M-row
-                # restrict+prolong round trip — so pair by a contiguous
-                # (c/2, 2) reshape + minor-dim sum (same two operands,
-                # bit-identical result).  Gated to nd == 1: the same
-                # rewrite inside the multi-axis 3-D cycle FAULTS the TPU
-                # worker on this axon stack at nx=216 (fine standalone,
-                # fine at nx=64 — a fusion-dependent runtime fault like
-                # the manual-DMA one, BENCHMARKS.md), while 1-D is
-                # hardware-validated end-to-end
+            if nd == 1 and c % 256 == 0:
+                # 1-D (wide-band/RCM) grids, 256-aligned extents (every
+                # pruned/padded hierarchy): the pair sum as two 128x128
+                # MXU matmuls with 0/1 deinterleave matrices — 38x over
+                # the reshape-pair form (see :func:`_pair_matrices`)
+                M0 = jnp.asarray(_PAIR_M0, x3.dtype)
+                M1 = jnp.asarray(_PAIR_M1, x3.dtype)
+                Xp = x3.reshape(c // 256, 2, 128)
+                x3 = w * (
+                    jnp.matmul(Xp[:, 0, :], M0, precision=_HI)
+                    + jnp.matmul(Xp[:, 1, :], M1, precision=_HI)
+                ).reshape(c // 2)
+            elif nd == 1:
+                # 1-D unaligned extents: stride-2 slices permute LANES —
+                # measured 9.0 vs 1.5 ms on a 1M-row restrict+prolong
+                # round trip — so pair by a contiguous (c/2, 2) reshape +
+                # minor-dim sum (same two operands, bit-identical
+                # result).  Gated to nd == 1: the same rewrite inside
+                # the multi-axis 3-D cycle FAULTS the TPU worker on this
+                # axon stack at nx=216 (fine standalone, fine at nx=64 —
+                # a fusion-dependent runtime fault like the manual-DMA
+                # one, BENCHMARKS.md), while 1-D is hardware-validated
+                # end-to-end
                 if c % 2:
                     pad = [(0, 0)] * nd
                     pad[ax] = (0, 1)
@@ -352,7 +386,19 @@ class StructuredAMGPreconditioner(LinearOperator):
         for si in range(len(lvl.axes) - 1, -1, -1):
             ax = lvl.axes[si]
             c = stages[si][ax]
-            if nd == 1:
+            if nd == 1 and c % 256 == 0:
+                # MXU interleave: transpose of the restrict matmuls
+                M0 = jnp.asarray(_PAIR_M0, e3.dtype)
+                M1 = jnp.asarray(_PAIR_M1, e3.dtype)
+                Ec = e3.reshape(c // 256, 128)
+                e3 = w * jnp.stack(
+                    [
+                        jnp.matmul(Ec, M0.T, precision=_HI),
+                        jnp.matmul(Ec, M1.T, precision=_HI),
+                    ],
+                    axis=1,
+                ).reshape(c)
+            elif nd == 1:
                 # broadcast-reshape repeat on the lane axis (see above;
                 # gated to 1-D — the multi-axis form faults this stack)
                 e3 = w * jnp.broadcast_to(
