@@ -417,6 +417,37 @@ def main():
                     f"unstructured sym+bf16 {symbf_rate/1e9:.2f} Gnnz/s "
                     f"true ({symbf_rate/true_rate:.2f}x)", t0
                 )
+            if _time.time() - t0 < 520:
+                # PRUNED block-DIA (round 4): only the active (row-tile x
+                # diagonal) blocks stream — the occupancy attack on the
+                # same matrix (benchmarks/pruned_sweep.py)
+                from sigma_tpu.matrix.banded import to_pruned_dia
+
+                Pu, _ = to_pruned_dia(Au)
+                pr_rate = bench_spmv(Pu, nnz_u, K1=10, K2=50)
+                unstructured["pruned_true_gnnz_s"] = round(pr_rate / 1e9, 3)
+                unstructured["pruned_speedup_vs_chunked"] = round(
+                    pr_rate / true_rate, 2
+                )
+                unstructured["pruned_local_occupancy"] = round(
+                    nnz_u / Pu.stored_slots, 4
+                )
+                _progress(
+                    f"unstructured pruned {pr_rate/1e9:.2f} Gnnz/s true "
+                    f"({pr_rate/true_rate:.2f}x chunked)", t0
+                )
+                Pb = Pu.astype(jnp.bfloat16)
+                prb_rate = bench_spmv(Pb, nnz_u, K1=10, K2=50)
+                unstructured["pruned_bf16_true_gnnz_s"] = round(
+                    prb_rate / 1e9, 3
+                )
+                unstructured["pruned_bf16_speedup_vs_f32_full"] = round(
+                    prb_rate / true_rate, 2
+                )
+                _progress(
+                    f"unstructured pruned+bf16 {prb_rate/1e9:.2f} Gnnz/s "
+                    f"true ({prb_rate/true_rate:.2f}x chunked)", t0
+                )
         except Exception as e:  # never let a detail row kill the artifact
             _progress(f"unstructured row failed: {e!r}", t0)
     else:

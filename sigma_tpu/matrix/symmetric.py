@@ -352,7 +352,16 @@ class SymmetricDIAMatrix(LinearOperator):
 
     def matmat_rhs_major(self, XT):
         """RHS-major multi-RHS apply (k, n) -> (k, n): the transpose-free
-        fast path (see :meth:`DIAMatrix.matmat_rhs_major`)."""
+        fast path (see :meth:`DIAMatrix.matmat_rhs_major`).
+
+        WIDE-band routing note (round 4): the symmetric chunked SpMM is
+        Mosaic-scoped-VMEM-capped at 16-24-diagonal slabs (per-diagonal
+        window temporaries stay live across the unrolled loop), which
+        leaves multi-RHS on RCM-banded matrices at ~11-12 true G-eff —
+        for those, repack with :class:`~sigma_tpu.matrix.pruned.
+        PrunedDIAMatrix` (53-64 true G-eff at k=4-16 on the same 1M-row
+        band, BENCHMARKS.md).  This path stays optimal for narrow
+        symmetric stencils where one slab covers the band."""
         Y = self._pallas_spmm_path(XT)
         if Y is not None:
             return Y

@@ -688,7 +688,8 @@ def dia_sym_spmv_pallas_blocked(
 def _sym_spmm_tile_pick(S: int, hrows: int, D: int, itemsize: int, k: int):
     """(T, E) for the symmetric SpMM kernel: k RHS panels (tile + 2
     halos), data tile + backward data halo, k output panels — double
-    buffered within the VMEM budget."""
+    buffered within the VMEM budget — plus the single (k, E+T) mirror
+    scratch buffer."""
     for T in (3072, 1536, 2048, 1024, 768, 512, 384, 256):
         if T > S:
             continue
@@ -700,7 +701,7 @@ def _sym_spmm_tile_pick(S: int, hrows: int, D: int, itemsize: int, k: int):
             continue
         byts = 2 * _LANES * (
             4 * k * (T + 2 * E) + itemsize * D * (T + E) + 4 * k * T
-        )
+        ) + 4 * k * (E + T) * _LANES
         if byts <= _VMEM_BUDGET_BYTES:
             return T, E
     return None
@@ -773,7 +774,22 @@ def dia_sym_spmm_rhs_major(data, XT, offsets, n, interpret=False, dstart=0):
         lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _LANES), 1)
         return row * _LANES + lane
 
-    def kernel(xm_ref, xf_ref, xb_ref, d_ref, dh_ref, y_ref):
+    def shifted_ref(frame_ref, q, rows):
+        """``shifted`` reading from a VMEM scratch ref (static slice)."""
+        rowoff = q // _LANES
+        laneoff = q % _LANES
+        base = frame_ref[:, rowoff : rowoff + rows + 1, :]
+        if laneoff == 0:
+            return base[:, :rows, :]
+        rolled = pltpu.roll(base, shift=np.int32(_LANES - laneoff), axis=2)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (k, rows, _LANES), 2)
+        return jnp.where(
+            lane < _LANES - laneoff,
+            rolled[:, :rows, :],
+            rolled[:, 1 : rows + 1, :],
+        )
+
+    def kernel(xm_ref, xf_ref, xb_ref, d_ref, dh_ref, y_ref, z_ref):
         i = pl.program_id(0)
         xm = xm_ref[...]
         if G * T > S or not aligned:
@@ -795,11 +811,14 @@ def dia_sym_spmm_rhs_major(data, XT, offsets, n, interpret=False, dstart=0):
             dtile = d_ref[d][None].astype(acc.dtype)
             acc = acc + dtile * shifted(xmf, o, T)
             if o > 0:
-                z = jnp.concatenate(
-                    [dh_ref[d][None].astype(acc.dtype) * xb, dtile * xm],
-                    axis=1,
-                )
-                acc = acc + shifted(z, PL - o, T)
+                # mirror term through ONE rotating scratch buffer: the
+                # per-diagonal z concats of the earlier form were each a
+                # live (k, E+T, 128) temporary across the unrolled loop
+                # (Mosaic scoped allocation grew with the chunk width —
+                # 78.8 MB at 64 diagonals, the old 16-diagonal cap)
+                z_ref[:, :E, :] = dh_ref[d][None].astype(acc.dtype) * xb
+                z_ref[:, E:, :] = dtile * xm
+                acc = acc + shifted_ref(z_ref, PL - o, T)
         if G * T > S or not aligned:
             acc = jnp.where(
                 (i * T * _LANES + elem_ids(T) < n)[None],
@@ -838,6 +857,7 @@ def dia_sym_spmm_rhs_major(data, XT, offsets, n, interpret=False, dstart=0):
             (k, T, _LANES), lambda i: (_I0, i, _I0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((k, S, _LANES), XT.dtype),
+        scratch_shapes=[pltpu.VMEM((k, E + T, _LANES), XT.dtype)],
         compiler_params=_compiler_params(interpret),
         interpret=interpret,
     )(X3, X3, X3, data3, data3)
@@ -857,14 +877,20 @@ def dia_sym_spmm_rhs_major_chunked(
     S = data3.shape[1]
     k = XT.shape[0]
     if max_chunk is None:
-        # the symmetric SpMM body's mirror-term temporaries (per-diagonal
-        # z concats at (k, T+E, 128)) blow past the working-set model's
-        # scoped-VMEM estimate when Mosaic keeps them live across the
-        # unrolled diagonal loop: 64-wide chunks compiled to a 78.8 MB
-        # scoped allocation (> the 64 MB limit) and 32-wide still OOMed;
-        # 16 compiles and measured 12.1 true G-eff at k=4 on the 1M-row
-        # unstructured band
-        max_chunk = 16
+        # Measured Mosaic scoped-VMEM ceiling (round 4): the mirror term
+        # now writes through ONE rotating VMEM scratch (not a fresh
+        # per-diagonal z concat), which lifted the cap from 16 to
+        # 24-wide slabs at k<=4 — but k=8 x 24-wide still OOMs scoped
+        # vmem (74.7M > 64M: the DIRECT term's per-diagonal
+        # shifted-window temporaries stay live across the unrolled loop
+        # too), and wider slabs crash the compiler outright.  Measured
+        # k=4 at 24-wide: 11.3 true G-eff — NO better than 16-wide's
+        # 12.1, so the slab width is not the lever here.  VERDICT: for
+        # multi-RHS on wide SPD bands route to the PRUNED SpMM
+        # (PrunedDIAMatrix.matmat_rhs_major: 53-64 true G-eff at k=4-16
+        # on the same matrix, BENCHMARKS.md round 4); this path remains
+        # for narrow symmetric stencils where one slab covers the band.
+        max_chunk = 24 if k <= 4 else 16
     plan = chunk_plan(
         offsets, S, data.dtype.itemsize, max_chunk=max_chunk, k=k, sym=True
     )

@@ -43,6 +43,7 @@ from jax import lax
 __all__ = [
     "build_pruned_plan",
     "dia_spmv_pallas_pruned",
+    "dia_spmm_pruned_rhs_major",
     "pruned_matvec_reference",
     "PrunedPlan",
 ]
@@ -300,6 +301,153 @@ def dia_spmv_pallas_pruned(
         interpret=interpret,
     )(tile, first, rowoff, laneoff, xrows, xrows, xrows, data)
     return y2.reshape(-1)[:n]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("T", "E", "C", "n", "m", "interpret")
+)
+def dia_spmm_pruned_rhs_major(
+    data, XT, tile, first, rowoff, laneoff, *, T, E, C, n, m,
+    interpret=False,
+):
+    """Multi-RHS pruned SpMM, RHS-major: ``XT`` is (k, m); returns
+    (k, n).  The packed value stream (the dominant HBM term) is read
+    ONCE for all k right-hand sides — per-slot work is one k-deep roll
+    + select + FMA, so per-RHS cost approaches 1/k of the SpMV
+    (measured: the multi-RHS capability the reference names as a missing
+    critical optimization, README.md:83)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = data.shape[0]
+    k = XT.shape[0]
+    assert data.shape[1:] == (C, T, _LANES)
+    S = -(-n // _LANES)
+    G = -(-S // T)
+    PL = E * _LANES
+
+    if m % _LANES == 0:
+        Sx = m // _LANES
+        xrows = XT.reshape(k, Sx, _LANES)
+    else:
+        Sx = -(-m // _LANES)
+        xrows = jnp.concatenate(
+            [XT, jnp.zeros((k, Sx * _LANES - m), XT.dtype)], axis=1
+        ).reshape(k, Sx, _LANES)
+    F = T // E
+    EBx = -(-Sx // E)
+    TBx = -(-Sx // T)
+    c128 = np.int32(_LANES)
+
+    def elem_ids(rows):
+        row = lax.broadcasted_iota(jnp.int32, (1, rows, _LANES), 1)
+        lane = lax.broadcasted_iota(jnp.int32, (1, rows, _LANES), 2)
+        return row * c128 + lane
+
+    def kernel(
+        tile_r, first_r, ro_r, lo_r, xm_ref, xf_ref, xb_ref, d_ref,
+        y_ref, xc_ref,
+    ):
+        s = pl.program_id(0)
+        t = tile_r[s]
+        base = t * np.int32(T * _LANES)
+
+        @pl.when(first_r[s] == 1)
+        def _():
+            xm = xm_ref[...]
+            xm = jnp.where(base + elem_ids(T) < m, xm, jnp.zeros_like(xm))
+            xf = jnp.where(
+                base + np.int32(T * _LANES) + elem_ids(E) < m,
+                xf_ref[...],
+                jnp.zeros_like(xf_ref),
+            )
+            xb_idx = base - np.int32(PL) + elem_ids(E)
+            xb = jnp.where(
+                (xb_idx >= 0) & (xb_idx < m),
+                xb_ref[...],
+                jnp.zeros_like(xb_ref),
+            )
+            xc_ref[:, 0:E, :] = xb
+            xc_ref[:, E : E + T, :] = xm
+            xc_ref[:, E + T :, :] = xf
+
+        acc = jnp.zeros((k, T, _LANES), y_ref.dtype)
+        for c in range(C):
+            ro = ro_r[s * np.int32(C) + np.int32(c)]
+            lo = lo_r[s * np.int32(C) + np.int32(c)]
+            basewin = xc_ref[:, pl.ds(ro, T + 1), :]
+            rolled = pltpu.roll(
+                basewin, shift=lax.rem(c128 - lo, c128), axis=2
+            )
+            lane = lax.broadcasted_iota(jnp.int32, (k, T, _LANES), 2)
+            win = jnp.where(
+                lane < c128 - lo,
+                rolled[:, :T, :],
+                rolled[:, 1 : T + 1, :],
+            )
+            acc = acc + d_ref[0, c][None].astype(acc.dtype) * win
+
+        @pl.when(first_r[s] == 1)
+        def _():
+            y_ref[...] = acc
+
+        @pl.when(first_r[s] == 0)
+        def _():
+            y_ref[...] = y_ref[...] + acc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(L,),
+        in_specs=[
+            pl.BlockSpec(
+                (k, T, _LANES),
+                lambda s, tr, fr, rr, lr: (0, jnp.minimum(tr[s], TBx - 1), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (k, E, _LANES),
+                lambda s, tr, fr, rr, lr: (
+                    0,
+                    jnp.minimum(F * tr[s] + F, EBx - 1),
+                    0,
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (k, E, _LANES),
+                lambda s, tr, fr, rr, lr: (
+                    0,
+                    jnp.maximum(jnp.minimum(F * tr[s] - 1, EBx - 1), 0),
+                    0,
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, C, T, _LANES),
+                lambda s, tr, fr, rr, lr: (s, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (k, T, _LANES),
+            lambda s, tr, fr, rr, lr: (0, tr[s], 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((k, T + 2 * E, _LANES), XT.dtype)],
+    )
+    compiler_params = None
+    if not interpret:
+        from sigma_tpu.ops.spmv_pallas import _compiler_params
+
+        compiler_params = _compiler_params(interpret)
+    y3 = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, G * T, _LANES), XT.dtype),
+        compiler_params=compiler_params,
+        interpret=interpret,
+    )(tile, first, rowoff, laneoff, xrows, xrows, xrows, data)
+    return y3.reshape(k, -1)[:, :n]
 
 
 def pruned_matvec_reference(

@@ -149,7 +149,7 @@ def test_why_not_pallas_reasons(rng):
     rows, cols, vals, _ = _random_banded(rng, n, n, 2000)
     A = PrunedDIAMatrix.from_coo(n, n, rows, cols, vals)
     assert "gather reference" in A.why_not_pallas()
-    assert "matvec only" in A.why_not_pallas(op="matmat")
+    assert "matvec and matmat" in A.why_not_pallas(op="rmatvec")
     big = PrunedDIAMatrix.from_coo(
         70000, 70000, np.arange(70000), np.arange(70000), np.ones(70000)
     )
@@ -157,6 +157,44 @@ def test_why_not_pallas_reasons(rng):
     if jax.default_backend() != "tpu":
         assert reason is not None  # backend gate
     assert "f32/bf16" in big.why_not_pallas(dtype=jnp.float64)
+
+
+def test_pruned_spmm_interpret_and_reference(rng):
+    # RHS-major multi-vector kernel (interpret mode) + matmat routing
+    from sigma_tpu.ops.spmv_pruned import dia_spmm_pruned_rhs_major
+
+    n = 3000
+    rows, cols, vals, dense = _random_banded_pair(rng, n)
+    vals32 = vals.astype(np.float32)
+    plan_mat = PrunedDIAMatrix.from_coo(
+        n, n, rows, cols, vals32, dtype=np.float32, tile_rows=1024, group=4
+    )
+    k = 3
+    XT = rng.standard_normal((k, n)).astype(np.float32)
+    Y = np.asarray(dia_spmm_pruned_rhs_major(
+        plan_mat.data, jnp.asarray(XT), plan_mat.tile, plan_mat.first,
+        plan_mat.rowoff, plan_mat.laneoff,
+        **plan_mat._kernel_kwargs(), interpret=True,
+    ))
+    ref = XT @ dense.astype(np.float32).T
+    assert np.abs(Y - ref).max() < 1e-4 * max(np.abs(ref).max(), 1.0)
+    # matmat (fallback stack path on CPU) matches the dense oracle
+    X = rng.standard_normal((n, 2))
+    A64 = PrunedDIAMatrix.from_coo(n, n, rows, cols, vals, tile_rows=1024)
+    Y2 = np.asarray(A64.matmat(jnp.asarray(X)))
+    assert np.abs(Y2 - dense @ X).max() < 1e-10 * np.abs(dense @ X).max()
+
+
+def _random_banded_pair(rng, n):
+    rows = rng.integers(0, n, 20000)
+    cols = np.clip(rows + rng.integers(-150, 151, 20000), 0, n - 1)
+    vals = rng.standard_normal(20000)
+    key = rows * n + cols
+    _, idx = np.unique(key, return_index=True)
+    rows, cols, vals = rows[idx], cols[idx], vals[idx]
+    dense = np.zeros((n, n))
+    dense[rows, cols] = vals
+    return rows, cols, vals, dense
 
 
 def test_pruned_pair_amg_matches_structured(rng):
