@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--sweeps", type=int, default=3)
     ap.add_argument("--inner-rtol", type=float, default=1e-2)
     ap.add_argument("--inner-maxiter", type=int, default=20)
+    ap.add_argument("--stencil", type=int, default=0,
+                    help="also run the EXACT-bf16 stencil case at this "
+                    "grid edge (e.g. 216 = the 10.1M-row north star)")
     args = ap.parse_args()
 
     from sigma_tpu.utils.util import enable_transparent_hugepages, enable_warm_heap
@@ -81,17 +84,19 @@ def main():
     b_p = jnp.asarray(b_p)
     bnorm = float(np.linalg.norm(b))
 
+    resid = jax.jit(lambda P_, b_, x: jnp.linalg.norm(b_ - P_.matvec(x)))
+
     def run(tag, fn, *ops):
         f = jax.jit(fn)
         out = f(*ops)  # compile + first run
-        jax.tree_util.tree_map(
-            lambda a: a.block_until_ready() if hasattr(a, "block_until_ready")
-            else a, out)
+        x = out[0] if isinstance(out, tuple) else out
+        float(x[0])  # tunnel-safe sync: block_until_ready returns early
         t0 = time.time()
         out = f(*ops)
         x = out[0] if isinstance(out, tuple) else out
-        rres = float(jnp.linalg.norm(b_p - P.matvec(x))) / bnorm
+        float(x[0])
         wall = time.time() - t0
+        rres = float(resid(P, b_p, x)) / bnorm
         rec = {"metric": "bf16_routing", "config": tag,
                "wall_s_warm": round(wall, 3),
                "relative_residual": f"{rres:.3e}"}
@@ -135,6 +140,68 @@ def main():
         ),
         P, Pb, b_p,
     )
+
+    if args.stencil:
+        # the EXACT-value case: integer-coefficient stencil -> bf16 is a
+        # lossless cast (astype_exact), the ladder has no rounding floor
+        # and every inner matvec + V-cycle streams half the bytes
+        from bench import laplacian_3d_dia
+        from sigma_tpu import DIAMatrix
+        from sigma_tpu.graph.graph import DIAGraph
+        from sigma_tpu.solvers import structured_pair_amg
+
+        nx = args.stencil
+        ns, offsets, sdata, nnzs = laplacian_3d_dia(nx)
+        sdata[3, :ns] = 6.0
+        gs = DIAGraph(offsets=offsets, shape=(ns, ns), nnz=nnzs)
+        As = DIAMatrix(graph=gs, data=jnp.asarray(sdata.reshape(7, -1, 128)))
+        Asb = As.astype_exact(jnp.bfloat16)
+        Ms = structured_pair_amg(As, (nx, nx, nx), smoother="chebyshev",
+                                 pairs_per_level=3, host_data=sdata)
+        Msb = structured_pair_amg(As, (nx, nx, nx), smoother="chebyshev",
+                                  pairs_per_level=3,
+                                  level_dtype=jnp.bfloat16,
+                                  host_data=sdata)
+        us = np.sin(np.arange(ns) * 0.001).astype(np.float32)
+        bs = jnp.asarray(np.asarray(As.matvec(jnp.asarray(us))))
+        bsn = float(jnp.linalg.norm(bs))
+
+        resid_s = resid  # operators passed as ARGS (a closure over the
+        # 10.1M-row matrix lands in the compile request body: HTTP 413)
+
+        def run_s(tag, fn, *ops):
+            f = jax.jit(fn)
+            out = f(*ops)
+            x = out[0] if isinstance(out, tuple) else out
+            float(x[0])
+            t0 = time.time()
+            out = f(*ops)
+            x = out[0] if isinstance(out, tuple) else out
+            float(x[0])
+            wall = time.time() - t0
+            rec = {"metric": "bf16_routing_stencil", "config": tag,
+                   "n": ns,
+                   "wall_s_warm": round(wall, 3),
+                   "relative_residual": f"{float(resid_s(As, bs, x)) / bsn:.3e}"}
+            if isinstance(out, tuple) and hasattr(out[1], "iterations"):
+                rec["iterations"] = int(out[1].iterations)
+            print(json.dumps(rec))
+
+        run_s(
+            "s0_f32_gmg_cg",
+            lambda A_, b_, M_: cg_solve(A_, b_, tol=0.0, rtol=1e-6,
+                                        maxiter=400, M=M_),
+            As, bs, Ms,
+        )
+        run_s(
+            "s1_bf16exact_ladder_gmg",
+            lambda A_, Ab_, b_, M_: refined_solve_fixed(
+                A_, b_, A_lo=Ab_, sweeps=args.sweeps,
+                inner_rtol=args.inner_rtol,
+                inner_maxiter=args.inner_maxiter, M=M_,
+            ),
+            As, Asb, bs, Msb,
+        )
 
 
 if __name__ == "__main__":

@@ -583,4 +583,202 @@ void edge_positions(i64 nq, const i64* qr, const i64* qc, i64 n,
     }
 }
 
+// ---- pruned block-DIA packing (matrix/pruned.py setup hot path) -------
+//
+// Replaces the numpy np.unique + flat-scatter construction of
+// sigma_tpu/ops/spmv_pruned.py::build_pruned_plan, which is
+// page-fault/sort-bound at 10M rows (~60-150 s on this host class).
+// Two-call protocol like spgemm_fused/fetch: pack_pruned_count radix-
+// sorts the (tile, offset) keys (STABLE LSD — duplicate (r, c) entries
+// keep input order, so the fill's sequential overwrite preserves
+// last-value-wins set_values semantics) and stores the sorted triples
+// in persistent buffers; pack_pruned_fill writes the packed value
+// blocks and the prefetch arrays into caller-allocated outputs.
+static std::vector<unsigned long long> g_pp_keys;
+static std::vector<double> g_pp_vals;
+static std::vector<i64> g_pp_rloc;
+static std::vector<i64> g_pp_cnt;     // active (tile, offset) pairs per tile
+static i64 g_pp_reach = 0, g_pp_G = 0;
+
+i64 pack_pruned_count(i64 ne, const i64* rows, const i64* cols,
+                      const double* vals, i64 tile_rows, i64 group,
+                      i64 reach, i64 G) {
+    using u64 = unsigned long long;
+    u64 W = static_cast<u64>(4 * (reach + 1) + 1);
+    g_pp_keys.resize(static_cast<size_t>(ne));
+    g_pp_vals.resize(static_cast<size_t>(ne));
+    g_pp_rloc.resize(static_cast<size_t>(ne));
+    for (i64 e = 0; e < ne; ++e) {
+        i64 t = rows[e] / tile_rows;
+        i64 off = cols[e] - rows[e];
+        g_pp_keys[e] = static_cast<u64>(t) * W +
+                       static_cast<u64>(off + reach);
+        g_pp_vals[e] = vals[e];
+        g_pp_rloc[e] = rows[e] - t * tile_rows;
+    }
+    u64 max_key = static_cast<u64>(G) * W;
+    std::vector<u64> kbuf(static_cast<size_t>(ne));
+    std::vector<double> vbuf(static_cast<size_t>(ne));
+    std::vector<i64> rbuf(static_cast<size_t>(ne));
+    constexpr int RADIX_BITS = 16;
+    constexpr size_t BUCKETS = 1u << RADIX_BITS;
+    std::vector<i64> count(BUCKETS);
+    u64 *ks = g_pp_keys.data(), *kd = kbuf.data();
+    double *vs = g_pp_vals.data(), *vd = vbuf.data();
+    i64 *rs = g_pp_rloc.data(), *rd = rbuf.data();
+    for (int shift = 0; shift < 64 && (max_key >> shift) != 0;
+         shift += RADIX_BITS) {
+        std::fill(count.begin(), count.end(), 0);
+        for (i64 e = 0; e < ne; ++e)
+            count[(ks[e] >> shift) & (BUCKETS - 1)]++;
+        i64 sum = 0;
+        for (size_t b = 0; b < BUCKETS; ++b) {
+            i64 c = count[b];
+            count[b] = sum;
+            sum += c;
+        }
+        for (i64 e = 0; e < ne; ++e) {
+            i64 w = count[(ks[e] >> shift) & (BUCKETS - 1)]++;
+            kd[w] = ks[e];
+            vd[w] = vs[e];
+            rd[w] = rs[e];
+        }
+        std::swap(ks, kd);
+        std::swap(vs, vd);
+        std::swap(rs, rd);
+    }
+    if (ks != g_pp_keys.data()) {
+        std::copy_n(ks, static_cast<size_t>(ne), g_pp_keys.data());
+        std::copy_n(vs, static_cast<size_t>(ne), g_pp_vals.data());
+        std::copy_n(rs, static_cast<size_t>(ne), g_pp_rloc.data());
+    }
+    // per-tile active-pair counts -> total padded step count L
+    g_pp_cnt.assign(static_cast<size_t>(G), 0);
+    for (i64 e = 0; e < ne; ++e) {
+        if (e > 0 && g_pp_keys[e] == g_pp_keys[e - 1]) continue;
+        g_pp_cnt[static_cast<size_t>(g_pp_keys[e] / W)]++;
+    }
+    g_pp_reach = reach;
+    g_pp_G = G;
+    i64 L = 0;
+    for (i64 t = 0; t < G; ++t) {
+        i64 steps = (g_pp_cnt[t] + group - 1) / group;
+        L += steps > 0 ? steps : 1;
+    }
+    return L;
+}
+
+// active (tile, offset) pair count of the last pack_pruned_count call
+i64 pack_pruned_active() {
+    i64 s = 0;
+    for (i64 c : g_pp_cnt) s += c;
+    return s;
+}
+
+// data: (L*group, tile_rows) f32, zero-initialized by the caller;
+// tile/first: (L,); rowoff/laneoff: (L*group,) pre-filled by the caller
+// with the padding-slot values (E, 0).
+void pack_pruned_fill(i64 ne, i64 tile_rows, i64 group, i64 E,
+                      float* data, int* tile, int* first, int* rowoff,
+                      int* laneoff) {
+    using u64 = unsigned long long;
+    u64 W = static_cast<u64>(4 * (g_pp_reach + 1) + 1);
+    i64 step = 0, e = 0;
+    for (i64 t = 0; t < g_pp_G; ++t) {
+        i64 cnt = g_pp_cnt[t];
+        i64 steps_t = cnt > 0 ? (cnt + group - 1) / group : 1;
+        i64 slot = step * group;
+        for (i64 s = 0; s < steps_t; ++s) {
+            tile[step + s] = static_cast<int>(t);
+            first[step + s] = (s == 0) ? 1 : 0;
+        }
+        i64 pair = -1;
+        u64 prev_key = ~0ull;
+        while (e < ne && static_cast<i64>(g_pp_keys[e] / W) == t) {
+            if (g_pp_keys[e] != prev_key) {
+                prev_key = g_pp_keys[e];
+                ++pair;
+                i64 off = static_cast<i64>(g_pp_keys[e] % W) - g_pp_reach;
+                i64 q = E * 128 + off;
+                rowoff[slot + pair] = static_cast<int>(q / 128);
+                laneoff[slot + pair] = static_cast<int>(q % 128);
+            }
+            data[(slot + pair) * tile_rows + g_pp_rloc[e]] =
+                static_cast<float>(g_pp_vals[e]);
+            ++e;
+        }
+        step += steps_t;
+    }
+}
+
+// ---- 1-D pair-aggregation Galerkin coarsening (solvers/gmg.py) --------
+// C[r/2, c/2] += 0.5 * A[r, c]: radix-sort the coarse keys, sum
+// duplicates.  Two-call protocol; replaces a np.unique + np.add.at pass
+// per level (sort-bound at 70M entries).
+static std::vector<unsigned long long> g_cp_keys;
+static std::vector<double> g_cp_vals;
+
+i64 coarsen_pair_count(i64 ne, const i64* rows, const i64* cols,
+                       const double* vals, i64 nc) {
+    using u64 = unsigned long long;
+    g_cp_keys.resize(static_cast<size_t>(ne));
+    g_cp_vals.resize(static_cast<size_t>(ne));
+    for (i64 e = 0; e < ne; ++e) {
+        g_cp_keys[e] = static_cast<u64>(rows[e] / 2) * static_cast<u64>(nc) +
+                       static_cast<u64>(cols[e] / 2);
+        g_cp_vals[e] = 0.5 * vals[e];
+    }
+    u64 max_key = static_cast<u64>(nc) * static_cast<u64>(nc);
+    std::vector<u64> kbuf(static_cast<size_t>(ne));
+    std::vector<double> vbuf(static_cast<size_t>(ne));
+    constexpr int RADIX_BITS = 16;
+    constexpr size_t BUCKETS = 1u << RADIX_BITS;
+    std::vector<i64> count(BUCKETS);
+    u64 *ks = g_cp_keys.data(), *kd = kbuf.data();
+    double *vs = g_cp_vals.data(), *vd = vbuf.data();
+    for (int shift = 0; shift < 64 && (max_key >> shift) != 0;
+         shift += RADIX_BITS) {
+        std::fill(count.begin(), count.end(), 0);
+        for (i64 e = 0; e < ne; ++e)
+            count[(ks[e] >> shift) & (BUCKETS - 1)]++;
+        i64 sum = 0;
+        for (size_t b = 0; b < BUCKETS; ++b) {
+            i64 c = count[b];
+            count[b] = sum;
+            sum += c;
+        }
+        for (i64 e = 0; e < ne; ++e) {
+            i64 w = count[(ks[e] >> shift) & (BUCKETS - 1)]++;
+            kd[w] = ks[e];
+            vd[w] = vs[e];
+        }
+        std::swap(ks, kd);
+        std::swap(vs, vd);
+    }
+    // in-place duplicate sum into the head of the (possibly swapped)
+    // buffers; drop exact cancellations to keep packing tight
+    i64 w = -1;
+    for (i64 e = 0; e < ne; ++e) {
+        if (w >= 0 && ks[e] == static_cast<u64>(g_cp_keys[w])) {
+            g_cp_vals[w] += vs[e];
+        } else {
+            if (w >= 0 && g_cp_vals[w] == 0.0) --w;  // cancelled
+            ++w;
+            g_cp_keys[w] = ks[e];
+            g_cp_vals[w] = vs[e];
+        }
+    }
+    if (w >= 0 && g_cp_vals[w] == 0.0) --w;
+    return w + 1;
+}
+
+void coarsen_pair_fetch(i64 n_out, i64 nc, i64* out_rows, i64* out_cols,
+                        double* out_vals) {
+    for (i64 e = 0; e < n_out; ++e) {
+        out_rows[e] = static_cast<i64>(g_cp_keys[e] / static_cast<unsigned long long>(nc));
+        out_cols[e] = static_cast<i64>(g_cp_keys[e] % static_cast<unsigned long long>(nc));
+        out_vals[e] = g_cp_vals[e];
+    }
+}
+
 }  // extern "C"

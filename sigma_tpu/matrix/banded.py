@@ -137,6 +137,6 @@ def to_pruned_dia(
             p = np.arange(A.shape[0], dtype=p.dtype)
     P = PrunedDIAMatrix.from_coo(
         A.shape[0], A.shape[1], rows, cols, vals, dtype=A.dtype,
-        tile_rows=tile_rows, group=group,
+        tile_rows=tile_rows, group=group, assume_unique=True,
     )
     return P, p

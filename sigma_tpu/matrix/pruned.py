@@ -104,11 +104,14 @@ class PrunedDIAMatrix(LinearOperator):
     @classmethod
     def from_coo(
         cls, n, m, rows, cols, vals, *, dtype=None,
-        tile_rows: int = 16384, group: int = 8,
+        tile_rows: int = 16384, group: int = 8, assume_unique=False,
     ) -> "PrunedDIAMatrix":
         """Pack COO entries (duplicate entries: last value wins, matching
         ``SparseMatrix.set_values``).  ``tile_rows`` is the pruning
-        granularity; ``group`` the slots per kernel step."""
+        granularity; ``group`` the slots per kernel step.
+        ``assume_unique`` skips the nnz-dedup sort (pass it when the
+        triples come from ``entries()``, which is already canonical —
+        saves an O(nnz log nnz) host pass at 10M-row scale)."""
         from sigma_tpu.ops.spmv_pruned import build_pruned_plan
 
         dt = np.dtype(dtype or np.asarray(vals).dtype)
@@ -119,7 +122,11 @@ class PrunedDIAMatrix(LinearOperator):
             dtype=dt,
         )
         rows = np.asarray(rows)
-        key = rows.astype(np.int64) * int(m) + np.asarray(cols)
+        if assume_unique:
+            nnz = rows.size
+        else:
+            key = rows.astype(np.int64) * int(m) + np.asarray(cols)
+            nnz = int(np.unique(key).size)
         return cls(
             data=jnp.asarray(plan.data.reshape(plan.L, plan.C, plan.T, 128)),
             tile=jnp.asarray(plan.tile),
@@ -127,7 +134,7 @@ class PrunedDIAMatrix(LinearOperator):
             rowoff=jnp.asarray(plan.rowoff),
             laneoff=jnp.asarray(plan.laneoff),
             n=int(plan.n), m=int(plan.m), halo=int(plan.E),
-            nnz=int(np.unique(key).size),
+            nnz=int(nnz),
         )
 
     @classmethod

@@ -39,6 +39,8 @@ __all__ = [
     "csr_transpose",
     "iluk_symbolic",
     "rcm_order",
+    "pack_pruned",
+    "coarsen_pair",
 ]
 
 _SRC = Path(__file__).resolve().parent.parent.parent / "native" / "sigma_host.cpp"
@@ -136,6 +138,22 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.iluk_symbolic.argtypes = [i64, _i64p, _i64p, i64, i64, _i64p, _i64p]
         lib.rcm_order.restype = None
         lib.rcm_order.argtypes = [i64, _i64p, _i64p, _i64p]
+        _f32p = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
+        _i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+        lib.pack_pruned_count.restype = i64
+        lib.pack_pruned_count.argtypes = [
+            i64, _i64p, _i64p, _f64p, i64, i64, i64, i64,
+        ]
+        lib.pack_pruned_fill.restype = None
+        lib.pack_pruned_fill.argtypes = [
+            i64, i64, i64, i64, _f32p, _i32p, _i32p, _i32p, _i32p,
+        ]
+        lib.pack_pruned_active.restype = i64
+        lib.pack_pruned_active.argtypes = []
+        lib.coarsen_pair_count.restype = i64
+        lib.coarsen_pair_count.argtypes = [i64, _i64p, _i64p, _f64p, i64]
+        lib.coarsen_pair_fetch.restype = None
+        lib.coarsen_pair_fetch.argtypes = [i64, i64, _i64p, _i64p, _f64p]
         _lib = lib
         return _lib
 
@@ -173,6 +191,58 @@ def bfs_order(indptr, indices, start: int = 0) -> Optional[np.ndarray]:
     perm = np.empty(n, dtype=np.int64)
     lib.bfs_order(n, indptr, indices, int(start), perm)
     return perm
+
+
+_PACK_LOCK = threading.Lock()  # pack_pruned / coarsen_pair static buffers
+
+
+def pack_pruned(
+    rows, cols, vals, *, tile_rows: int, group: int, reach: int,
+    n_tiles: int, E: int,
+):
+    """Pruned block-DIA packing (ops/spmv_pruned.py setup) in C++: radix
+    sort by (tile, offset) + one-pass fill of the packed f32 value
+    blocks and prefetch arrays.  Returns
+    ``(data, tile, first, rowoff, laneoff, L, n_active)`` or None if
+    native is off.  f32 values only (the production dtype)."""
+    lib = _load()
+    if lib is None:
+        return None
+    rows, cols = _c64(rows), _c64(cols)
+    vals = np.ascontiguousarray(np.asarray(vals, dtype=np.float64))
+    ne = rows.size
+    with _PACK_LOCK:
+        L = int(lib.pack_pruned_count(
+            ne, rows, cols, vals, tile_rows, group, reach, n_tiles
+        ))
+        n_active = int(lib.pack_pruned_active())
+        data = np.zeros((L * group, tile_rows), dtype=np.float32)
+        tile = np.empty(L, dtype=np.int32)
+        first = np.empty(L, dtype=np.int32)
+        rowoff = np.full(L * group, E, dtype=np.int32)
+        laneoff = np.zeros(L * group, dtype=np.int32)
+        lib.pack_pruned_fill(
+            ne, tile_rows, group, E, data, tile, first, rowoff, laneoff
+        )
+    return data, tile, first, rowoff, laneoff, L, n_active
+
+
+def coarsen_pair(rows, cols, vals, nc: int):
+    """1-D pair-aggregation Galerkin coarsening C[r//2, c//2] += v/2 in
+    C++ (radix sort + duplicate sum, exact cancellations dropped).
+    Returns ``(rows, cols, vals)`` or None if native is off."""
+    lib = _load()
+    if lib is None:
+        return None
+    rows, cols = _c64(rows), _c64(cols)
+    vals = np.ascontiguousarray(np.asarray(vals, dtype=np.float64))
+    with _PACK_LOCK:
+        n_out = int(lib.coarsen_pair_count(rows.size, rows, cols, vals, nc))
+        out_r = np.empty(n_out, dtype=np.int64)
+        out_c = np.empty(n_out, dtype=np.int64)
+        out_v = np.empty(n_out, dtype=np.float64)
+        lib.coarsen_pair_fetch(n_out, nc, out_r, out_c, out_v)
+    return out_r, out_c, out_v
 
 
 def rcm_order(indptr, indices) -> Optional[np.ndarray]:

@@ -118,6 +118,25 @@ def build_pruned_plan(
     S = -(-n // _LANES)  # sublane rows of y
     G = -(-S // T)  # row tiles
 
+    if np.dtype(dtype) == np.float32:
+        # C++ fast path: radix sort + one-pass fill (the numpy
+        # np.unique/scatter construction below is page-fault/sort-bound
+        # at 10M rows; measured in BENCHMARKS.md round 4)
+        from sigma_tpu import native
+
+        packed = native.pack_pruned(
+            rows, cols, vals, tile_rows=T * _LANES, group=C, reach=reach,
+            n_tiles=G, E=E,
+        )
+        if packed is not None:
+            data, tile, first, rowoff, laneoff, L, n_active = packed
+            return PrunedPlan(
+                data=data.reshape(L * C, T, _LANES), tile=tile,
+                first=first, rowoff=rowoff, laneoff=laneoff,
+                T=T, E=E, C=C, L=L, n=n, m=m,
+                n_slots_active=n_active,
+            )
+
     tile_of = rows // (T * _LANES)
     # unique (tile, offset) pairs in (tile, offset) order
     key = tile_of * (4 * (reach + 1) + 1) + (offs + reach)

@@ -196,6 +196,7 @@ def distribute_pruned(
     group: int = 8,
     block: int | None = None,
     dtype=None,
+    assume_unique: bool = False,
 ) -> DistributedPrunedMatrix:
     """Build a row-sharded pruned matrix from (RCM-ordered) COO triples.
 
@@ -264,7 +265,11 @@ def distribute_pruned(
         laneoff[s * Lmax * C : s * Lmax * C + p.L * C] = p.laneoff
 
     shard = NamedSharding(mesh, P(axis))
-    key = rows * np.int64(n) + cols
+    if assume_unique:
+        nnz = rows.size
+    else:
+        key = rows * np.int64(n) + cols
+        nnz = int(np.unique(key).size)
     return DistributedPrunedMatrix(
         data=jax.device_put(data, shard),
         tile=jax.device_put(tile, shard),
@@ -273,7 +278,7 @@ def distribute_pruned(
         laneoff=jax.device_put(laneoff, shard),
         mesh=mesh, axis=axis, n=n, block=int(block),
         halo_words=int(Hw), halo_E=int(E),
-        nnz=int(np.unique(key).size),
+        nnz=nnz,
     )
 
 
@@ -373,13 +378,19 @@ def distributed_pruned_pair_amg(
             )
         )
         nc = nl // 2
-        key = (r // 2) * nc + c // 2
-        ukey, inv = np.unique(key, return_inverse=True)
-        cv = np.zeros(ukey.size, dtype)
-        np.add.at(cv, inv, (0.5 * v).astype(dtype))
-        keep = cv != 0
-        ukey, cv = ukey[keep], cv[keep]
-        r, c, v = ukey // nc, ukey % nc, cv
+        from sigma_tpu import native as _native
+
+        cp = _native.coarsen_pair(r, c, v, nc)
+        if cp is not None:
+            r, c, v = cp[0], cp[1], cp[2].astype(dtype)
+        else:
+            key = (r // 2) * nc + c // 2
+            ukey, inv = np.unique(key, return_inverse=True)
+            cv = np.zeros(ukey.size, dtype)
+            np.add.at(cv, inv, (0.5 * v).astype(dtype))
+            keep = cv != 0
+            ukey, cv = ukey[keep], cv[keep]
+            r, c, v = ukey // nc, ukey % nc, cv
         nl, blk = nc, blk // 2
 
     coarse = np.zeros((nl, nl), np.float64)

@@ -805,17 +805,23 @@ def pruned_pair_amg(
             lmax = float(ratio.max())
         return dinv.astype(dtype), lmax
 
+    from sigma_tpu import native as _native
+
     specs = []  # (nl, rows, cols, vals)
     while n > coarse_size and len(specs) < max_levels - 1:
         specs.append((n, rows, cols, vals))
         nc = (n + 1) // 2
-        key = (rows // 2) * nc + cols // 2
-        ukey, inv = np.unique(key, return_inverse=True)
-        cv = np.zeros(ukey.size, dtype)
-        np.add.at(cv, inv, (0.5 * vals).astype(dtype))
-        keep = cv != 0  # prune exact cancellations to keep packing tight
-        ukey, cv = ukey[keep], cv[keep]
-        rows, cols, vals = ukey // nc, ukey % nc, cv
+        cp = _native.coarsen_pair(rows, cols, vals, nc)
+        if cp is not None:
+            rows, cols, vals = cp[0], cp[1], cp[2].astype(dtype)
+        else:
+            key = (rows // 2) * nc + cols // 2
+            ukey, inv = np.unique(key, return_inverse=True)
+            cv = np.zeros(ukey.size, dtype)
+            np.add.at(cv, inv, (0.5 * vals).astype(dtype))
+            keep = cv != 0  # prune exact cancellations
+            ukey, cv = ukey[keep], cv[keep]
+            rows, cols, vals = ukey // nc, ukey % nc, cv
         n = nc
 
     coarse = np.zeros((n, n), np.float64)
