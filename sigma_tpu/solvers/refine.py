@@ -83,6 +83,23 @@ def refined_solve_fixed(
     residuals.  Returns ``x`` only (jit-friendly); compute the residual
     outside if needed.
 
+    **Measured routing rule for bf16 (benchmarks/bf16_routing.py)**:
+
+    1. bf16 in PRECONDITIONERS (GMG ``level_dtype``, Chebyshev) always
+       pays: iteration count moves +-2, wall improves 7-9%, and the
+       outer Krylov's f32 matvec keeps the residual f32-grade.  Do that
+       first; it needs no refinement ladder at all.
+    2. The bf16-OPERATOR ladder (this function with ``A_lo`` bf16)
+       reaches f32-grade residuals only when the cast is EXACT
+       (``A.astype_exact(bfloat16)`` succeeds — integer/dyadic stencil
+       coefficients): measured at the 10.1M-row Poisson north star,
+       4.9e-7 rel residual in 0.077 s vs 0.082 s for f32 GMG-CG.  On
+       INEXACTLY representable values (random mesh weights, ~4e-3
+       rounding) the sweep contraction stalls at a residual FLOOR
+       measured ~3-5e-5 at kappa ~ 1e3 regardless of sweeps — use it
+       for rtol >= ~1e-4 targets there, never for f32-grade
+       (pinned by ``test_bf16_ladder_floor_vs_exact``).
+
     ``inner_solver`` defaults to CG (SPD A); pass ``bicgstab_solve`` or
     ``gmres_solve`` for nonsymmetric systems — any solver with the
     ``(A, b, *, tol, rtol, maxiter, M) -> (x, info)`` contract works.

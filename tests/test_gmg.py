@@ -586,3 +586,45 @@ def test_banded_1d_gmg_for_unstructured(rng):
     assert r1 < 1e-7
     # a substantial iteration cut (measured ~4-5x at small sizes)
     assert int(i1.iterations) < int(i0.iterations) / 2
+
+
+def test_bf16_ladder_floor_vs_exact(rng):
+    # the measured bf16 routing rule (refine.py docstring): the
+    # bf16-operator ladder reaches working-grade residuals when the cast
+    # is EXACT, but stalls at a value-rounding floor on inexact values
+    import jax.numpy as jnp
+
+    from sigma_tpu.matrix.formats import DIAMatrix
+    from sigma_tpu.solvers.refine import refined_solve_fixed
+
+    n = 1536
+    i = np.arange(n)
+    # exact-bf16 stencil: integer coefficients
+    dense_e = np.zeros((n, n))
+    dense_e[i, i] = 4.0
+    dense_e[i[:-1], i[:-1] + 1] = -1.0
+    dense_e[i[:-1] + 1, i[:-1]] = -1.0
+    # inexact: random weights (bf16 rounds at ~4e-3)
+    dense_i = np.zeros((n, n))
+    w = 0.5 + rng.random(n - 1)
+    dense_i[i[:-1], i[:-1] + 1] = -w
+    dense_i[i[:-1] + 1, i[:-1]] = -w
+    dense_i[i, i] = np.abs(dense_i).sum(1) + 0.01  # ill-conditioned-ish
+
+    for dense, exact in ((dense_e, True), (dense_i, False)):
+        rows, cols = np.nonzero(dense)
+        A = DIAMatrix.from_coo(n, n, rows, cols, dense[rows, cols],
+                               dtype=np.float32)
+        A_lo = (A.astype_exact(jnp.bfloat16) if exact
+                else A.astype(jnp.bfloat16))
+        xstar = rng.standard_normal(n)
+        b = jnp.asarray((dense @ xstar).astype(np.float32))
+        x = refined_solve_fixed(A, b, A_lo=A_lo, sweeps=4,
+                                inner_rtol=1e-3, inner_maxiter=4000)
+        rres = float(jnp.linalg.norm(b - A.matvec(x))) / float(
+            jnp.linalg.norm(b)
+        )
+        if exact:
+            assert rres < 5e-6, rres  # f32-grade through bf16 values
+        else:
+            assert rres > 1e-6, rres  # the floor: NOT f32-grade
