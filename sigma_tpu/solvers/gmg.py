@@ -429,10 +429,19 @@ class StructuredAMGPreconditioner(LinearOperator):
         level, solve exactly on the coarsest grid, then work upward —
         prolongate and apply one V-cycle correction per level.  Costs
         under two V-cycles of work and returns an iterate ~1 digit in
-        (measured rel residual 0.13 on 16^3 Poisson, saving ~2 outer CG
-        iterations — about break-even on wall for a cold solve, ahead
-        when the guess seeds warm-started sequences such as time
-        stepping):  ``cg_solve(A, b, M.fmg(b), M=M)``.
+        (measured rel residual 0.13 on 16^3 Poisson).
+
+        MEASURED VERDICT (round 4, benchmarks/fmg_sequence.py —
+        pseudo-timestepping on the 10.1M-row Poisson north star, GMG-CG
+        rtol 1e-6, rtol relative to ||b||): the FMG guess LOSES — 19
+        iterations/step vs 13 cold (the prolongated guess carries
+        interpolation-error components the V-cycle-preconditioned CG
+        then spends iterations removing) and plain WARM-STARTING from
+        the previous step's solution wins outright (9.7 iterations,
+        0.063 s/step vs 0.074 cold).  For solve sequences, warm-start:
+        ``cg_solve(A, b_t, x0=x_prev, M=M)``; keep ``fmg`` for
+        single-solve contexts with loose tolerances where ~1 digit is
+        all that is needed.
 
         Classic nested iteration (Brandt's FMG); no reference analogue —
         the reference has no multigrid (its strongest preconditioner is
