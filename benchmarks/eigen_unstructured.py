@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Eigenpairs of an UNSTRUCTURED operator at scale: LOBPCG on the
+1M-row irregular-mesh Laplacian through the round-4 pruned machinery —
+block matvecs ride the pruned SpMM (values streamed once per 16-wide
+pass) and the preconditioner is the pruned-pair-GMG V-cycle applied
+blockwise.
+
+The reference's eigensolver (eigensolver.f90) runs Lanczos on any-format
+matrices at CPU rates; this is the same capability for matrices with no
+stencil structure at TPU rates.  Accuracy oracle: residual norms
+||A v - lambda v|| (no closed-form spectrum exists for a random mesh).
+One JSON line per configuration.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=16384)
+    ap.add_argument("--width", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--m", type=int, default=8, help="eigenpairs")
+    ap.add_argument("--maxiter", type=int, default=60)
+    ap.add_argument("--shift", type=float, default=1e-3)
+    args = ap.parse_args()
+
+    from sigma_tpu.utils.util import enable_transparent_hugepages, enable_warm_heap
+
+    enable_transparent_hugepages()
+    enable_warm_heap()
+
+    import jax
+    import jax.numpy as jnp
+
+    from sigma_tpu.apps.generators import irregular_mesh_laplacian
+    from sigma_tpu.graph.permutations import reverse_cuthill_mckee
+    from sigma_tpu.matrix.formats import CSRMatrix
+    from sigma_tpu.matrix.pruned import PrunedDIAMatrix
+    from sigma_tpu.eigen import lobpcg
+    from sigma_tpu.solvers import pruned_pair_amg
+
+    rng = np.random.default_rng(args.seed)
+    A = irregular_mesh_laplacian(args.height, args.width, rng=rng,
+                                 dtype=np.float32, shift=args.shift)
+    n = A.shape[0]
+    rr, cc, vv = A.entries()
+    sh = rng.permutation(n)
+    A = CSRMatrix.from_coo(n, n, sh[rr], sh[cc], vv, dtype=np.float32)
+    nnz = int(A.graph.nnz)
+    p = reverse_cuthill_mckee(A.graph)
+    rows, cols, vals = A.entries()
+    pr, pc = p[rows], p[cols]
+    P = PrunedDIAMatrix.from_coo(n, n, pr, pc, vals, dtype=np.float32,
+                                 assume_unique=True)
+    t0 = time.time()
+    Mg = pruned_pair_amg(n, pr, pc, vals, coarse_size=4096,
+                         smoother="chebyshev", fine_A=P)
+    t_setup = time.time() - t0
+    print(f"# n={n} nnz={nnz} gmg setup {t_setup:.0f}s", file=sys.stderr)
+
+    X0 = jnp.asarray(
+        rng.standard_normal((n, args.m)).astype(np.float32)
+    )
+    for tag, M in (("plain", None), ("gmg_preconditioned", Mg)):
+        run = jax.jit(
+            lambda A_, X_, M_=M: lobpcg(
+                A_, X_, M=M_, tol=1e-5, maxiter=args.maxiter
+            )
+        )
+        res = run(P, X0)
+        float(res.eigenvalues[0])  # sync (tunnel-safe)
+        t0 = time.time()
+        res = run(P, X0)
+        lam = np.asarray(res.eigenvalues, dtype=np.float64)
+        t_warm = time.time() - t0
+        V = res.eigenvectors
+        R = P.matmat(V) - V * res.eigenvalues[None, :]
+        rn = np.asarray(jnp.linalg.norm(R, axis=0) / jnp.linalg.norm(V, axis=0))
+        print(json.dumps({
+            "metric": "eigen_unstructured_lobpcg",
+            "config": tag,
+            "m": args.m,
+            "iterations": int(res.iterations),
+            "eigenvalues_low3": [float(f"{v:.6e}") for v in lam[:3]],
+            "max_residual_norm": f"{rn.max():.3e}",
+            "wall_s_warm": round(t_warm, 2),
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -114,12 +114,15 @@ class PrunedDIAMatrix(LinearOperator):
         saves an O(nnz log nnz) host pass at 10M-row scale)."""
         from sigma_tpu.ops.spmv_pruned import build_pruned_plan
 
-        dt = np.dtype(dtype or np.asarray(vals).dtype)
-        if dt == np.float64 and not jax.config.read("jax_enable_x64"):
-            dt = np.dtype(np.float32)
+        dt = jnp.dtype(dtype or np.asarray(vals).dtype)
+        if dt == jnp.float64 and not jax.config.read("jax_enable_x64"):
+            dt = jnp.dtype(jnp.float32)
+        # low-precision targets build the plan in f32 (the C++ fast path)
+        # and cast on device — numpy has no native bf16 scatter anyway
+        plan_dt = np.float32 if dt == jnp.bfloat16 else dt
         plan = build_pruned_plan(
             n, m, rows, cols, vals, tile_rows=tile_rows, group=group,
-            dtype=dt,
+            dtype=plan_dt,
         )
         rows = np.asarray(rows)
         if assume_unique:
@@ -128,7 +131,9 @@ class PrunedDIAMatrix(LinearOperator):
             key = rows.astype(np.int64) * int(m) + np.asarray(cols)
             nnz = int(np.unique(key).size)
         return cls(
-            data=jnp.asarray(plan.data.reshape(plan.L, plan.C, plan.T, 128)),
+            data=jnp.asarray(
+                plan.data.reshape(plan.L, plan.C, plan.T, 128)
+            ).astype(dt),
             tile=jnp.asarray(plan.tile),
             first=jnp.asarray(plan.first),
             rowoff=jnp.asarray(plan.rowoff),

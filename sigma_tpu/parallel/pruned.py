@@ -212,9 +212,11 @@ def distribute_pruned(
     rows = np.asarray(rows, dtype=np.int64).ravel()
     cols = np.asarray(cols, dtype=np.int64).ravel()
     vals = np.asarray(vals).ravel()
-    dt = np.dtype(dtype or vals.dtype)
-    if dt == np.float64 and not jax.config.read("jax_enable_x64"):
-        dt = np.dtype(np.float32)
+    dt = jnp.dtype(dtype or vals.dtype)
+    if dt == jnp.float64 and not jax.config.read("jax_enable_x64"):
+        dt = jnp.dtype(jnp.float32)
+    # bf16 targets: build plans in f32 (the C++ fast path), cast on device
+    plan_dt = np.dtype(np.float32) if dt == jnp.bfloat16 else np.dtype(dt)
     n = int(n)
     if block is None:
         # floor 1024: the pruned plan's minimum tile (8 sublanes x 128)
@@ -244,7 +246,7 @@ def distribute_pruned(
                 rows[sl] - s * block,
                 cols[sl] - s * block + Hw,
                 vals[sl],
-                tile_rows=tr, group=group, dtype=dt,
+                tile_rows=tr, group=group, dtype=plan_dt,
                 min_reach=reach + Hw,
             )
         )
@@ -252,7 +254,7 @@ def distribute_pruned(
     assert all((p.T, p.E, p.C) == (T, E, C) for p in plans)
     Lmax = max(p.L for p in plans)
     G = -(-(block // _LANES) // T)
-    data = np.zeros((D * Lmax, C, T, _LANES), dt)
+    data = np.zeros((D * Lmax, C, T, _LANES), plan_dt)
     tile = np.full(D * Lmax, G - 1, np.int32)
     first = np.zeros(D * Lmax, np.int32)
     rowoff = np.full(D * Lmax * C, E, np.int32)
@@ -271,7 +273,7 @@ def distribute_pruned(
         key = rows * np.int64(n) + cols
         nnz = int(np.unique(key).size)
     return DistributedPrunedMatrix(
-        data=jax.device_put(data, shard),
+        data=jax.device_put(data, shard).astype(dt),
         tile=jax.device_put(tile, shard),
         first=jax.device_put(first, shard),
         rowoff=jax.device_put(rowoff, shard),

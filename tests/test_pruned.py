@@ -354,6 +354,46 @@ def test_distributed_pruned_guards(rng):
         )
 
 
+def test_nonsymmetric_bicgstab_with_pruned_gmg(rng):
+    # the reference's skew-perturbed solver test
+    # (solver_test_jacobi.f90's BiCG-stab re-solve) on the pruned
+    # format with the value-agnostic pair-AMG preconditioner
+    from sigma_tpu.solvers import bicgstab_solve, pruned_pair_amg
+
+    n = 2048
+    dense, rows, cols, vals = _banded_spd(rng, n, shift=0.05)
+    off = cols - rows
+    vals = vals + 0.3 * np.sign(off) * np.abs(vals)  # skew part
+    dense = np.zeros((n, n))
+    dense[rows, cols] = vals
+    A = PrunedDIAMatrix.from_coo(n, n, rows, cols, vals, tile_rows=1024,
+                                 group=4)
+    M = pruned_pair_amg(n, rows, cols, vals, coarse_size=256,
+                        smoother="jacobi", tile_rows=1024, group=4,
+                        fine_A=A)
+    xstar = rng.standard_normal(n)
+    b = jnp.asarray(dense @ xstar)
+    x, info = bicgstab_solve(A, b, tol=0.0, rtol=1e-10, maxiter=400, M=M)
+    x0, info0 = bicgstab_solve(A, b, tol=0.0, rtol=1e-10, maxiter=400)
+    assert np.abs(np.asarray(x) - xstar).max() < 1e-6
+    assert int(info.iterations) < int(info0.iterations)
+
+
+def test_io_roundtrip_pruned(rng, tmp_path):
+    # matrix-market + npz persistence through the COO boundary
+    from sigma_tpu import io
+
+    n = 900
+    _, rows, cols, vals = _banded_spd(rng, n)
+    A = PrunedDIAMatrix.from_coo(n, n, rows, cols, vals, tile_rows=1024)
+    path = tmp_path / "A.mtx"
+    io.write_matrix_market(A, path)
+    B = io.read_matrix_market(path, frmt="csr")
+    r2, c2, v2 = B.entries()
+    B2 = PrunedDIAMatrix.from_coo(n, n, r2, c2, v2, tile_rows=1024)
+    assert np.abs(B2.to_dense() - A.to_dense()).max() < 1e-12
+
+
 def test_empty_tiles_and_tiny(rng):
     # rows concentrated in one tile; other tiles must still zero their y
     n = 5000
