@@ -158,6 +158,66 @@ class DistributedPrunedMatrix(LinearOperator):
             x, self.data, self.tile, self.first, self.rowoff, self.laneoff
         )
 
+    def matmat(self, X: jax.Array) -> jax.Array:
+        """Distributed multi-RHS apply: ``X`` is (n_pad, k) row-sharded;
+        the halo exchange ships (halo_words, k) blocks and the local
+        compute runs the pruned SpMM (packed values streamed once for
+        all k) — block solvers (block_cg_solve) work unchanged over the
+        mesh."""
+        D = self.n_shards
+        Hw = self.halo_words
+        C, T = self.data.shape[1], self.data.shape[2]
+        k = X.shape[1]
+        kw = dict(
+            T=T, E=self.halo_E, C=C, n=self.block,
+            m=self.block + 2 * Hw,
+        )
+        use_kernel = self._use_kernel(X.dtype)
+
+        def local(X_local, data, tile, first, ro, lo_):
+            if D > 1:
+                left = lax.ppermute(
+                    X_local[-Hw:, :], self.axis,
+                    [(s, (s + 1) % D) for s in range(D)],
+                )
+                right = lax.ppermute(
+                    X_local[:Hw, :], self.axis,
+                    [(s, (s - 1) % D) for s in range(D)],
+                )
+            else:
+                left = jnp.zeros((Hw, k), X_local.dtype)
+                right = jnp.zeros((Hw, k), X_local.dtype)
+            XT = jnp.concatenate([left, X_local, right], axis=0).T
+            if use_kernel:
+                from sigma_tpu.ops.spmv_pruned import (
+                    dia_spmm_pruned_rhs_major,
+                )
+
+                return dia_spmm_pruned_rhs_major(
+                    data, XT, tile, first, ro, lo_, **kw
+                ).T
+            from sigma_tpu.ops.spmv_pruned import pruned_matvec_reference
+
+            cols = [
+                pruned_matvec_reference(data, XT[j], tile, ro, lo_, **kw)
+                for j in range(k)
+            ]
+            return jnp.stack(cols, axis=1)
+
+        f = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(
+                P(self.axis), P(self.axis), P(self.axis), P(self.axis),
+                P(self.axis), P(self.axis),
+            ),
+            out_specs=P(self.axis),
+            check_vma=not use_kernel,
+        )
+        return f(
+            X, self.data, self.tile, self.first, self.rowoff, self.laneoff
+        )
+
     def diagonal(self) -> jax.Array:
         """Main-diagonal entries as a sharded (n_pad,) vector (host
         extraction at setup time is the intended path; this exists for

@@ -342,6 +342,40 @@ def test_distributed_pruned_pair_amg_parity(rng):
     assert errg < 1e-6 * max(1.0, np.abs(np.asarray(xg1)).max())
 
 
+def test_distributed_pruned_matmat_and_block_cg(rng):
+    # distributed multi-RHS apply + block CG over the mesh
+    from sigma_tpu.parallel import distribute_pruned, make_mesh
+    from sigma_tpu.solvers.krylov import block_cg_solve
+
+    n = 4000
+    dense, rows, cols, vals = _banded_spd(rng, n, shift=0.5)
+    mesh = make_mesh(4)
+    Ad = distribute_pruned(n, rows, cols, vals, mesh, tile_rows=1024,
+                           group=4)
+    n_pad = Ad.n_pad
+    X = rng.standard_normal((n, 3))
+    Xp = np.zeros((n_pad, 3))
+    Xp[:n] = X
+    Xd = jax.device_put(Xp, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("rows", None)))
+    Yd = np.asarray(Ad.matmat(Xd))[:n]
+    assert np.abs(Yd - dense @ X).max() < 1e-10 * np.abs(dense @ X).max()
+
+    B = dense @ rng.standard_normal((n, 3))
+    Bp = np.zeros((n_pad, 3))
+    Bp[:n] = B
+    Bd = jax.device_put(Bp, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("rows", None)))
+    Xs, info = jax.jit(
+        lambda A_, B_: block_cg_solve(A_, B_, tol=0.0, rtol=1e-10,
+                                      maxiter=200)
+    )(Ad, Bd)
+    err = np.abs(
+        np.asarray(Xs)[:n] - np.linalg.solve(dense, B)
+    ).max()
+    assert err < 1e-6
+
+
 def test_distributed_pruned_guards(rng):
     from sigma_tpu.parallel import distribute_pruned, make_mesh
 
