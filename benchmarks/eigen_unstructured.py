@@ -70,12 +70,16 @@ def main():
     X0 = jnp.asarray(
         rng.standard_normal((n, args.m)).astype(np.float32)
     )
+    run_plain = jax.jit(
+        lambda A_, X_: lobpcg(A_, X_, tol=1e-5, maxiter=args.maxiter)
+    )
+    run_pc = jax.jit(
+        lambda A_, X_, M_: lobpcg(A_, X_, M=M_, tol=1e-5,
+                                  maxiter=args.maxiter)
+    )
     for tag, M in (("plain", None), ("gmg_preconditioned", Mg)):
-        run = jax.jit(
-            lambda A_, X_, M_=M: lobpcg(
-                A_, X_, M=M_, tol=1e-5, maxiter=args.maxiter
-            )
-        )
+        run = (lambda A_, X_: run_pc(A_, X_, M)) if M is not None \
+            else run_plain
         res = run(P, X0)
         float(res.eigenvalues[0])  # sync (tunnel-safe)
         t0 = time.time()

@@ -80,12 +80,21 @@ def main():
     b_p = jnp.asarray(b_p)
     bnorm = float(np.linalg.norm(b))
 
-    for tag, M in (("plain", None), ("pruned_gmg", Mg)):
-        solve = jax.jit(
-            lambda A_, bb, M_=M: bicgstab_solve(
-                A_, bb, tol=0.0, rtol=1e-6, maxiter=args.iters, M=M_
-            )
+    solve_plain = jax.jit(
+        lambda A_, bb: bicgstab_solve(
+            A_, bb, tol=0.0, rtol=1e-6, maxiter=args.iters
         )
+    )
+    # M as an ARGUMENT: a captured hierarchy lands in the compile
+    # request body (HTTP 413 at 1M+ rows)
+    solve_pc = jax.jit(
+        lambda A_, bb, M_: bicgstab_solve(
+            A_, bb, tol=0.0, rtol=1e-6, maxiter=args.iters, M=M_
+        )
+    )
+    for tag, M in (("plain", None), ("pruned_gmg", Mg)):
+        solve = (lambda A_, bb: solve_pc(A_, bb, M)) if M is not None \
+            else solve_plain
         x, info = solve(P, b_p)
         float(info.residual_norm)
         t0 = time.time()
