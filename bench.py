@@ -54,8 +54,10 @@ def timeit_loop(make_f, *args, reps=3, K1=25, K2=125, samples=None):
       systematically selects the corrupted ones).
     - the ABSOLUTE floor ``t(K2)/K2`` (launch overhead included): a
       K2-iteration chain genuinely finished in that wall-clock, so the
-      true per-iteration time is at most this — used as an upper bound
-      on the reported time when the slope estimate is corrupted low.
+      true per-iteration time is at most this.
+    - a LOWER bound from a measured K=0 chain (pure launch/readback
+      overhead): ``(median t(K2) - median t(0)) / K2`` — refutes
+      jitter-corrupted-LOW slope medians (see inline comment).
 
     Appends each rep's slope estimate to ``samples`` (spread evidence).
     ``make_f(K)`` may return a jitted function; a TRACED iteration count
@@ -64,37 +66,46 @@ def timeit_loop(make_f, *args, reps=3, K1=25, K2=125, samples=None):
     f1, f2 = make_f(K1), make_f(K2)
     _sync_scalar(f1(*args))
     _sync_scalar(f2(*args))
+    f0 = make_f(0)  # K=0 chain: measures pure launch+readback overhead
+    _sync_scalar(f0(*args))
     slopes = []
-    lowers = []
+    t0s, t2s = [], []
     floor = float("inf")
     for _ in range(reps):
-        t0 = time.perf_counter()
+        tb = time.perf_counter()
+        _sync_scalar(f0(*args))
+        t0 = time.perf_counter() - tb
+        tb = time.perf_counter()
         _sync_scalar(f1(*args))
-        t1 = time.perf_counter() - t0
-        t0 = time.perf_counter()
+        t1 = time.perf_counter() - tb
+        tb = time.perf_counter()
         _sync_scalar(f2(*args))
-        t2 = time.perf_counter() - t0
+        t2 = time.perf_counter() - tb
         est = max((t2 - t1) / (K2 - K1), 1e-12)
         slopes.append(est)
+        t0s.append(t0)
+        t2s.append(t2)
         floor = min(floor, t2 / K2)
-        # per-rep lower bound on the per-iteration time: t1 >= the
-        # launch/readback overhead, so (t2 - t1)/K2 <= t_iter for a
-        # clean rep (= 0.83 t at K1/K2 = 1/6).  The MEDIAN of these
-        # refutes a jitter-corrupted-LOW slope median within a 1.2x
-        # margin (the failure the pre-round-4 code let through: an
-        # inflated t1 shrinks t2 - t1 and the "floor" cap only bounds
-        # corrupted-HIGH estimates — observed as an impossible
-        # 254 Gnnz/s detail row, 4x the HBM ceiling) while staying
-        # robust to a single t2 noise spike (a max over reps measured
-        # 12% headline under-report from one bad rep).
-        lowers.append((t2 - t1) / K2)
         if samples is not None:
             samples.append(est)
     med = sorted(slopes)[len(slopes) // 2]
-    lower = sorted(lowers)[len(lowers) // 2]
-    # the chain PROVABLY sustained floor; never report slower than it —
-    # and never faster than the median rep's lower bound
-    return max(min(med, floor), lower, 1e-12)
+    # DIRECT lower bound on the per-iteration time: the K=0 chain
+    # measures the launch/readback overhead itself, so
+    # (median(t2) - median(t0)) / K2 <= t_iter up to jitter.  This has
+    # real refutation power against a jitter-corrupted-LOW slope
+    # median — a within-rep bound (t2-t1)/K2 is just (K2-K1)/K2 times
+    # the same rep's slope, perfectly correlated with the estimate it
+    # is supposed to check (the round-4 first attempt; mathematically
+    # inert).  Guards the corrupted-LOW failure observed as an
+    # impossible 254 Gnnz/s (= 4x HBM) detail row from correlated
+    # launch jitter on a short chain; medians keep single spikes in
+    # either t0 or t2 from corrupting the bound.
+    lower = max(
+        (sorted(t2s)[len(t2s) // 2] - sorted(t0s)[len(t0s) // 2]) / K2,
+        0.0,
+    )
+    # the chain PROVABLY sustained floor: that cap wins over everything
+    return max(min(max(med, lower), floor), 1e-12)
 
 
 def _progress(msg, t0):
@@ -385,7 +396,7 @@ def main():
             rr, cc, vv = Au.entries()
             sh = rng.permutation(nu)
             Au = CSRMatrix.from_coo(nu, nu, sh[rr], sh[cc], vv, dtype=jnp.float32)
-            Du, _ = to_banded_dia(Au)
+            Du, pu = to_banded_dia(Au)
             nnz_u = Au.graph.nnz
             occ_u = nnz_u / (nu * Du.graph.n_diags)
             unst_samples = []
@@ -435,9 +446,16 @@ def main():
                 # PRUNED block-DIA (round 4): only the active (row-tile x
                 # diagonal) blocks stream — the occupancy attack on the
                 # same matrix (benchmarks/pruned_sweep.py)
-                from sigma_tpu.matrix.banded import to_pruned_dia
+                from sigma_tpu.matrix.pruned import PrunedDIAMatrix
 
-                Pu, _ = to_pruned_dia(Au)
+                # reuse the RCM permutation computed for the chunked row
+                # (a second to_pruned_dia would redo RCM + the order
+                # comparison on this page-fault-bound host)
+                ru, cu, vu = Au.entries()
+                Pu = PrunedDIAMatrix.from_coo(
+                    nu, nu, pu[ru], pu[cu], vu, dtype=jnp.float32,
+                    assume_unique=True,
+                )
                 # the pruned kernels are FAST at this size (~0.1-0.15 ms)
                 # so a 240-iteration chain is launch-jitter scale; long
                 # chains keep the slope fit out of the noise floor

@@ -41,6 +41,38 @@ def band_occupancy(A: SparseMatrix) -> float:
     return true_nnz / (A.shape[0] * max(n_diag, 1))
 
 
+def _reordered_triples(A: SparseMatrix, reorder: bool, method: str):
+    """Shared reorder + keep-better-order rule for the banded/pruned
+    conversions: returns ``(rows, cols, vals, p)`` with ``p`` in scatter
+    form (identity when the input order is kept, None when
+    ``reorder=False``).  The rule is a measured contract — better of
+    INPUT vs reordered order, judged lexicographically on
+    (distinct-diagonal count, band reach), ties to the reordering — and
+    lives in exactly one place so the two pipelines can never diverge."""
+    if A.shape[0] != A.shape[1]:
+        raise ValueError("banded conversion expects a square matrix")
+    rows, cols, vals = A.entries()
+    p = None
+    if reorder:
+        if method == "rcm":
+            from sigma_tpu.graph.permutations import reverse_cuthill_mckee
+
+            p = reverse_cuthill_mckee(A.graph)
+        elif method == "bfs":
+            p = breadth_first_search(A.graph)
+        else:
+            raise ValueError(f"unknown reorder method {method!r}")
+        d_new = p[cols] - p[rows]
+        d_in = cols - rows
+        key_new = (np.unique(d_new).size, int(np.abs(d_new).max(initial=0)))
+        key_in = (np.unique(d_in).size, int(np.abs(d_in).max(initial=0)))
+        if key_new <= key_in:
+            rows, cols = p[rows], p[cols]
+        else:
+            p = np.arange(A.shape[0], dtype=p.dtype)
+    return rows, cols, vals, p
+
+
 def to_banded_dia(
     A: SparseMatrix, reorder: bool = True, method: str = "rcm"
 ) -> Tuple[DIAMatrix, Optional[np.ndarray]]:
@@ -65,27 +97,7 @@ def to_banded_dia(
     identity permutation when the input order is kept, so callers never
     branch.
     """
-    if A.shape[0] != A.shape[1]:
-        raise ValueError("banded conversion expects a square matrix")
-    rows, cols, vals = A.entries()
-    p = None
-    if reorder:
-        if method == "rcm":
-            from sigma_tpu.graph.permutations import reverse_cuthill_mckee
-
-            p = reverse_cuthill_mckee(A.graph)
-        elif method == "bfs":
-            p = breadth_first_search(A.graph)
-        else:
-            raise ValueError(f"unknown reorder method {method!r}")
-        d_new = p[cols] - p[rows]
-        d_in = cols - rows
-        key_new = (np.unique(d_new).size, int(np.abs(d_new).max(initial=0)))
-        key_in = (np.unique(d_in).size, int(np.abs(d_in).max(initial=0)))
-        if key_new <= key_in:
-            rows, cols = p[rows], p[cols]
-        else:
-            p = np.arange(A.shape[0], dtype=p.dtype)
+    rows, cols, vals, p = _reordered_triples(A, reorder, method)
     D = DIAMatrix.from_coo(
         A.shape[0], A.shape[1], rows, cols, vals, dtype=A.dtype
     )
@@ -114,27 +126,7 @@ def to_pruned_dia(
     """
     from sigma_tpu.matrix.pruned import PrunedDIAMatrix
 
-    if A.shape[0] != A.shape[1]:
-        raise ValueError("banded conversion expects a square matrix")
-    rows, cols, vals = A.entries()
-    p = None
-    if reorder:
-        if method == "rcm":
-            from sigma_tpu.graph.permutations import reverse_cuthill_mckee
-
-            p = reverse_cuthill_mckee(A.graph)
-        elif method == "bfs":
-            p = breadth_first_search(A.graph)
-        else:
-            raise ValueError(f"unknown reorder method {method!r}")
-        d_new = p[cols] - p[rows]
-        d_in = cols - rows
-        key_new = (np.unique(d_new).size, int(np.abs(d_new).max(initial=0)))
-        key_in = (np.unique(d_in).size, int(np.abs(d_in).max(initial=0)))
-        if key_new <= key_in:
-            rows, cols = p[rows], p[cols]
-        else:
-            p = np.arange(A.shape[0], dtype=p.dtype)
+    rows, cols, vals, p = _reordered_triples(A, reorder, method)
     P = PrunedDIAMatrix.from_coo(
         A.shape[0], A.shape[1], rows, cols, vals, dtype=A.dtype,
         tile_rows=tile_rows, group=group, assume_unique=True,

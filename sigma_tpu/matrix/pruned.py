@@ -62,6 +62,10 @@ class PrunedDIAMatrix(LinearOperator):
     m: int = dataclasses.field(metadata=dict(static=True))
     halo: int = dataclasses.field(metadata=dict(static=True))  # E sublanes
     nnz: int = dataclasses.field(metadata=dict(static=True))
+    # optional transposed-plan twin (see with_transpose): carried as a
+    # pytree child so rmatvec/rmatmat work INSIDE jit when present —
+    # the plan build is a host operation and cannot run under a tracer
+    t: "PrunedDIAMatrix" = None
 
     format: ClassVar[str] = "dia_pruned"
     is_get_row_fast: ClassVar[bool] = False
@@ -189,7 +193,11 @@ class PrunedDIAMatrix(LinearOperator):
 
     def astype(self, dtype) -> "PrunedDIAMatrix":
         """Per-value cast (bf16 halves the dominant HBM stream)."""
-        return dataclasses.replace(self, data=self.data.astype(dtype))
+        return dataclasses.replace(
+            self,
+            data=self.data.astype(dtype),
+            t=None if self.t is None else self.t.astype(dtype),
+        )
 
     def transpose(self) -> "PrunedDIAMatrix":
         """Host rebuild of the transposed matrix (pruned layout is
@@ -199,7 +207,21 @@ class PrunedDIAMatrix(LinearOperator):
             self.m, self.n, cols, rows, vals,
             dtype=np.asarray(self.data).dtype,
             tile_rows=self.tile_rows, group=self.group,
+            assume_unique=True,
         )
+
+    def with_transpose(self) -> "PrunedDIAMatrix":
+        """Return a copy carrying the transposed plan as a pytree child,
+        making ``rmatvec``/``rmatmat`` usable INSIDE jit (transpose-
+        consuming solvers: ``cgls_solve``, adjoint operators).  The plan
+        build is host work, so do this at setup time::
+
+            P = PrunedDIAMatrix.from_coo(...).with_transpose()
+            x, info = jax.jit(cgls_solve)(P, b)
+        """
+        if self.t is not None:
+            return self
+        return dataclasses.replace(self, t=self.transpose())
 
     def why_not_pallas(self, op: str = "matvec", k: int = 1, dtype=None):
         """Audit probe, same contract as :meth:`DIAMatrix.why_not_pallas`."""
@@ -209,9 +231,9 @@ class PrunedDIAMatrix(LinearOperator):
                 f"op {op!r}: pruned pallas paths are matvec and matmat "
                 "(rmatvec runs through the transposed plan's matvec)"
             )
-        if op == "matmat" and k > self._SPMM_MAX_K:
-            # matmat auto-splits; audit the per-pass width
-            k = self._SPMM_MAX_K
+        # (no per-pass width gate to audit: matmat auto-splits k > 16
+        # into 16-wide passes and the SpMM kernel's k-deep VMEM scratch
+        # fits at every pass width, so any k routes to pallas)
         if self.m < self._PALLAS_MIN_ELEMS:
             return (
                 f"m = {self.m} < {self._PALLAS_MIN_ELEMS}: gather reference "
@@ -254,13 +276,23 @@ class PrunedDIAMatrix(LinearOperator):
         )
 
     def rmatvec(self, x):
-        """Transpose apply via a cached host-built transpose (the pruned
+        """Transpose apply through the transposed plan (the pruned
         layout is row-tile oriented; the reference's CSR<->CSC kernel
         duality, ``cs_matrices.f90:148-149``, becomes an explicit
-        transposed plan here)."""
+        transposed plan here).  Inside jit the plan must already be
+        attached — call :meth:`with_transpose` at setup."""
         return self._transposed().matvec(x)
 
     def _transposed(self) -> "PrunedDIAMatrix":
+        if self.t is not None:
+            return self.t
+        if isinstance(self.data, jax.core.Tracer):
+            raise NotImplementedError(
+                "rmatvec inside jit needs the transposed plan attached: "
+                "build the operator with "
+                "PrunedDIAMatrix.from_coo(...).with_transpose() (a host "
+                "setup step; a traced value cannot be repacked)"
+            )
         cached = getattr(self, "_t_cache", None)
         if cached is None:
             cached = self.transpose()
@@ -298,6 +330,10 @@ class PrunedDIAMatrix(LinearOperator):
         """Multi-vector product A @ X for X (m, k): routed through the
         RHS-major pruned SpMM (values streamed once per 16-wide pass)."""
         return self.matmat_rhs_major(X.T).T
+
+    def rmatmat(self, X):
+        """A.T @ X through the transposed plan (see :meth:`rmatvec`)."""
+        return self._transposed().matmat(X)
 
     def get_value(self, i: int, j: int):
         rows, cols, vals = self.entries()

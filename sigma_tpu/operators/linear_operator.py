@@ -358,9 +358,12 @@ class OperatorWithSolver(LinearOperator):
 
     op: LinearOperator
     solver: Any = dataclasses.field(metadata=dict(static=True))
-    preconditioner: Any = dataclasses.field(
-        metadata=dict(static=True), default=None
-    )
+    # a pytree CHILD, not static: preconditioners are array-bearing
+    # pytrees (AMG hierarchies run to GBs at the north star) — a static
+    # field would embed them as jaxpr constants, which a) lands the
+    # whole hierarchy in the remote-compile request body (HTTP 413 past
+    # ~322 MB, the CLAUDE.md closure rule) and b) hashes arrays
+    preconditioner: Any = None
 
     @property
     def shape(self):

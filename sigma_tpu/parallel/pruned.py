@@ -395,19 +395,7 @@ def distributed_pruned_pair_amg(
         raise ValueError("shard block must be a power-of-two multiple of 128")
     n_pad = D * block
 
-    def _dinv_lmax(nl, r, c, v):
-        diag = np.zeros(nl, np.float64)
-        np.add.at(diag, r[r == c], v[r == c].astype(np.float64))
-        dinv = np.where(diag != 0, 1.0, 0.0) / np.where(diag != 0, diag, 1.0)
-        lmax = None
-        if smoother == "chebyshev":
-            rs = np.zeros(nl, np.float64)
-            np.add.at(rs, r, np.abs(v).astype(np.float64))
-            ad = np.abs(diag)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                ratio = np.where(ad > 0, rs / np.where(ad > 0, ad, 1.0), 0.0)
-            lmax = float(ratio.max())
-        return dinv.astype(dtype), lmax
+    from sigma_tpu.solvers.gmg import _coo_dinv_lmax, _pair_coarsen_coo
 
     rep = NamedSharding(mesh, P())
     levels = []
@@ -427,7 +415,9 @@ def distributed_pruned_pair_amg(
                 tile_rows=min(tile_rows, blk), group=group,
                 block=blk, dtype=lvl_np,
             )
-        dinv, lmax = _dinv_lmax(nl, r, c, v)
+        dinv, lmax = _coo_dinv_lmax(
+            nl, r, c, v, dtype, smoother == "chebyshev"
+        )
         levels.append(
             _SLevel(
                 A=Alvl,
@@ -439,22 +429,22 @@ def distributed_pruned_pair_amg(
                 else jax.device_put(np.asarray(lmax, dtype), rep),
             )
         )
-        nc = nl // 2
-        from sigma_tpu import native as _native
-
-        cp = _native.coarsen_pair(r, c, v, nc)
-        if cp is not None:
-            r, c, v = cp[0], cp[1], cp[2].astype(dtype)
-        else:
-            key = (r // 2) * nc + c // 2
-            ukey, inv = np.unique(key, return_inverse=True)
-            cv = np.zeros(ukey.size, dtype)
-            np.add.at(cv, inv, (0.5 * v).astype(dtype))
-            keep = cv != 0
-            ukey, cv = ukey[keep], cv[keep]
-            r, c, v = ukey // nc, ukey % nc, cv
+        nc = nl // 2  # n_pad is a power of two: exact halving every level
+        r, c, v = _pair_coarsen_coo(r, c, v, nc, dtype)
         nl, blk = nc, blk // 2
 
+    if nl > 8192:
+        # the shard-block floor (1024 rows) stopped coarsening before the
+        # requested coarse size: at n_shards*512 rows the replicated
+        # dense inversion would be the very trap the coarse_size guard
+        # exists to prevent (16K^2 f64 at 32 shards) — fail loudly.
+        raise ValueError(
+            f"coarsest level has {nl} rows (> 8192): with "
+            f"{D} shards the 1024-row shard-block floor stops pairing at "
+            f"n_shards*512 rows; use fewer shards for this n, or a "
+            f"larger coarse_size is not the issue — replicated-tail "
+            f"levels below the block floor are not implemented yet"
+        )
     coarse = np.zeros((nl, nl), np.float64)
     coarse[r, c] = v.astype(np.float64)
     coarse += 1e-12 * np.eye(nl)

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Dict, Tuple
 
 import jax
@@ -727,6 +728,55 @@ def _gershgorin_dinv_a(grids) -> float:
     return float(ratio.max())
 
 
+def _pair_coarsen_coo(rows, cols, vals, nc, dtype):
+    """One Galerkin pair-coarsening step on COO triples,
+    ``C[r//2, c//2] += 0.5 * A[r, c]`` (exact cancellations dropped):
+    the C++ radix path when available, numpy otherwise.  Shared by the
+    single-device and distributed pruned hierarchies — they are required
+    to be numerically identical (parity asserted in tests/dryrun)."""
+    from sigma_tpu import native as _native
+
+    cp = _native.coarsen_pair(rows, cols, vals, nc)
+    if cp is not None:
+        return cp[0], cp[1], cp[2].astype(dtype)
+    key = (rows // 2) * nc + cols // 2
+    ukey, inv = np.unique(key, return_inverse=True)
+    cv = np.zeros(ukey.size, dtype)
+    np.add.at(cv, inv, (0.5 * vals).astype(dtype))
+    keep = cv != 0
+    ukey, cv = ukey[keep], cv[keep]
+    return ukey // nc, ukey % nc, cv
+
+
+def _coo_dinv_lmax(nl, r, c, v, dtype, want_lmax):
+    """Smoother diagonal inverse + (optionally) the Gershgorin bound on
+    lmax(D^{-1}A), from COO triples.  Assumes CANONICAL (duplicate-free)
+    triples — `entries()` output; with duplicates the summed diagonal
+    here would disagree with the operator's last-value-wins packing
+    (validated under SIGMA_TPU_DEBUG=1)."""
+    if os.environ.get("SIGMA_TPU_DEBUG"):
+        key = np.asarray(r, np.int64) * (np.asarray(c).max() + 1) + c
+        if np.unique(key).size != np.asarray(r).size:
+            raise ValueError(
+                "pair-AMG requires duplicate-free COO triples (the "
+                "operator packs last-value-wins while the hierarchy "
+                "would SUM duplicates); deduplicate first, e.g. via "
+                "CSRMatrix.from_coo(...).entries()"
+            )
+    diag = np.zeros(nl, np.float64)
+    np.add.at(diag, r[r == c], v[r == c].astype(np.float64))
+    dinv = np.where(diag != 0, 1.0, 0.0) / np.where(diag != 0, diag, 1.0)
+    lmax = None
+    if want_lmax:
+        rs = np.zeros(nl, np.float64)
+        np.add.at(rs, r, np.abs(v).astype(np.float64))
+        ad = np.abs(diag)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(ad > 0, rs / np.where(ad > 0, ad, 1.0), 0.0)
+        lmax = float(ratio.max())
+    return dinv.astype(dtype), lmax
+
+
 def pruned_pair_amg(
     n,
     rows,
@@ -800,37 +850,11 @@ def pruned_pair_amg(
     if smoother not in ("jacobi", "chebyshev"):
         raise ValueError(f"unknown smoother {smoother!r}")
 
-    def _dinv_lmax(nl, r, c, v):
-        diag = np.zeros(nl, np.float64)
-        np.add.at(diag, r[r == c], v[r == c].astype(np.float64))
-        dinv = np.where(diag != 0, 1.0, 0.0) / np.where(diag != 0, diag, 1.0)
-        lmax = None
-        if smoother == "chebyshev":
-            rs = np.zeros(nl, np.float64)
-            np.add.at(rs, r, np.abs(v).astype(np.float64))
-            ad = np.abs(diag)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                ratio = np.where(ad > 0, rs / np.where(ad > 0, ad, 1.0), 0.0)
-            lmax = float(ratio.max())
-        return dinv.astype(dtype), lmax
-
-    from sigma_tpu import native as _native
-
     specs = []  # (nl, rows, cols, vals)
     while n > coarse_size and len(specs) < max_levels - 1:
         specs.append((n, rows, cols, vals))
         nc = (n + 1) // 2
-        cp = _native.coarsen_pair(rows, cols, vals, nc)
-        if cp is not None:
-            rows, cols, vals = cp[0], cp[1], cp[2].astype(dtype)
-        else:
-            key = (rows // 2) * nc + cols // 2
-            ukey, inv = np.unique(key, return_inverse=True)
-            cv = np.zeros(ukey.size, dtype)
-            np.add.at(cv, inv, (0.5 * vals).astype(dtype))
-            keep = cv != 0  # prune exact cancellations
-            ukey, cv = ukey[keep], cv[keep]
-            rows, cols, vals = ukey // nc, ukey % nc, cv
+        rows, cols, vals = _pair_coarsen_coo(rows, cols, vals, nc, dtype)
         n = nc
 
     coarse = np.zeros((n, n), np.float64)
@@ -849,7 +873,9 @@ def pruned_pair_amg(
                 nl, nl, r, c, v, dtype=lvl_np,
                 tile_rows=tile_rows, group=group,
             )
-        dinv, lmax = _dinv_lmax(nl, r, c, v)
+        dinv, lmax = _coo_dinv_lmax(
+            nl, r, c, v, dtype, smoother == "chebyshev"
+        )
         levels.append(
             _SLevel(
                 A=Alvl,

@@ -413,6 +413,34 @@ def test_nonsymmetric_bicgstab_with_pruned_gmg(rng):
     assert int(info.iterations) < int(info0.iterations)
 
 
+def test_with_transpose_jit_safe(rng):
+    # rmatvec/cgls inside jit need the transpose plan attached at setup
+    # (a host rebuild cannot run under a tracer) — advisor round-4 item
+    from sigma_tpu.solvers import cgls_solve
+
+    n, m = 1500, 1200
+    _, _, _, dense = _random_banded(rng, n, m, 6000)
+    dense *= 0.1
+    dense[np.arange(m), np.arange(m)] += 5.0  # well-conditioned LS
+    rows, cols = np.nonzero(dense)
+    vals = dense[rows, cols]
+    A = PrunedDIAMatrix.from_coo(n, m, rows, cols, vals, tile_rows=1024,
+                                 group=2)
+    x = jnp.asarray(rng.standard_normal(n))
+    with pytest.raises(NotImplementedError, match="with_transpose"):
+        jax.jit(lambda A_, v: A_.rmatvec(v))(A, x)
+    At = A.with_transpose()
+    y = np.asarray(jax.jit(lambda A_, v: A_.rmatvec(v))(At, x))
+    assert np.abs(y - dense.T @ np.asarray(x)).max() < 1e-10
+    # least squares end-to-end, jitted (normal-equations residual check)
+    b = np.asarray(dense @ rng.standard_normal(m))
+    xs, info = jax.jit(
+        lambda A_, b_: cgls_solve(A_, b_, tol=0.0, rtol=1e-12, maxiter=600)
+    )(At, jnp.asarray(b))
+    nr = np.linalg.norm(dense.T @ (b - dense @ np.asarray(xs)))
+    assert nr < 1e-6 * max(np.linalg.norm(b), 1.0)
+
+
 def test_io_roundtrip_pruned(rng, tmp_path):
     # matrix-market + npz persistence through the COO boundary
     from sigma_tpu import io
