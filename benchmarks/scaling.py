@@ -42,6 +42,9 @@ def main():
     # multi-host plumbing (BASELINE.json's 2-host point): launch one
     # process per host with identical args plus --process-id; see
     # BENCHMARKS.md "Scaling harness" for the exact two-host commands
+    ap.add_argument("--pruned", action="store_true",
+                    help="also scale the UNSTRUCTURED pruned path "
+                    "(DistributedPrunedMatrix CG, same protocol)")
     ap.add_argument("--coordinator", default=None,
                     help="host:port of process 0 for "
                     "jax.distributed.initialize (multi-host runs)")
@@ -113,6 +116,59 @@ def main():
         "iters": args.iters,
         "points": results,
     }))
+
+    if args.pruned:
+        # the UNSTRUCTURED flagship over the mesh: banded random-band
+        # matrix through DistributedPrunedMatrix (per-shard packed
+        # plans, two neighbor ppermute halos) — same weak/strong
+        # protocol, so a real multi-host launch measures the pruned
+        # path with the same flags
+        from sigma_tpu.parallel import distribute_pruned
+
+        rng = np.random.default_rng(0)
+        results_p = []
+        t1p = None
+        for D in counts:
+            n = args.rows_per_device * (D if args.mode == "weak" else 1)
+            ne = 6 * n
+            rr = rng.integers(0, n, ne)
+            cc = np.clip(rr + rng.integers(-60, 61, ne), 0, n - 1)
+            vv = -np.abs(rng.standard_normal(ne)).astype(np.float32)
+            key = rr * n + cc
+            _, idx = np.unique(key, return_index=True)
+            rr, cc, vv = rr[idx], cc[idx], vv[idx]
+            offd = rr != cc  # the diagonal is added below
+            rr, cc, vv = rr[offd], cc[offd], vv[offd]
+            diag = np.zeros(n, np.float32)
+            np.add.at(diag, rr, np.abs(vv))
+            rr = np.concatenate([rr, np.arange(n)])
+            cc = np.concatenate([cc, np.arange(n)])
+            vv = np.concatenate([vv, diag + 1.0])
+            mesh = make_mesh(D)
+            Ad = distribute_pruned(n, rr, cc, vv, mesh, tile_rows=16384,
+                                   group=8, assume_unique=True)
+            b = Ad.shard_vector(np.ones(n, dtype=np.float32))
+            solve = jax.jit(
+                lambda Ad, b: cg_solve(Ad, b, tol=0.0,
+                                       maxiter=args.iters)[0]
+            )
+            x = solve(Ad, b)
+            float(x.ravel()[0])
+            t0 = time.perf_counter()
+            x = solve(Ad, b)
+            float(x.ravel()[0])
+            t = time.perf_counter() - t0
+            if t1p is None:
+                t1p = t
+            eff = t1p / t if args.mode == "weak" else t1p / (D * t)
+            results_p.append({"devices": D, "n": n,
+                              "seconds": round(t, 4),
+                              "efficiency": round(eff, 3)})
+        print(json.dumps({
+            "metric": f"{args.mode}_scaling_pruned_cg",
+            "simulated": simulated,
+            "points": results_p,
+        }))
 
 
 if __name__ == "__main__":
