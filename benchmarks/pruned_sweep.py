@@ -71,7 +71,7 @@ def main():
 
         return f
 
-    t_base = timeit_loop(mk, D, x, K1=10, K2=50)
+    t_base = timeit_loop(mk, D, x, K1=50, K2=400)
     y_base = np.asarray(D.matvec(x))
     print(json.dumps({
         "metric": "pruned_sweep_baseline",
@@ -118,7 +118,7 @@ def main():
                         / max(np.abs(y_base).max(), 1e-30)
                     )
                     t_p = timeit_loop(mkp, data, x, tile, first, ro, lo,
-                                      K1=10, K2=50)
+                                      K1=50, K2=400)
                 except Exception as e:
                     print(json.dumps({
                         "metric": "pruned_sweep", "tile_rows": tile_rows,

@@ -115,7 +115,14 @@ class PrunedDIAMatrix(LinearOperator):
         granularity; ``group`` the slots per kernel step.
         ``assume_unique`` skips the nnz-dedup sort (pass it when the
         triples come from ``entries()``, which is already canonical —
-        saves an O(nnz log nnz) host pass at 10M-row scale)."""
+        saves an O(nnz log nnz) host pass at 10M-row scale).
+
+        Group guidance (long-chain measurements at the 1M-row mesh,
+        benchmarks/pruned_sweep.py): f32 plateaus at ~26 true Gnnz/s for
+        group 8-16 (HBM-bound); bf16 keeps gaining with wider groups —
+        37 / 41 / 46 Gnnz/s at group 8 / 16 / 24 — so pack with
+        ``group=16-24`` when the operator will be used in bf16
+        (``astype(bfloat16)`` keeps the packing)."""
         from sigma_tpu.ops.spmv_pruned import build_pruned_plan
 
         dt = jnp.dtype(dtype or np.asarray(vals).dtype)
