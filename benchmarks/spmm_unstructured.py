@@ -66,8 +66,8 @@ def main():
         return mk
 
     x = jnp.ones((n,), jnp.float32)
-    t_sym1 = timeit_loop(loop(lambda M, v: M.matvec(v)), Ds, x, K1=10, K2=50)
-    t_pr1 = timeit_loop(loop(lambda M, v: M.matvec(v)), P, x, K1=10, K2=50)
+    t_sym1 = timeit_loop(loop(lambda M, v: M.matvec(v)), Ds, x, K1=30, K2=200)
+    t_pr1 = timeit_loop(loop(lambda M, v: M.matvec(v)), P, x, K1=30, K2=200)
     print(json.dumps({
         "metric": "spmv_baselines",
         "sym_ms": round(t_sym1 * 1e3, 3),
@@ -88,7 +88,7 @@ def main():
             try:
                 t = timeit_loop(
                     loop(lambda M, V: M.matmat_rhs_major(V)), Dsym, XT,
-                    K1=5, K2=25,
+                    K1=20, K2=120,
                 )
                 print(json.dumps({
                     "metric": "sym_spmm", "k": k, "dtype": dname,
@@ -105,7 +105,7 @@ def main():
             try:
                 t = timeit_loop(
                     loop(lambda M, V: M.matmat_rhs_major(V)), Ppr, XT,
-                    K1=5, K2=25,
+                    K1=20, K2=120,
                 )
                 print(json.dumps({
                     "metric": "pruned_spmm", "k": k, "dtype": dname,
