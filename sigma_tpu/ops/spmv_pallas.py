@@ -880,17 +880,19 @@ def dia_sym_spmm_rhs_major_chunked(
         # Measured Mosaic scoped-VMEM ceiling (round 4): the mirror term
         # now writes through ONE rotating VMEM scratch (not a fresh
         # per-diagonal z concat), which lifted the cap from 16 to
-        # 24-wide slabs at k<=4 — but k=8 x 24-wide still OOMs scoped
-        # vmem (74.7M > 64M: the DIRECT term's per-diagonal
-        # shifted-window temporaries stay live across the unrolled loop
-        # too), and wider slabs crash the compiler outright.  Measured
-        # k=4 at 24-wide: 11.3 true G-eff — NO better than 16-wide's
-        # 12.1, so the slab width is not the lever here.  VERDICT: for
+        # 24-wide slabs at k<=4 — but the DIRECT term's per-diagonal
+        # shifted-window temporaries also stay live across the unrolled
+        # loop, scaling with k x slab: bisected on the 1M-row 78-upper-
+        # diagonal band, k=8 and k=16 compile only at <= 6-wide slabs
+        # (8-wide crashes the compiler subprocess).  Measured k=4 at
+        # 24-wide: 11.3 true G-eff — NO better than 16-wide's 12.1, so
+        # slab width is not the lever here anyway.  VERDICT: for
         # multi-RHS on wide SPD bands route to the PRUNED SpMM
-        # (PrunedDIAMatrix.matmat_rhs_major: 53-64 true G-eff at k=4-16
-        # on the same matrix, BENCHMARKS.md round 4); this path remains
-        # for narrow symmetric stencils where one slab covers the band.
-        max_chunk = 24 if k <= 4 else 16
+        # (PrunedDIAMatrix.matmat_rhs_major: 58-64 true G-eff at k=4-16
+        # on the same matrix, long-chain re-measured, BENCHMARKS.md
+        # round 4); this path remains for narrow symmetric stencils
+        # where one slab covers the band.
+        max_chunk = 24 if k <= 4 else 6
     plan = chunk_plan(
         offsets, S, data.dtype.itemsize, max_chunk=max_chunk, k=k, sym=True
     )
