@@ -338,6 +338,13 @@ class SymmetricDIAMatrix(LinearOperator):
         )
         if pick is not None:
             return dia_sym_spmm_rhs_major(self.data, XT, self.offsets, n)
+        if self.data.dtype == jnp.bfloat16 and k > 8:
+            # bisected (round 4): bf16 wide-band slabs at k=16 blow the
+            # Mosaic scoped-VMEM stack at EVERY slab width (the in-VMEM
+            # f32 casts of the k-deep window temporaries) — route to
+            # the XLA fallback / the pruned SpMM instead of crashing
+            # the compiler
+            return None
         if (
             chunk_plan(
                 self.offsets, self.data.shape[1],

@@ -891,8 +891,16 @@ def dia_sym_spmm_rhs_major_chunked(
         # (PrunedDIAMatrix.matmat_rhs_major: 58-64 true G-eff at k=4-16
         # on the same matrix, long-chain re-measured, BENCHMARKS.md
         # round 4); this path remains for narrow symmetric stencils
-        # where one slab covers the band.
-        max_chunk = 24 if k <= 4 else 6
+        # where one slab covers the band.  (bf16 data casts to f32
+        # in-kernel, so its per-diagonal temporaries are LARGER relative
+        # to the data tile — bisected to 12-wide at k=4, and its k=16
+        # needs 4-wide where f32 compiles at 6.)
+        if k <= 4:
+            max_chunk = 24 if data.dtype.itemsize >= 4 else 12
+        elif data.dtype.itemsize >= 4 or k <= 8:
+            max_chunk = 6
+        else:
+            max_chunk = 4
     plan = chunk_plan(
         offsets, S, data.dtype.itemsize, max_chunk=max_chunk, k=k, sym=True
     )
