@@ -74,6 +74,15 @@ class DistributedPrunedMatrix(LinearOperator):
     halo_words: int = dataclasses.field(metadata=dict(static=True))
     halo_E: int = dataclasses.field(metadata=dict(static=True))
     nnz: int = dataclasses.field(metadata=dict(static=True))
+    # optional transpose plan (distribute_pruned(with_transpose=True)):
+    # per-shard plans of the local (block + 2*halo, block) transposed
+    # blocks; rmatvec needs them (pytree children, None otherwise)
+    tdata: jax.Array = None
+    ttile: jax.Array = None
+    tfirst: jax.Array = None
+    trowoff: jax.Array = None
+    tlaneoff: jax.Array = None
+    t_halo_E: int = dataclasses.field(metadata=dict(static=True), default=0)
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -218,6 +227,76 @@ class DistributedPrunedMatrix(LinearOperator):
             X, self.data, self.tile, self.first, self.rowoff, self.laneoff
         )
 
+    def rmatvec(self, x: jax.Array) -> jax.Array:
+        """Transpose apply: each shard applies its local transposed
+        block (the pre-built transpose plan) producing contributions to
+        its own columns PLUS the two halo column ranges, which ship to
+        the owning neighbors on REVERSED rings and are added there (the
+        gather/scatter duality of ``cs_matrices.f90:148-149`` at the
+        distributed layout level).  Requires
+        ``distribute_pruned(..., with_transpose=True)``."""
+        if self.tdata is None:
+            raise NotImplementedError(
+                "distributed rmatvec needs the transpose plan: build "
+                "the matrix with distribute_pruned(..., "
+                "with_transpose=True)"
+            )
+        D = self.n_shards
+        Hw = self.halo_words
+        blk = self.block
+        C, T = self.tdata.shape[1], self.tdata.shape[2]
+        kw = dict(
+            T=T, E=self.t_halo_E, C=C, n=blk + 2 * Hw, m=blk,
+        )
+        use_kernel = self._use_kernel(x.dtype)
+
+        def local(x_local, data, tile, first, ro, lo_):
+            if use_kernel:
+                from sigma_tpu.ops.spmv_pruned import dia_spmv_pallas_pruned
+
+                z = dia_spmv_pallas_pruned(
+                    data, x_local, tile, first, ro, lo_, **kw
+                )
+            else:
+                from sigma_tpu.ops.spmv_pruned import (
+                    pruned_matvec_reference,
+                )
+
+                z = pruned_matvec_reference(data, x_local, tile, ro, lo_,
+                                            **kw)
+            y = z[Hw : Hw + blk]
+            if D > 1:
+                # head: contributions to the PREVIOUS shard's tail
+                # columns; tail: to the NEXT shard's head columns.
+                # Edge wraps carry exact zeros (no entries exist beyond
+                # the global index range, so those plan slots are 0).
+                from_next = lax.ppermute(
+                    z[:Hw], self.axis,
+                    [(s, (s - 1) % D) for s in range(D)],
+                )
+                from_prev = lax.ppermute(
+                    z[Hw + blk :], self.axis,
+                    [(s, (s + 1) % D) for s in range(D)],
+                )
+                y = y.at[blk - Hw :].add(from_next)
+                y = y.at[:Hw].add(from_prev)
+            return y
+
+        f = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(
+                P(self.axis), P(self.axis), P(self.axis), P(self.axis),
+                P(self.axis), P(self.axis),
+            ),
+            out_specs=P(self.axis),
+            check_vma=not use_kernel,
+        )
+        return f(
+            x, self.tdata, self.ttile, self.tfirst, self.trowoff,
+            self.tlaneoff,
+        )
+
     def diagonal(self) -> jax.Array:
         """Main-diagonal entries as a sharded (n_pad,) vector (host
         extraction at setup time is the intended path; this exists for
@@ -257,6 +336,7 @@ def distribute_pruned(
     block: int | None = None,
     dtype=None,
     assume_unique: bool = False,
+    with_transpose: bool = False,
 ) -> DistributedPrunedMatrix:
     """Build a row-sharded pruned matrix from (RCM-ordered) COO triples.
 
@@ -264,7 +344,9 @@ def distribute_pruned(
     multiple of 128 covering ``ceil(n / n_shards)`` — the power-of-two
     choice keeps pair-aggregation levels shard-aligned
     (:func:`distributed_pruned_pair_amg`).  The band reach must not
-    exceed ``block`` (one-neighbor halo exchange).
+    exceed ``block`` (one-neighbor halo exchange).  Pass
+    ``with_transpose=True`` to also build the per-shard transposed
+    plans, enabling :meth:`DistributedPrunedMatrix.rmatvec`.
     """
     from sigma_tpu.ops.spmv_pruned import build_pruned_plan
 
@@ -332,6 +414,51 @@ def distribute_pruned(
     else:
         key = rows * np.int64(n) + cols
         nnz = int(np.unique(key).size)
+
+    textra = {}
+    if with_transpose:
+        # per-shard transposed blocks: (block + 2*Hw, block) with
+        # entries (c_loc, r_loc) — all offsets r_loc - c_loc are in
+        # [-(Hw + reach), -(Hw - reach)], one common reach via min_reach
+        tplans = []
+        for s_ in range(D):
+            sl = slice(bounds[s_], bounds[s_ + 1])
+            tplans.append(
+                build_pruned_plan(
+                    block + 2 * Hw, block,
+                    cols[sl] - s_ * block + Hw,
+                    rows[sl] - s_ * block,
+                    vals[sl],
+                    tile_rows=tr, group=group, dtype=plan_dt,
+                    min_reach=reach + Hw,
+                )
+            )
+        Tt, Et, Ct = tplans[0].T, tplans[0].E, tplans[0].C
+        assert all((p.T, p.E, p.C) == (Tt, Et, Ct) for p in tplans)
+        Lt = max(p.L for p in tplans)
+        Gt = -(-((block + 2 * Hw) // _LANES) // Tt)
+        tdata = np.zeros((D * Lt, Ct, Tt, _LANES), plan_dt)
+        ttile = np.full(D * Lt, Gt - 1, np.int32)
+        tfirst = np.zeros(D * Lt, np.int32)
+        trowoff = np.full(D * Lt * Ct, Et, np.int32)
+        tlaneoff = np.zeros(D * Lt * Ct, np.int32)
+        for s_, p in enumerate(tplans):
+            tdata[s_ * Lt : s_ * Lt + p.L] = p.data.reshape(
+                p.L, Ct, Tt, _LANES
+            )
+            ttile[s_ * Lt : s_ * Lt + p.L] = p.tile
+            tfirst[s_ * Lt : s_ * Lt + p.L] = p.first
+            trowoff[s_ * Lt * Ct : s_ * Lt * Ct + p.L * Ct] = p.rowoff
+            tlaneoff[s_ * Lt * Ct : s_ * Lt * Ct + p.L * Ct] = p.laneoff
+        textra = dict(
+            tdata=jax.device_put(tdata, shard).astype(dt),
+            ttile=jax.device_put(ttile, shard),
+            tfirst=jax.device_put(tfirst, shard),
+            trowoff=jax.device_put(trowoff, shard),
+            tlaneoff=jax.device_put(tlaneoff, shard),
+            t_halo_E=int(Et),
+        )
+
     return DistributedPrunedMatrix(
         data=jax.device_put(data, shard).astype(dt),
         tile=jax.device_put(tile, shard),
@@ -340,7 +467,7 @@ def distribute_pruned(
         laneoff=jax.device_put(laneoff, shard),
         mesh=mesh, axis=axis, n=n, block=int(block),
         halo_words=int(Hw), halo_E=int(E),
-        nnz=nnz,
+        nnz=nnz, **textra,
     )
 
 

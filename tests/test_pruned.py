@@ -376,6 +376,47 @@ def test_distributed_pruned_matmat_and_block_cg(rng):
     assert err < 1e-6
 
 
+def test_distributed_pruned_rmatvec_and_cgls(rng):
+    # transpose apply over the mesh (reversed halo combine) + jitted
+    # distributed least squares
+    from sigma_tpu.parallel import distribute_pruned, make_mesh
+    from sigma_tpu.solvers import cgls_solve
+
+    n = 6000
+    dense = np.zeros((n, n))
+    i = np.arange(n)
+    for o in (1, 3, 9):
+        dense[i[:-o], i[:-o] + o] = rng.standard_normal(n - o) * 0.2
+        dense[i[:-o] + o, i[:-o]] = rng.standard_normal(n - o) * 0.2
+    dense[i, i] = 3.0
+    rows, cols = np.nonzero(dense)
+    vals = dense[rows, cols]
+    mesh = make_mesh(8)
+    Ad = distribute_pruned(n, rows, cols, vals, mesh, tile_rows=1024,
+                           group=4, with_transpose=True,
+                           assume_unique=True)
+    x = rng.standard_normal(n)
+    yt = Ad.unshard_vector(
+        jax.jit(lambda A_, v: A_.rmatvec(v))(Ad, Ad.shard_vector(x))
+    )
+    ref = dense.T @ x
+    assert np.abs(yt - ref).max() < 1e-10 * np.abs(ref).max()
+    # rmatvec without the plan: clear contract error
+    Ad0 = distribute_pruned(n, rows, cols, vals, mesh, tile_rows=1024,
+                            group=4, assume_unique=True)
+    with pytest.raises(NotImplementedError, match="with_transpose"):
+        Ad0.rmatvec(Ad0.shard_vector(x))
+    # distributed least squares end-to-end
+    b = dense @ rng.standard_normal(n)
+    xs, info = jax.jit(
+        lambda A_, b_: cgls_solve(A_, b_, tol=0.0, rtol=1e-10, maxiter=400)
+    )(Ad, Ad.shard_vector(b))
+    nr = np.linalg.norm(
+        dense.T @ (b - dense @ Ad.unshard_vector(xs)[:n])
+    )
+    assert nr < 1e-5 * max(np.linalg.norm(b), 1.0)
+
+
 def test_distributed_pruned_guards(rng):
     from sigma_tpu.parallel import distribute_pruned, make_mesh
 
