@@ -74,7 +74,7 @@ def main():
                          smoother="chebyshev", fine_A=P)
     Mgb = pruned_pair_amg(n, pr, pc, vals, coarse_size=4096,
                           smoother="chebyshev",
-                          level_dtype=jnp.bfloat16)
+                          level_dtype=jnp.bfloat16, fine_A=P)
     print(f"# n={n} nnz={nnz}", file=sys.stderr)
 
     xstar = np.sin(np.arange(n) * 0.001).astype(np.float32)

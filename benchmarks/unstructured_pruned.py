@@ -121,7 +121,7 @@ def main():
 
             return f
 
-        t = timeit_loop(mk, M, x, K1=10, K2=50)
+        t = timeit_loop(mk, M, x, K1=30, K2=200)
         times[name] = t
         print(json.dumps({
             "metric": f"unstructured_pruned_spmv_{name}",
@@ -191,7 +191,7 @@ def main():
             Mgb = pruned_pair_amg(
                 n, pr, pc, vals, coarse_size=args.coarse_size,
                 smoother="chebyshev", level_dtype=jnp.bfloat16,
-                tile_rows=args.tile_rows, group=args.group,
+                tile_rows=args.tile_rows, group=args.group, fine_A=P,
             )
             setup_gb = time.time() - t0
             xgb, infogb = solve_g(P, b_p, Mgb)
