@@ -482,6 +482,47 @@ def test_with_transpose_jit_safe(rng):
     assert nr < 1e-6 * max(np.linalg.norm(b), 1.0)
 
 
+def test_block_matrix_of_pruned(rng):
+    # the composite seam (sparse_matrix_composites.f90) over the round-4
+    # format: a 2x2 multi-field operator with pruned blocks composes
+    # with the generic BlockMatrix and solves under CG
+    from sigma_tpu.matrix.composite import BlockMatrix
+    from sigma_tpu.solvers import cg_solve
+
+    n = 1200
+    blocks = []
+    dense = np.zeros((2 * n, 2 * n))
+    for bi in range(2):
+        row = []
+        for bj in range(2):
+            d, rows, cols, vals = _banded_spd(rng, n, shift=0.2)
+            if bi != bj:
+                d = 0.1 * d  # weak coupling keeps the 2x2 system SPD
+                d = 0.5 * (d + d.T)
+                rows, cols = np.nonzero(d)
+                vals = d[rows, cols]
+            dense[bi * n : (bi + 1) * n, bj * n : (bj + 1) * n] = d
+            row.append(PrunedDIAMatrix.from_coo(
+                n, n, rows, cols, vals, tile_rows=1024, group=2
+            ))
+        blocks.append(row)
+    # symmetrize the off-diagonal pair
+    dense[n:, :n] = dense[:n, n:].T
+    blocks[1][0] = PrunedDIAMatrix.from_coo(
+        n, n, *(list(np.nonzero(dense[n:, :n]))
+                + [dense[n:, :n][np.nonzero(dense[n:, :n])]]),
+        tile_rows=1024, group=2,
+    )
+    A = BlockMatrix.from_blocks(blocks)
+    x = rng.standard_normal(2 * n)
+    y = np.asarray(A.matvec(jnp.asarray(x)))
+    assert np.abs(y - dense @ x).max() < 1e-10 * np.abs(dense @ x).max()
+    xstar = rng.standard_normal(2 * n)
+    b = jnp.asarray(dense @ xstar)
+    xs, info = cg_solve(A, b, tol=0.0, rtol=1e-12, maxiter=600)
+    assert np.abs(np.asarray(xs) - xstar).max() < 1e-7
+
+
 def test_io_roundtrip_pruned(rng, tmp_path):
     # matrix-market + npz persistence through the COO boundary
     from sigma_tpu import io
