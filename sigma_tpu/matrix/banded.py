@@ -109,7 +109,7 @@ def to_pruned_dia(
     reorder: bool = True,
     method: str = "rcm",
     tile_rows: int = 16384,
-    group: int = 8,
+    group: int | None = None,
 ):
     """RCM-reorder and pack directly into the PRUNED block-DIA layout
     (:class:`sigma_tpu.matrix.pruned.PrunedDIAMatrix`) — the full DIA

@@ -108,7 +108,8 @@ class PrunedDIAMatrix(LinearOperator):
     @classmethod
     def from_coo(
         cls, n, m, rows, cols, vals, *, dtype=None,
-        tile_rows: int = 16384, group: int = 8, assume_unique=False,
+        tile_rows: int = 16384, group: int | None = None,
+        assume_unique=False,
     ) -> "PrunedDIAMatrix":
         """Pack COO entries (duplicate entries: last value wins, matching
         ``SparseMatrix.set_values``).  ``tile_rows`` is the pruning
@@ -128,6 +129,10 @@ class PrunedDIAMatrix(LinearOperator):
         dt = jnp.dtype(dtype or np.asarray(vals).dtype)
         if dt == jnp.float64 and not jax.config.read("jax_enable_x64"):
             dt = jnp.dtype(jnp.float32)
+        if group is None:
+            # measured defaults (docstring): f32 plateaus at group 8;
+            # bf16 keeps gaining to 16-24
+            group = 16 if dt == jnp.bfloat16 else 8
         # low-precision targets build the plan in f32 (the C++ fast path)
         # and cast on device — numpy has no native bf16 scatter anyway
         plan_dt = np.float32 if dt == jnp.bfloat16 else dt

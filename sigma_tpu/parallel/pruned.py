@@ -332,7 +332,7 @@ def distribute_pruned(
     *,
     axis: str = "rows",
     tile_rows: int = 16384,
-    group: int = 8,
+    group: int | None = None,
     block: int | None = None,
     dtype=None,
     assume_unique: bool = False,
@@ -357,6 +357,9 @@ def distribute_pruned(
     dt = jnp.dtype(dtype or vals.dtype)
     if dt == jnp.float64 and not jax.config.read("jax_enable_x64"):
         dt = jnp.dtype(jnp.float32)
+    if group is None:
+        # measured defaults: f32 plateaus at group 8; bf16 gains to 16-24
+        group = 16 if dt == jnp.bfloat16 else 8
     # bf16 targets: build plans in f32 (the C++ fast path), cast on device
     plan_dt = np.dtype(np.float32) if dt == jnp.bfloat16 else np.dtype(dt)
     n = int(n)
