@@ -181,7 +181,15 @@ class PrunedDIAMatrix(LinearOperator):
 
     # -- introspection -----------------------------------------------------
     def entries(self):
-        """(rows, cols, vals) of the stored nonzeros (host numpy)."""
+        """(rows, cols, vals) of the stored nonzeros (host numpy).
+
+        The pattern is reconstructed from nonzero VALUES (padding slots
+        are indistinguishable from stored zeros in the packed layout), so
+        explicitly-stored zero entries are dropped — ``transpose()``,
+        ``get_value()`` and entries-based round-trips lose them, and
+        ``nnz`` (set at construction) can then exceed ``len(vals)``.
+        Keep the original COO triples when an exact structural
+        round-trip matters."""
         T = self.data.shape[2]
         E = self.halo
         data = np.asarray(self.data).reshape(-1, T * 128)

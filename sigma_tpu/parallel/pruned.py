@@ -102,8 +102,14 @@ class DistributedPrunedMatrix(LinearOperator):
 
     def astype(self, dtype) -> "DistributedPrunedMatrix":
         """Cast the packed VALUES only (bf16 halves each shard's
-        dominant HBM stream; iterate vectors keep the caller's dtype)."""
-        return dataclasses.replace(self, data=self.data.astype(dtype))
+        dominant HBM stream; iterate vectors keep the caller's dtype).
+        The transpose plan, when present, is cast too so forward and
+        transpose applies run at the same precision."""
+        return dataclasses.replace(
+            self,
+            data=self.data.astype(dtype),
+            tdata=None if self.tdata is None else self.tdata.astype(dtype),
+        )
 
     def _use_kernel(self, xdt) -> bool:
         if jnp.dtype(xdt) not in (jnp.float32, jnp.bfloat16):
@@ -370,13 +376,17 @@ def distribute_pruned(
         raise ValueError("block must be a multiple of 1024 (minimum tile)")
     offs = cols - rows
     reach = int(max(offs.max(initial=0), -offs.min(initial=0)))
-    if reach > block:
-        raise ValueError(
-            f"band reach {reach} exceeds the shard block {block}: "
-            "halo exchange is nearest-neighbor only — raise block or "
-            "reduce bandwidth (RCM)"
-        )
     Hw = (reach // _LANES + 1) * _LANES
+    # guard on the actual EXCHANGED width (Hw, lane-rounded), not the raw
+    # reach: any reach in (block-127, block] rounds Hw above block and
+    # x_local[-Hw:] would under-deliver rows — an opaque trace-time shape
+    # error instead of this message
+    if Hw > block:
+        raise ValueError(
+            f"band reach {reach} (halo width {Hw}) exceeds the shard "
+            f"block {block}: halo exchange is nearest-neighbor only — "
+            "raise block or reduce bandwidth (RCM)"
+        )
     tr = min(tile_rows, block)
 
     order = np.argsort(rows // block, kind="stable")

@@ -741,10 +741,13 @@ def _pair_coarsen_coo(rows, cols, vals, nc, dtype):
         return cp[0], cp[1], cp[2].astype(dtype)
     key = (rows // 2) * nc + cols // 2
     ukey, inv = np.unique(key, return_inverse=True)
-    cv = np.zeros(ukey.size, dtype)
-    np.add.at(cv, inv, (0.5 * vals).astype(dtype))
-    keep = cv != 0
-    ukey, cv = ukey[keep], cv[keep]
+    # accumulate in f64 and cancel-check BEFORE the cast, matching the
+    # C++ path bit-for-bit (hosts with and without the native library
+    # must build identical hierarchies — values AND sparsity pattern)
+    acc = np.zeros(ukey.size, np.float64)
+    np.add.at(acc, inv, 0.5 * vals.astype(np.float64))
+    keep = acc != 0
+    ukey, cv = ukey[keep], acc[keep].astype(dtype)
     return ukey // nc, ukey % nc, cv
 
 
