@@ -14,6 +14,7 @@ from sigma_tpu.matrix import (
     BSRMatrix,
     DIAMatrix,
     PrunedDIAMatrix,
+    SymmetricPrunedDIAMatrix,
     SymmetricDIAMatrix,
     BlockMatrix,
     PtAPPlan,

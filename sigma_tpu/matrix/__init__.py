@@ -22,7 +22,7 @@ from sigma_tpu.matrix.formats import (
     CSRMatrix,
     ELLMatrix,
 )
-from sigma_tpu.matrix.pruned import PrunedDIAMatrix
+from sigma_tpu.matrix.pruned import PrunedDIAMatrix, SymmetricPrunedDIAMatrix
 from sigma_tpu.matrix.symmetric import SymmetricDIAMatrix
 from sigma_tpu.matrix.factory import (
     MATRIX_FORMATS,
@@ -42,6 +42,7 @@ __all__ = [
     "DIAMatrix",
     "SymmetricDIAMatrix",
     "PrunedDIAMatrix",
+    "SymmetricPrunedDIAMatrix",
     "MATRIX_FORMATS",
     "num_matrix_types",
     "choose_matrix_type",

@@ -110,6 +110,7 @@ def to_pruned_dia(
     method: str = "rcm",
     tile_rows: int = 16384,
     group: int | None = None,
+    symmetric: bool = False,
 ):
     """RCM-reorder and pack directly into the PRUNED block-DIA layout
     (:class:`sigma_tpu.matrix.pruned.PrunedDIAMatrix`) — the full DIA
@@ -123,12 +124,30 @@ def to_pruned_dia(
     streams only the active (row-tile x diagonal) blocks — measured
     5x the chunked full-band kernel's true-nnz rate at the 1M-row
     irregular-mesh north star (benchmarks/pruned_sweep.py).
+
+    ``symmetric=True`` packs only the upper triangle into a
+    :class:`~sigma_tpu.matrix.pruned.SymmetricPrunedDIAMatrix` — half
+    the HBM value stream, measured 1.54-1.63x (f32) the full pruned
+    matvec on the SPD north star (the symmetry of the VALUES is
+    validated; the permutation is symmetric so reordering preserves
+    symmetry).  Use for matvec-dominated SPD solves; keep full storage
+    for multi-RHS block solvers (see the class docstring's routing
+    note).
     """
-    from sigma_tpu.matrix.pruned import PrunedDIAMatrix
+    from sigma_tpu.matrix.pruned import (
+        PrunedDIAMatrix,
+        SymmetricPrunedDIAMatrix,
+    )
 
     rows, cols, vals, p = _reordered_triples(A, reorder, method)
-    P = PrunedDIAMatrix.from_coo(
-        A.shape[0], A.shape[1], rows, cols, vals, dtype=A.dtype,
-        tile_rows=tile_rows, group=group, assume_unique=True,
-    )
+    if symmetric:
+        P = SymmetricPrunedDIAMatrix.from_coo(
+            A.shape[0], A.shape[1], rows, cols, vals, dtype=A.dtype,
+            tile_rows=tile_rows, group=group, assume_unique=True,
+        )
+    else:
+        P = PrunedDIAMatrix.from_coo(
+            A.shape[0], A.shape[1], rows, cols, vals, dtype=A.dtype,
+            tile_rows=tile_rows, group=group, assume_unique=True,
+        )
     return P, p

@@ -83,6 +83,13 @@ class DistributedPrunedMatrix(LinearOperator):
     trowoff: jax.Array = None
     tlaneoff: jax.Array = None
     t_halo_E: int = dataclasses.field(metadata=dict(static=True), default=0)
+    # symmetric=True: shards pack only their UPPER-triangle (global
+    # c >= r) entries; apply = the symmetric pruned kernel with
+    # sym_shift=Hw, one forward x-halo ppermute in, one mirror-spill
+    # ppermute out (see distribute_pruned(symmetric=True))
+    symmetric: bool = dataclasses.field(
+        metadata=dict(static=True), default=False
+    )
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -121,7 +128,146 @@ class DistributedPrunedMatrix(LinearOperator):
         except RuntimeError:
             return False
 
+    def _matvec_sym(self, x: jax.Array) -> jax.Array:
+        """Symmetric-storage distributed SpMV: each shard applies its
+        upper-triangle pruned plan with the in-kernel mirror pass
+        (``sym_shift=Hw``), then ships the mirror SPILL (contributions
+        past its last row) to the NEXT shard on the ring — upper
+        storage reads only the FORWARD x halo, so the two x-halo hops
+        of the full layout become one x hop plus one spill hop (same
+        total words, half the packed value stream)."""
+        D = self.n_shards
+        Hw = self.halo_words
+        blk = self.block
+        C, T = self.data.shape[1], self.data.shape[2]
+        E = self.halo_E
+        EL = E * _LANES
+        kw = dict(
+            T=T, E=E, C=C, n=blk, m=blk + 2 * Hw, sym_shift=Hw,
+        )
+        use_kernel = self._use_kernel(x.dtype)
+
+        def local(x_local, data, tile, first, ro, lo_):
+            if D > 1:
+                right = lax.ppermute(
+                    x_local[:Hw], self.axis,
+                    [(s, (s - 1) % D) for s in range(D)],
+                )
+            else:
+                right = jnp.zeros((Hw,), x_local.dtype)
+            # upper-triangle windows never read backward x: zeros left
+            left = jnp.zeros((Hw,), x_local.dtype)
+            x_ext = jnp.concatenate([left, x_local, right])
+            if use_kernel:
+                from sigma_tpu.ops.spmv_pruned import (
+                    dia_sym_spmv_pallas_pruned,
+                )
+
+                y, spill = dia_sym_spmv_pallas_pruned(
+                    data, x_ext, tile, first, ro, lo_, **kw
+                )
+            else:
+                from sigma_tpu.ops.spmv_pruned import (
+                    pruned_sym_matvec_reference,
+                )
+
+                y, spill = pruned_sym_matvec_reference(
+                    data, x_ext, tile, ro, lo_, with_spill=True, **kw
+                )
+            if D > 1:
+                # mirror contributions to the NEXT shard's head rows
+                # (EL <= T*128 <= block always; the wrap to shard 0
+                # carries exact zeros — no columns exist past n)
+                from_prev = lax.ppermute(
+                    spill, self.axis,
+                    [(s, (s + 1) % D) for s in range(D)],
+                )
+                y = y.at[:EL].add(from_prev)
+            return y
+
+        f = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(
+                P(self.axis), P(self.axis), P(self.axis), P(self.axis),
+                P(self.axis), P(self.axis),
+            ),
+            out_specs=P(self.axis),
+            check_vma=not use_kernel,
+        )
+        return f(
+            x, self.data, self.tile, self.first, self.rowoff, self.laneoff
+        )
+
+    def _matmat_sym(self, X: jax.Array) -> jax.Array:
+        D = self.n_shards
+        Hw = self.halo_words
+        blk = self.block
+        C, T = self.data.shape[1], self.data.shape[2]
+        E = self.halo_E
+        EL = E * _LANES
+        k = X.shape[1]
+        kw = dict(
+            T=T, E=E, C=C, n=blk, m=blk + 2 * Hw, sym_shift=Hw,
+        )
+        use_kernel = self._use_kernel(X.dtype)
+
+        def local(X_local, data, tile, first, ro, lo_):
+            if D > 1:
+                right = lax.ppermute(
+                    X_local[:Hw, :], self.axis,
+                    [(s, (s - 1) % D) for s in range(D)],
+                )
+            else:
+                right = jnp.zeros((Hw, k), X_local.dtype)
+            left = jnp.zeros((Hw, k), X_local.dtype)
+            XT = jnp.concatenate([left, X_local, right], axis=0).T
+            if use_kernel:
+                from sigma_tpu.ops.spmv_pruned import (
+                    dia_sym_spmm_pruned_rhs_major,
+                )
+
+                Y, spill = dia_sym_spmm_pruned_rhs_major(
+                    data, XT, tile, first, ro, lo_, **kw
+                )
+            else:
+                from sigma_tpu.ops.spmv_pruned import (
+                    pruned_sym_matvec_reference,
+                )
+
+                outs = [
+                    pruned_sym_matvec_reference(
+                        data, XT[j], tile, ro, lo_, with_spill=True, **kw
+                    )
+                    for j in range(k)
+                ]
+                Y = jnp.stack([o[0] for o in outs], axis=0)
+                spill = jnp.stack([o[1] for o in outs], axis=0)
+            if D > 1:
+                from_prev = lax.ppermute(
+                    spill, self.axis,
+                    [(s, (s + 1) % D) for s in range(D)],
+                )
+                Y = Y.at[:, :EL].add(from_prev)
+            return Y.T
+
+        f = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(
+                P(self.axis), P(self.axis), P(self.axis), P(self.axis),
+                P(self.axis), P(self.axis),
+            ),
+            out_specs=P(self.axis),
+            check_vma=not use_kernel,
+        )
+        return f(
+            X, self.data, self.tile, self.first, self.rowoff, self.laneoff
+        )
+
     def matvec(self, x: jax.Array) -> jax.Array:
+        if self.symmetric:
+            return self._matvec_sym(x)
         D = self.n_shards
         Hw = self.halo_words
         C, T = self.data.shape[1], self.data.shape[2]
@@ -179,6 +325,8 @@ class DistributedPrunedMatrix(LinearOperator):
         compute runs the pruned SpMM (packed values streamed once for
         all k) — block solvers (block_cg_solve) work unchanged over the
         mesh."""
+        if self.symmetric:
+            return self._matmat_sym(X)
         D = self.n_shards
         Hw = self.halo_words
         C, T = self.data.shape[1], self.data.shape[2]
@@ -241,6 +389,8 @@ class DistributedPrunedMatrix(LinearOperator):
         gather/scatter duality of ``cs_matrices.f90:148-149`` at the
         distributed layout level).  Requires
         ``distribute_pruned(..., with_transpose=True)``."""
+        if self.symmetric:
+            return self._matvec_sym(x)
         if self.tdata is None:
             raise NotImplementedError(
                 "distributed rmatvec needs the transpose plan: build "
@@ -343,6 +493,8 @@ def distribute_pruned(
     dtype=None,
     assume_unique: bool = False,
     with_transpose: bool = False,
+    symmetric: bool = False,
+    validate: bool = True,
 ) -> DistributedPrunedMatrix:
     """Build a row-sharded pruned matrix from (RCM-ordered) COO triples.
 
@@ -353,6 +505,13 @@ def distribute_pruned(
     exceed ``block`` (one-neighbor halo exchange).  Pass
     ``with_transpose=True`` to also build the per-shard transposed
     plans, enabling :meth:`DistributedPrunedMatrix.rmatvec`.
+
+    ``symmetric=True`` packs only the upper triangle per shard (half
+    the per-shard HBM value stream; apply = the symmetric kernel with a
+    forward mirror-spill ppermute, see :meth:`DistributedPrunedMatrix.
+    _matvec_sym`); pass FULL both-triangle triples — ``validate``
+    (default on) checks numeric symmetry on the host, disable it for
+    known-symmetric large assemblies.
     """
     from sigma_tpu.ops.spmv_pruned import build_pruned_plan
 
@@ -363,9 +522,17 @@ def distribute_pruned(
     dt = jnp.dtype(dtype or vals.dtype)
     if dt == jnp.float64 and not jax.config.read("jax_enable_x64"):
         dt = jnp.dtype(jnp.float32)
+    if symmetric and with_transpose:
+        raise ValueError(
+            "symmetric storage needs no transpose plan (rmatvec = matvec)"
+        )
     if group is None:
-        # measured defaults: f32 plateaus at group 8; bf16 gains to 16-24
-        group = 16 if dt == jnp.bfloat16 else 8
+        # measured defaults: f32 plateaus at group 8; bf16 gains to
+        # 16-24; the symmetric half-sized slot pool optimum is 12
+        if symmetric:
+            group = 12
+        else:
+            group = 16 if dt == jnp.bfloat16 else 8
     # bf16 targets: build plans in f32 (the C++ fast path), cast on device
     plan_dt = np.dtype(np.float32) if dt == jnp.bfloat16 else np.dtype(dt)
     n = int(n)
@@ -388,6 +555,14 @@ def distribute_pruned(
             "raise block or reduce bandwidth (RCM)"
         )
     tr = min(tile_rows, block)
+
+    if symmetric:
+        if validate:
+            from sigma_tpu.matrix.pruned import check_symmetric_triples
+
+            check_symmetric_triples(n, rows, cols, vals)
+        keep = cols >= rows
+        rows, cols, vals = rows[keep], cols[keep], vals[keep]
 
     order = np.argsort(rows // block, kind="stable")
     rows, cols, vals = rows[order], cols[order], vals[order]
@@ -423,10 +598,15 @@ def distribute_pruned(
 
     shard = NamedSharding(mesh, P(axis))
     if assume_unique:
-        nnz = rows.size
+        n_stored = rows.size
+        n_diag = int((rows == cols).sum())
     else:
         key = rows * np.int64(n) + cols
-        nnz = int(np.unique(key).size)
+        uk = np.unique(key)
+        n_stored = int(uk.size)
+        n_diag = int((uk // n == uk % n).sum())
+    # symmetric: stored = upper incl. diagonal; nnz counts both triangles
+    nnz = 2 * n_stored - n_diag if symmetric else n_stored
 
     textra = {}
     if with_transpose:
@@ -480,7 +660,7 @@ def distribute_pruned(
         laneoff=jax.device_put(laneoff, shard),
         mesh=mesh, axis=axis, n=n, block=int(block),
         halo_words=int(Hw), halo_E=int(E),
-        nnz=nnz, **textra,
+        nnz=nnz, symmetric=bool(symmetric), **textra,
     )
 
 
@@ -498,8 +678,9 @@ def distributed_pruned_pair_amg(
     smoother: str = "chebyshev",
     level_dtype=None,
     tile_rows: int = 16384,
-    group: int = 8,
+    group: int | None = None,
     fine_A: DistributedPrunedMatrix | None = None,
+    symmetric: bool = False,
 ):
     """Distributed 1-D pair-aggregation AMG over COO triples: every level
     a :class:`DistributedPrunedMatrix`, transfers shard-local (see module
@@ -550,10 +731,13 @@ def distributed_pruned_pair_amg(
             if lvl_np != np.dtype(fine_A.data.dtype):
                 Alvl = fine_A.astype(lvl_np)
         else:
+            # validate=False on symmetric levels: pair Galerkin
+            # coarsening preserves the fine level's asserted symmetry
             Alvl = distribute_pruned(
                 nl, r, c, v, mesh, axis=axis,
                 tile_rows=min(tile_rows, blk), group=group,
                 block=blk, dtype=lvl_np,
+                symmetric=symmetric, validate=False,
             )
         dinv, lmax = _coo_dinv_lmax(
             nl, r, c, v, dtype, smoother == "chebyshev"

@@ -793,9 +793,10 @@ def pruned_pair_amg(
     max_levels: int = 64,
     level_dtype=None,
     tile_rows: int = 16384,
-    group: int = 8,
+    group: int | None = None,
     fine_A=None,
     pad_to: int | None = None,
+    symmetric: bool = False,
 ) -> StructuredAMGPreconditioner:
     """1-D pair-aggregation AMG over COO input, every level stored in
     the PRUNED block-DIA layout (:class:`~sigma_tpu.matrix.pruned.
@@ -824,12 +825,25 @@ def pruned_pair_amg(
     single-device twin of :func:`sigma_tpu.parallel.pruned.
     distributed_pruned_pair_amg` for parity tests.
 
+    ``symmetric=True`` stores every level in upper-triangle symmetric
+    pruned storage (:class:`~sigma_tpu.matrix.pruned.
+    SymmetricPrunedDIAMatrix` — half the level value streams; pair
+    Galerkin coarsening preserves symmetry, so no per-level validation
+    is needed).  The V-cycle is matvec-only, exactly the access
+    pattern where the symmetric kernel wins 1.5x.
+
     No reference analogue (the reference has no multigrid); the
     capability it extends is the any-pattern solve of
     ``/root/reference/src/matrix/formats/cs_matrices.f90:600-622``
     composed with its solver stack.
     """
-    from sigma_tpu.matrix.pruned import PrunedDIAMatrix
+    from sigma_tpu.matrix.pruned import (
+        PrunedDIAMatrix,
+        SymmetricPrunedDIAMatrix,
+    )
+
+    if group is None:
+        group = 12 if symmetric else 8
 
     if coarse_size > 8192:
         raise ValueError(
@@ -871,6 +885,13 @@ def pruned_pair_amg(
             Alvl = fine_A
             if lvl_np != np.dtype(fine_A.data.dtype):
                 Alvl = fine_A.astype(lvl_np)
+        elif symmetric:
+            # validate=False: the caller asserts fine-level symmetry by
+            # passing symmetric=True, and pair Galerkin preserves it
+            Alvl = SymmetricPrunedDIAMatrix.from_coo(
+                nl, nl, r, c, v, dtype=lvl_np,
+                tile_rows=tile_rows, group=group, validate=False,
+            )
         else:
             Alvl = PrunedDIAMatrix.from_coo(
                 nl, nl, r, c, v, dtype=lvl_np,

@@ -554,3 +554,275 @@ def test_empty_tiles_and_tiny(rng):
     y = np.asarray(A.matvec(jnp.asarray(x)))
     assert np.abs(y - dense @ x).max() < 1e-10
     assert np.all(y[2048:] == 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Symmetric pruned storage (upper-triangle packing + in-kernel mirror)
+# ---------------------------------------------------------------------------
+
+def _random_sym(rng, n, nnz, band=150):
+    rows = rng.integers(0, n, nnz)
+    cols = np.clip(rows + rng.integers(-band, band + 1, nnz), 0, n - 1)
+    vals = rng.standard_normal(nnz)
+    keep = cols >= rows
+    rows, cols, vals = rows[keep], cols[keep], vals[keep]
+    key = rows * np.int64(n) + cols
+    _, idx = np.unique(key, return_index=True)
+    rows, cols, vals = rows[idx], cols[idx], vals[idx]
+    off = cols > rows
+    r2 = np.concatenate([rows, cols[off]])
+    c2 = np.concatenate([cols, rows[off]])
+    v2 = np.concatenate([vals, vals[off]])
+    dense = np.zeros((n, n))
+    dense[r2, c2] = v2
+    return r2, c2, v2, dense
+
+
+def test_sym_pruned_matvec_matmat_dense_oracle(rng):
+    from sigma_tpu.matrix.pruned import SymmetricPrunedDIAMatrix
+
+    n = 3100
+    r, c, v, dense = _random_sym(rng, n, 20000)
+    A = SymmetricPrunedDIAMatrix.from_coo(n, n, r, c, v, tile_rows=1024,
+                                          group=4)
+    assert A.nnz == np.count_nonzero(dense)
+    # stored slots are ~half the full packing
+    P = PrunedDIAMatrix.from_coo(n, n, r, c, v, tile_rows=1024, group=4)
+    assert A.stored_slots < 0.62 * P.stored_slots
+    x = rng.standard_normal(n)
+    y = np.asarray(A.matvec(jnp.asarray(x)))
+    assert np.abs(y - dense @ x).max() < 1e-10 * np.abs(dense @ x).max()
+    # rmatvec is the identity route
+    yr = np.asarray(A.rmatvec(jnp.asarray(x)))
+    assert np.array_equal(y, yr)
+    X = rng.standard_normal((n, 3))
+    Y = np.asarray(A.matmat(jnp.asarray(X)))
+    assert np.abs(Y - dense @ X).max() < 1e-10 * np.abs(dense @ X).max()
+    # entries reconstruct both triangles
+    rr, cc, vv = A.entries()
+    d2 = np.zeros((n, n))
+    d2[rr, cc] = vv
+    assert np.abs(d2 - dense).max() == 0.0
+    assert A.transpose() is A
+
+
+def test_sym_pruned_validation_raises(rng):
+    from sigma_tpu.matrix.pruned import SymmetricPrunedDIAMatrix
+
+    n = 2000
+    r, c, v, dense = _random_sym(rng, n, 8000)
+    # break one value's mirror
+    off = c > r
+    v2 = v.copy()
+    v2[np.nonzero(off)[0][0]] += 1.0
+    with pytest.raises(ValueError, match="not symmetric"):
+        SymmetricPrunedDIAMatrix.from_coo(n, n, r, c, v2, tile_rows=1024)
+    # break the pattern
+    with pytest.raises(ValueError, match="not symmetric"):
+        SymmetricPrunedDIAMatrix.from_coo(
+            n, n, r[:-1], c[:-1], v[:-1], tile_rows=1024
+        )
+    with pytest.raises(ValueError, match="square"):
+        SymmetricPrunedDIAMatrix.from_coo(n, n + 128, r, c, v)
+
+
+def test_sym_pruned_kernel_interpret_matches_dense(rng):
+    # Mosaic-shaped path (interpret mode): matvec + spmm, f32
+    from sigma_tpu.matrix.pruned import SymmetricPrunedDIAMatrix
+    from sigma_tpu.ops.spmv_pruned import (
+        dia_sym_spmm_pruned_rhs_major,
+        dia_sym_spmv_pallas_pruned,
+    )
+
+    n = 4000
+    r, c, v, dense = _random_sym(rng, n, 18000, band=200)
+    A = SymmetricPrunedDIAMatrix.from_coo(
+        n, n, r, c, v.astype(np.float32), dtype=np.float32,
+        tile_rows=1024, group=6,
+    )
+    dense32 = dense.astype(np.float32)
+    x = rng.standard_normal(n).astype(np.float32)
+    y, spill = dia_sym_spmv_pallas_pruned(
+        A.data, jnp.asarray(x), A.tile, A.first, A.rowoff, A.laneoff,
+        **A._kernel_kwargs(), interpret=True,
+    )
+    ref = dense32 @ x
+    assert np.abs(np.asarray(y) - ref).max() < 1e-5 * np.abs(ref).max()
+    assert np.abs(np.asarray(spill)).max() == 0.0  # whole square matrix
+    XT = rng.standard_normal((3, n)).astype(np.float32)
+    Y, _sp = dia_sym_spmm_pruned_rhs_major(
+        A.data, jnp.asarray(XT), A.tile, A.first, A.rowoff, A.laneoff,
+        **A._kernel_kwargs(), interpret=True,
+    )
+    Yref = XT @ dense32.T
+    assert np.abs(np.asarray(Y) - Yref).max() < 1e-5 * np.abs(Yref).max()
+
+
+def test_sym_pruned_kernel_interpret_sym_shift(rng):
+    # the distributed rectangular form: local block (blk, blk + 2*Hw)
+    # with sym_shift=Hw; spill carries the mirror rows past blk
+    from sigma_tpu.ops.spmv_pruned import (
+        build_pruned_plan,
+        dia_sym_spmv_pallas_pruned,
+        pruned_sym_matvec_reference,
+    )
+
+    blk, Hw = 2048, 256
+    n_up = 6000
+    rng2 = np.random.default_rng(7)
+    r = rng2.integers(0, blk, n_up)
+    c = r + rng2.integers(0, 200, n_up)  # upper only, reach < Hw range
+    v = rng2.standard_normal(n_up).astype(np.float32)
+    key = r * np.int64(blk + 2 * Hw) + c
+    _, idx = np.unique(key, return_index=True)
+    r, c, v = r[idx], c[idx], v[idx]
+    m = blk + 2 * Hw
+    plan = build_pruned_plan(
+        blk, m, r, c + Hw, v, tile_rows=1024, group=4,
+        min_reach=int((c - r).max()) + Hw, dtype=np.float32,
+    )
+    data = jnp.asarray(plan.data.reshape(plan.L, plan.C, plan.T, 128))
+    x = rng2.standard_normal(m).astype(np.float32)
+    kw = dict(T=plan.T, E=plan.E, C=plan.C, n=blk, m=m, sym_shift=Hw)
+    y, spill = dia_sym_spmv_pallas_pruned(
+        data, jnp.asarray(x), jnp.asarray(plan.tile),
+        jnp.asarray(plan.first), jnp.asarray(plan.rowoff),
+        jnp.asarray(plan.laneoff), **kw, interpret=True,
+    )
+    yr, spr = pruned_sym_matvec_reference(
+        data, jnp.asarray(x), jnp.asarray(plan.tile),
+        jnp.asarray(plan.rowoff), jnp.asarray(plan.laneoff),
+        with_spill=True, **kw,
+    )
+    # dense oracle: global entries (r, c) upper + mirror, x frame offset
+    dense = np.zeros((blk + plan.E * 128, m), np.float32)
+    dense[r, c + Hw] = v
+    mir = c > r
+    dense[(c[mir]).astype(np.int64), r[mir] + Hw] += v[mir]
+    full = dense @ x
+    assert np.abs(np.asarray(y) - full[:blk]).max() < 1e-4
+    assert np.abs(np.asarray(spill) - full[blk:]).max() < 1e-4
+    assert np.abs(np.asarray(yr) - full[:blk]).max() < 1e-4
+    assert np.abs(np.asarray(spr) - full[blk:]).max() < 1e-4
+
+
+def test_sym_pruned_cg_and_to_pruned_dia(rng):
+    from sigma_tpu.matrix.banded import to_pruned_dia
+    from sigma_tpu.matrix.pruned import SymmetricPrunedDIAMatrix
+    from sigma_tpu.solvers import cg_solve
+
+    n = 4000
+    dense, rows, cols, vals = _banded_spd(rng, n)
+    A = SymmetricPrunedDIAMatrix.from_coo(n, n, rows, cols, vals,
+                                          tile_rows=1024, group=4)
+    b = dense @ rng.standard_normal(n)
+    x, info = jax.jit(
+        lambda A_, b_: cg_solve(A_, b_, tol=0.0, rtol=1e-10, maxiter=200)
+    )(A, jnp.asarray(b))
+    r = np.abs(dense @ np.asarray(x) - b).max()
+    assert r < 1e-8 * np.abs(b).max()
+    # to_pruned_dia(symmetric=True) routing
+    from sigma_tpu.matrix.formats import CSRMatrix
+
+    C = CSRMatrix.from_coo(n, n, rows, cols, vals)
+    S, p = to_pruned_dia(C, symmetric=True, tile_rows=1024)
+    assert isinstance(S, SymmetricPrunedDIAMatrix)
+    # permuted-frame contract: S[p[i], p[j]] == A[i, j]
+    xs = rng.standard_normal(n)
+    xp = np.empty(n)
+    xp[p] = xs
+    yp = np.asarray(S.matvec(jnp.asarray(xp)))
+    assert np.abs(yp[p] - dense @ xs).max() < 1e-9 * np.abs(dense @ xs).max()
+
+
+def test_distributed_sym_pruned_parity(rng):
+    # distributed symmetric pruned: matvec/matmat match the dense oracle
+    # and the single-device symmetric twin; CG iteration parity
+    from sigma_tpu.matrix.pruned import SymmetricPrunedDIAMatrix
+    from sigma_tpu.parallel import distribute_pruned, make_mesh
+    from sigma_tpu.solvers import cg_solve
+
+    n = 6000
+    dense, rows, cols, vals = _banded_spd(rng, n)
+    mesh = make_mesh(8)
+    Ad = distribute_pruned(n, rows, cols, vals, mesh, tile_rows=1024,
+                           group=4, symmetric=True)
+    assert Ad.symmetric and Ad.nnz == np.count_nonzero(dense)
+    n_pad = Ad.n_pad
+    S1 = SymmetricPrunedDIAMatrix.from_coo(
+        n_pad, n_pad, rows, cols, vals,
+        tile_rows=min(1024, Ad.block), group=4, validate=False,
+    )
+    x = rng.standard_normal(n)
+    yd = Ad.unshard_vector(Ad.matvec(Ad.shard_vector(x)))
+    assert np.abs(yd - dense @ x).max() < 1e-10 * np.abs(dense @ x).max()
+    xp = np.zeros(n_pad)
+    xp[:n] = x
+    y1 = np.asarray(S1.matvec(jnp.asarray(xp)))[:n]
+    assert np.abs(yd - y1).max() < 1e-12 * np.abs(y1).max()
+    # rmatvec = matvec on symmetric storage
+    yr = Ad.unshard_vector(Ad.rmatvec(Ad.shard_vector(x)))
+    assert np.array_equal(yd, yr)
+    # matmat
+    X = rng.standard_normal((n, 3))
+    Xp = np.zeros((n_pad, 3))
+    Xp[:n] = X
+    Xd = jax.device_put(Xp, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("rows", None)))
+    Yd = np.asarray(Ad.matmat(Xd))
+    assert np.abs(Yd[:n] - dense @ X).max() < 1e-10 * np.abs(dense @ X).max()
+    # CG parity with the full-storage distributed operator
+    Af = distribute_pruned(n, rows, cols, vals, mesh, tile_rows=1024,
+                           group=4)
+    b = dense @ rng.standard_normal(n)
+    xd, infod = jax.jit(
+        lambda A_, bb: cg_solve(A_, bb, tol=0.0, rtol=1e-8, maxiter=60)
+    )(Ad, Ad.shard_vector(b))
+    xf, infof = jax.jit(
+        lambda A_, bb: cg_solve(A_, bb, tol=0.0, rtol=1e-8, maxiter=60)
+    )(Af, Af.shard_vector(b))
+    assert int(infod.iterations) == int(infof.iterations)
+    assert np.abs(Ad.unshard_vector(xd) - Af.unshard_vector(xf)).max() < 1e-9
+
+
+def test_sym_pruned_guards(rng):
+    from sigma_tpu.parallel import distribute_pruned, make_mesh
+
+    n = 6000
+    dense, rows, cols, vals = _banded_spd(rng, n)
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError, match="transpose"):
+        distribute_pruned(n, rows, cols, vals, mesh, symmetric=True,
+                          with_transpose=True)
+    v2 = vals.copy()
+    v2[np.nonzero(cols > rows)[0][0]] += 1.0
+    with pytest.raises(ValueError, match="not symmetric"):
+        distribute_pruned(n, rows, cols, v2, mesh, symmetric=True)
+
+
+def test_pruned_pair_amg_symmetric_levels(rng):
+    # symmetric level storage: identical hierarchy numerics (same COO
+    # per level), so preconditioned CG matches the full-storage AMG's
+    # iterate and iteration count
+    from sigma_tpu.solvers import cg_solve
+    from sigma_tpu.solvers.gmg import pruned_pair_amg
+
+    n = 6000
+    dense, rows, cols, vals = _banded_spd(rng, n)
+    Mf = pruned_pair_amg(n, rows, cols, vals, coarse_size=512,
+                         tile_rows=1024, group=4)
+    Ms = pruned_pair_amg(n, rows, cols, vals, coarse_size=512,
+                         tile_rows=1024, group=4, symmetric=True)
+    A = PrunedDIAMatrix.from_coo(n, n, rows, cols, vals, tile_rows=1024,
+                                 group=4)
+    b = dense @ rng.standard_normal(n)
+    xf, infof = jax.jit(
+        lambda A_, M_, bb: cg_solve(A_, bb, M=M_, tol=0.0, rtol=1e-9,
+                                    maxiter=60)
+    )(A, Mf, jnp.asarray(b))
+    xs, infos = jax.jit(
+        lambda A_, M_, bb: cg_solve(A_, bb, M=M_, tol=0.0, rtol=1e-9,
+                                    maxiter=60)
+    )(A, Ms, jnp.asarray(b))
+    assert int(infof.iterations) == int(infos.iterations)
+    assert np.abs(np.asarray(xf) - np.asarray(xs)).max() < 1e-8
