@@ -46,7 +46,13 @@ def main():
     from sigma_tpu.graph.permutations import reverse_cuthill_mckee
     from sigma_tpu.matrix.formats import CSRMatrix
     from sigma_tpu.matrix.pruned import PrunedDIAMatrix
-    from sigma_tpu.solvers import bicgstab_solve, pruned_pair_amg
+    from sigma_tpu.solvers import (
+        auto_pruned_preconditioner,
+        bicgstab_solve,
+        fgmres_solve,
+        pruned_pair_amg,
+        skew_dominance,
+    )
 
     rng = np.random.default_rng(args.seed)
     A = irregular_mesh_laplacian(args.height, args.width, rng=rng,
@@ -70,8 +76,21 @@ def main():
     Mg = pruned_pair_amg(n, pr, pc, vals, coarse_size=4096,
                          smoother="jacobi", fine_A=P)
     t_setup = time.time() - t0
-    print(f"# n={n} nnz={nnz} beta={args.beta} setup {t_setup:.0f}s",
-          file=sys.stderr)
+    t0 = time.time()
+    s_dom = skew_dominance(pr, pc, vals)
+    t_skew = time.time() - t0
+    # the in-code route (auto_pruned_preconditioner re-derives it; here
+    # we report the statistic + decision without paying a second setup)
+    route = "plain" if s_dom > 0.2 else "pruned_gmg"
+    print(json.dumps({
+        "metric": "unstructured_nonsym_route",
+        "beta": args.beta,
+        "skew_dominance": round(s_dom, 4),
+        "route": route,
+        "skew_stat_s": round(t_skew, 2),
+    }))
+    print(f"# n={n} nnz={nnz} beta={args.beta} setup {t_setup:.0f}s "
+          f"skew_dom {s_dom:.3f} -> {route}", file=sys.stderr)
 
     xstar = np.sin(np.arange(n) * 0.001).astype(np.float32)
     b = np.asarray(A.matvec(jnp.asarray(xstar)))
@@ -92,7 +111,12 @@ def main():
             A_, bb, tol=0.0, rtol=1e-6, maxiter=args.iters, M=M_
         )
     )
-    for tag, M in (("plain", None), ("pruned_gmg", Mg)):
+    M_auto = None if route == "plain" else Mg
+    for tag, M in (
+        ("plain", None),
+        ("pruned_gmg", Mg),
+        ("auto_route", M_auto),
+    ):
         solve = (lambda A_, bb: solve_pc(A_, bb, M)) if M is not None \
             else solve_plain
         x, info = solve(P, b_p)
@@ -110,6 +134,31 @@ def main():
             "max_err_vs_manufactured": f"{err:.3e}",
             "wall_s_warm": round(t_warm, 3),
         }))
+
+    # FGMRES with an inner fixed-iteration BiCG-stab preconditioner —
+    # the flexible composition the library lacked (VERDICT r04 §5)
+    solve_fg = jax.jit(
+        lambda A_, bb: fgmres_solve(
+            A_, bb, tol=0.0, rtol=1e-6, restart=32, maxiter=args.iters,
+            M=lambda v: bicgstab_solve(A_, v, tol=0.0, rtol=0.0,
+                                       maxiter=4)[0],
+        )
+    )
+    x, info = solve_fg(P, b_p)
+    float(info.residual_norm)
+    t0 = time.time()
+    x, info = solve_fg(P, b_p)
+    resn = float(info.residual_norm)
+    t_warm = time.time() - t0
+    err = float(np.abs(np.asarray(x)[p] - xstar).max())
+    print(json.dumps({
+        "metric": "unstructured_nonsym_fgmres_inner_bicgstab",
+        "outer_iterations": int(info.iterations),
+        "inner_per_outer": 4,
+        "relative_residual": f"{resn / bnorm:.3e}",
+        "max_err_vs_manufactured": f"{err:.3e}",
+        "wall_s_warm": round(t_warm, 3),
+    }))
 
 
 if __name__ == "__main__":

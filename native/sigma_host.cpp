@@ -781,4 +781,19 @@ void coarsen_pair_fetch(i64 n_out, i64 nc, i64* out_rows, i64* out_cols,
     }
 }
 
+// Adjacency-only counting sort: group DUPLICATE-FREE COO edges by row
+// (within-row order unspecified, no dedup) — the O(nnz) two-pass build
+// for consumers that only need neighbor lists (RCM/BFS orderings).
+// ~4x less memory traffic than csr_from_coo's radix sort + dedup; the
+// reference's counting-sort idiom (cs_graphs.f90:109-197) without the
+// column sort its accessors need.
+void adjacency_from_coo(i64 n, i64 ne, const i64* rows, const i64* cols,
+                        i64* out_cols, i64* indptr) {
+    for (i64 i = 0; i <= n; ++i) indptr[i] = 0;
+    for (i64 e = 0; e < ne; ++e) indptr[rows[e] + 1]++;
+    for (i64 i = 0; i < n; ++i) indptr[i + 1] += indptr[i];
+    std::vector<i64> pos(indptr, indptr + n);
+    for (i64 e = 0; e < ne; ++e) out_cols[pos[rows[e]]++] = cols[e];
+}
+
 }  // extern "C"

@@ -161,48 +161,78 @@ def irregular_mesh_laplacian(
 
     Returns a :class:`~sigma_tpu.matrix.formats.CSRMatrix`.  Single-touch
     preallocated construction (this VM's page-fault wall, CLAUDE.md).
+    For the 10M-row setup pipeline use
+    :func:`irregular_mesh_laplacian_coo`, which never builds the (device-
+    resident) CSR matrix at all.
     """
     from sigma_tpu.matrix.formats import CSRMatrix
 
+    n, rows, cols, vals = irregular_mesh_laplacian_coo(
+        H, W, rng=rng, shift=shift
+    )
+    return CSRMatrix.from_coo(n, n, rows, cols, vals, dtype=dtype)
+
+
+def irregular_mesh_laplacian_coo(
+    H: int, W: int, rng=None, shift: float = 1.0, shuffle: bool = False
+):
+    """Host-only COO form of :func:`irregular_mesh_laplacian`:
+    ``(n, rows, cols, vals)`` numpy arrays, duplicate-free by
+    construction, written straight into the final preallocated buffers
+    (one first-touch pass — the page-fault wall of this VM makes every
+    avoided temporary worth seconds at 10M rows, CLAUDE.md).
+
+    ``shuffle=True`` applies a random vertex permutation in place (the
+    "shuffled mesh" north-star preprocessing) without materializing a
+    second triple set.  Feed the result to
+    :func:`sigma_tpu.matrix.banded.reorder_triples_rcm` +
+    ``PrunedDIAMatrix.from_coo(..., assume_unique=True)`` for the
+    no-device-bounce setup path (measured: the CSR-matrix route pays
+    two ~0.5 GB device round-trips through the TPU tunnel at 10M rows
+    that this path never takes)."""
     rng = rng or np.random.default_rng()
     n = H * W
     idx = np.arange(n, dtype=np.int64).reshape(H, W)
-    uh = idx[:, :-1].ravel()  # horizontal edges
-    vh = uh + 1
-    uv = idx[:-1, :].ravel()  # vertical edges
-    vv = uv + W
-    flip = rng.random((H - 1) * (W - 1)) < 0.5  # per-quad diagonal choice
-    ud = np.where(flip, idx[:-1, :-1].ravel(), idx[:-1, 1:].ravel())
-    vd = ud + np.where(flip, W + 1, W - 1)
-    E = uh.size + uv.size + ud.size
-    u = np.empty(E, dtype=np.int64)
-    v = np.empty(E, dtype=np.int64)
-    u[: uh.size] = uh
-    u[uh.size : uh.size + uv.size] = uv
-    u[uh.size + uv.size :] = ud
-    v[: vh.size] = vh
-    v[vh.size : vh.size + vv.size] = vv
-    v[vh.size + vv.size :] = vd
+    Eh = H * (W - 1)
+    Ev = (H - 1) * W
+    Ed = (H - 1) * (W - 1)
+    E = Eh + Ev + Ed
+    total = n + 2 * E
+    rows = np.empty(total, dtype=np.int64)
+    cols = np.empty(total, dtype=np.int64)
+    vals = np.empty(total, dtype=np.float64)
+    # edge endpoints written directly into their final slices: rows/cols
+    # [n : n+E] hold (u, v), [n+E :] hold (v, u)
+    u = rows[n : n + E]
+    v = cols[n : n + E]
+    u[:Eh] = idx[:, :-1].ravel()
+    v[:Eh] = u[:Eh] + 1
+    u[Eh : Eh + Ev] = idx[:-1, :].ravel()
+    v[Eh : Eh + Ev] = u[Eh : Eh + Ev] + W
+    flip = rng.random(Ed) < 0.5  # per-quad diagonal choice
+    np.copyto(
+        u[Eh + Ev :],
+        np.where(flip, idx[:-1, :-1].ravel(), idx[:-1, 1:].ravel()),
+    )
+    v[Eh + Ev :] = u[Eh + Ev :] + np.where(flip, W + 1, W - 1)
     w = rng.random(E) + 0.5
     diag = (
         shift
         + np.bincount(u, weights=w, minlength=n)
         + np.bincount(v, weights=w, minlength=n)
     )
-    total = n + 2 * E
-    rows = np.empty(total, dtype=np.int64)
-    cols = np.empty(total, dtype=np.int64)
-    vals = np.empty(total, dtype=np.float64)
     rows[:n] = idx.ravel()
     cols[:n] = rows[:n]
     vals[:n] = diag
-    rows[n : n + E] = u
-    cols[n : n + E] = v
     vals[n : n + E] = -w
+    vals[n + E :] = -w
     rows[n + E :] = v
     cols[n + E :] = u
-    vals[n + E :] = -w
-    return CSRMatrix.from_coo(n, n, rows, cols, vals, dtype=dtype)
+    if shuffle:
+        sh = rng.permutation(n)
+        rows[:] = sh[rows]
+        cols[:] = sh[cols]
+    return n, rows, cols, vals
 
 
 def named_graph(name: str, n: int, k: int, p: float = 0.25, rng=None, frmt="csr"):

@@ -23,7 +23,13 @@ from sigma_tpu.graph.permutations import breadth_first_search
 from sigma_tpu.matrix.base import SparseMatrix
 from sigma_tpu.matrix.formats import DIAMatrix
 
-__all__ = ["to_banded_dia", "to_pruned_dia", "bandwidth", "band_occupancy"]
+__all__ = [
+    "to_banded_dia",
+    "to_pruned_dia",
+    "reorder_triples_rcm",
+    "bandwidth",
+    "band_occupancy",
+]
 
 
 def bandwidth(A) -> int:
@@ -71,6 +77,80 @@ def _reordered_triples(A: SparseMatrix, reorder: bool, method: str):
         else:
             p = np.arange(A.shape[0], dtype=p.dtype)
     return rows, cols, vals, p
+
+
+def reorder_triples_rcm(n, rows, cols, vals, method: str = "rcm"):
+    """Host-only RCM reordering of duplicate-free COO triples:
+    ``(pr, pc, vals, p)`` with the same keep-better-order contract as
+    :func:`to_banded_dia` (``p`` in scatter form, identity when the
+    input order is kept).
+
+    This is the no-device-bounce setup path for the pruned pipeline:
+    the :class:`SparseMatrix` route stores graph arrays on the TPU, so
+    ``_reordered_triples`` pays a device round-trip per ``entries()``
+    and the RCM wrapper another for indptr/indices — ~0.5 GB each
+    through this environment's TPU tunnel at 10M rows (measured in
+    BENCHMARKS.md round 5's setup-wall section).  Here the adjacency is
+    built with the C++ counting sort (``native.csr_from_coo``, numpy
+    fallback) and RCM runs on it directly; nothing touches a device.
+    The pruned pack does its own (tile, offset) radix sort, so the
+    returned triples are NOT re-sorted.
+    """
+    from sigma_tpu import native
+
+    rows = np.asarray(rows, dtype=np.int64).ravel()
+    cols = np.asarray(cols, dtype=np.int64).ravel()
+    vals = np.asarray(vals).ravel()
+    n = int(n)
+    # adjacency only (counting sort by row, no dedup/column sort): the
+    # orderings' quality is within-row-order independent, so the radix
+    # CSR build's extra passes are wasted here.  Triples MUST be
+    # duplicate-free (this function's contract).
+    adj = native.adjacency_from_coo(n, rows, cols)
+    if adj is not None:
+        cs_, indptr = adj
+    else:
+        order = np.argsort(rows, kind="stable")
+        cs_ = cols[order]
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(np.bincount(rows, minlength=n), out=indptr[1:])
+    if method == "rcm":
+        p = native.rcm_order(indptr, cs_)
+        if p is None:
+            from sigma_tpu.graph.graph import CSRGraph
+            from sigma_tpu.graph.permutations import reverse_cuthill_mckee
+
+            p = reverse_cuthill_mckee(CSRGraph.from_csr(n, n, indptr, cs_))
+    elif method == "bfs":
+        p = native.bfs_order(indptr, cs_)
+        if p is None:
+            from sigma_tpu.graph.graph import CSRGraph
+
+            p = breadth_first_search(CSRGraph.from_csr(n, n, indptr, cs_))
+    else:
+        raise ValueError(f"unknown reorder method {method!r}")
+    p = np.asarray(p, dtype=np.int64)
+    d_new = (p[cols] - p[rows]).astype(np.int32)
+    d_in = (cols - rows).astype(np.int32)
+    key_new = (_n_distinct(d_new), int(np.abs(d_new).max(initial=0)))
+    key_in = (_n_distinct(d_in), int(np.abs(d_in).max(initial=0)))
+    if key_new <= key_in:
+        return p[rows], p[cols], vals, p
+    return rows, cols, vals, np.arange(n, dtype=np.int64)
+
+
+def _n_distinct(d: np.ndarray) -> int:
+    """Distinct-count of int32 offsets: bincount over the value range
+    when it is small (post-RCM bands: a few hundred — microseconds),
+    sort-based ``np.unique`` only for genuinely wide ranges (the
+    shuffled input order) — each avoided 70M-element sort is ~5 s on
+    this page-fault-bound host."""
+    if d.size == 0:
+        return 0
+    lo, hi = int(d.min()), int(d.max())
+    if hi - lo < 1 << 22:
+        return int(np.count_nonzero(np.bincount(d - lo, minlength=hi - lo + 1)))
+    return int(np.unique(d).size)
 
 
 def to_banded_dia(

@@ -39,6 +39,7 @@ __all__ = [
     "csr_transpose",
     "iluk_symbolic",
     "rcm_order",
+    "adjacency_from_coo",
     "pack_pruned",
     "coarsen_pair",
 ]
@@ -94,6 +95,8 @@ def _load() -> Optional[ctypes.CDLL]:
         i64 = ctypes.c_longlong
         lib.csr_from_coo.restype = i64
         lib.csr_from_coo.argtypes = [i64, i64, i64, _i64p, _i64p, _i64p, _i64p, _i64p]
+        lib.adjacency_from_coo.restype = None
+        lib.adjacency_from_coo.argtypes = [i64, i64, _i64p, _i64p, _i64p, _i64p]
         lib.bfs_order.restype = None
         lib.bfs_order.argtypes = [i64, _i64p, _i64p, i64, _i64p]
         lib.greedy_coloring.restype = i64
@@ -180,6 +183,22 @@ def csr_from_coo(
     indptr = np.empty(n + 1, dtype=np.int64)
     w = lib.csr_from_coo(n, m, ne, rows, cols, out_r, out_c, indptr)
     return out_r[:w], out_c[:w], indptr
+
+
+def adjacency_from_coo(n: int, rows, cols):
+    """Row-grouped adjacency (cols, indptr) of DUPLICATE-FREE COO edges
+    — counting sort by row only (no dedup, no within-row sort): the
+    cheap neighbor-list build for RCM/BFS whose quality is order-
+    independent.  Returns None if native is off."""
+    lib = _load()
+    if lib is None:
+        return None
+    rows, cols = _c64(rows), _c64(cols)
+    ne = rows.size
+    out_c = np.empty(ne, dtype=np.int64)
+    indptr = np.empty(n + 1, dtype=np.int64)
+    lib.adjacency_from_coo(n, ne, rows, cols, out_c, indptr)
+    return out_c, indptr
 
 
 def bfs_order(indptr, indices, start: int = 0) -> Optional[np.ndarray]:

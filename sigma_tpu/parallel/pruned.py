@@ -732,12 +732,15 @@ def distributed_pruned_pair_amg(
                 Alvl = fine_A.astype(lvl_np)
         else:
             # validate=False on symmetric levels: pair Galerkin
-            # coarsening preserves the fine level's asserted symmetry
+            # coarsening preserves the fine level's asserted symmetry.
+            # assume_unique on levels > 0: coarsened triples are
+            # canonical, skip the per-level dedup sort
             Alvl = distribute_pruned(
                 nl, r, c, v, mesh, axis=axis,
                 tile_rows=min(tile_rows, blk), group=group,
                 block=blk, dtype=lvl_np,
                 symmetric=symmetric, validate=False,
+                assume_unique=bool(levels),
             )
         dinv, lmax = _coo_dinv_lmax(
             nl, r, c, v, dtype, smoother == "chebyshev"

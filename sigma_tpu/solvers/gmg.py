@@ -766,18 +766,76 @@ def _coo_dinv_lmax(nl, r, c, v, dtype, want_lmax):
                 "would SUM duplicates); deduplicate first, e.g. via "
                 "CSRMatrix.from_coo(...).entries()"
             )
-    diag = np.zeros(nl, np.float64)
-    np.add.at(diag, r[r == c], v[r == c].astype(np.float64))
+    # bincount(weights=) instead of np.add.at: same sum, ~10x faster on
+    # the 70M-entry fine level of the 10M setup (add.at is the slow
+    # ufunc scatter API)
+    dm = r == c
+    diag = np.bincount(r[dm], weights=v[dm].astype(np.float64),
+                       minlength=nl)
     dinv = np.where(diag != 0, 1.0, 0.0) / np.where(diag != 0, diag, 1.0)
     lmax = None
     if want_lmax:
-        rs = np.zeros(nl, np.float64)
-        np.add.at(rs, r, np.abs(v).astype(np.float64))
+        rs = np.bincount(r, weights=np.abs(v).astype(np.float64),
+                         minlength=nl)
         ad = np.abs(diag)
         with np.errstate(divide="ignore", invalid="ignore"):
             ratio = np.where(ad > 0, rs / np.where(ad > 0, ad, 1.0), 0.0)
         lmax = float(ratio.max())
     return dinv.astype(dtype), lmax
+
+
+def skew_dominance(rows, cols, vals) -> float:
+    """``||A - A^T||_F / ||A + A^T||_F`` from COO triples (host, one key
+    sort): 0 for symmetric operators, -> 1 as the skew part dominates.
+    The routing statistic for :func:`auto_pruned_preconditioner` —
+    measured on the 1M-row meshes (BENCHMARKS.md round 5): pair-AMG
+    HELPS elliptic-dominant operators (advection-diffusion at dominance
+    ~0.1: 3x) but HURTS strongly skewed ones (the beta=0.3 edge-skewed
+    mesh at dominance ~0.3: 225 vs 156 BiCG-stab iterations)."""
+    rows = np.asarray(rows, dtype=np.int64).ravel()
+    cols = np.asarray(cols, dtype=np.int64).ravel()
+    vals = np.asarray(vals, dtype=np.float64).ravel()
+    m = int(max(rows.max(initial=0), cols.max(initial=0))) + 1
+    key_f = rows * m + cols
+    key_t = cols * m + rows
+    keys = np.concatenate([key_f, key_t])
+    sval = np.concatenate([vals, np.zeros_like(vals)])
+    tval = np.concatenate([np.zeros_like(vals), vals])
+    uk, inv = np.unique(keys, return_inverse=True)
+    a = np.zeros(uk.size)
+    at = np.zeros(uk.size)
+    np.add.at(a, inv, sval)
+    np.add.at(at, inv, tval)
+    skew = float(np.linalg.norm(a - at))
+    sym = float(np.linalg.norm(a + at))
+    return skew / max(sym, 1e-300)
+
+
+def auto_pruned_preconditioner(
+    n, rows, cols, vals, *, skew_threshold: float = 0.2, **amg_kwargs
+):
+    """Route an unstructured operator to its measured-best treatment:
+    returns ``(M, info)`` where ``M`` is a :func:`pruned_pair_amg`
+    hierarchy (symmetric-storage levels when the operator is
+    numerically symmetric) or ``None`` for strongly nonnormal
+    operators, where plain BiCG-stab wins (the pair-Galerkin coarse
+    grids amplify skew modes — measured, see :func:`skew_dominance`).
+    ``info`` records the decision: ``{"skew_dominance": s, "route":
+    "pruned_gmg" | "pruned_gmg_sym" | "plain"}``.
+
+    This puts the round-4 prose routing rule in code; the reference's
+    only nonsymmetric answer is unpreconditioned BiCG-stab
+    (``/root/reference/src/solver/bicgstab_solvers.f90:36``).
+    """
+    s = skew_dominance(rows, cols, vals)
+    if s > skew_threshold:
+        return None, {"skew_dominance": s, "route": "plain"}
+    if s < 1e-12:  # numerically symmetric
+        M = pruned_pair_amg(n, rows, cols, vals, symmetric=True,
+                            **amg_kwargs)
+        return M, {"skew_dominance": s, "route": "pruned_gmg_sym"}
+    M = pruned_pair_amg(n, rows, cols, vals, **amg_kwargs)
+    return M, {"skew_dominance": s, "route": "pruned_gmg"}
 
 
 def pruned_pair_amg(
@@ -887,15 +945,20 @@ def pruned_pair_amg(
                 Alvl = fine_A.astype(lvl_np)
         elif symmetric:
             # validate=False: the caller asserts fine-level symmetry by
-            # passing symmetric=True, and pair Galerkin preserves it
+            # passing symmetric=True, and pair Galerkin preserves it.
+            # assume_unique on levels > 0: _pair_coarsen_coo output is
+            # canonical (post radix/unique), so the per-level O(nnz log
+            # nnz) dedup sort the round-4 setup wall paid is skipped
             Alvl = SymmetricPrunedDIAMatrix.from_coo(
                 nl, nl, r, c, v, dtype=lvl_np,
                 tile_rows=tile_rows, group=group, validate=False,
+                assume_unique=li > 0,
             )
         else:
             Alvl = PrunedDIAMatrix.from_coo(
                 nl, nl, r, c, v, dtype=lvl_np,
                 tile_rows=tile_rows, group=group,
+                assume_unique=li > 0,
             )
         dinv, lmax = _coo_dinv_lmax(
             nl, r, c, v, dtype, smoother == "chebyshev"

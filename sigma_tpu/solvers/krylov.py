@@ -443,6 +443,125 @@ def gmres_solve(
     return x, SolveInfo(k, beta, beta <= tol_eff)
 
 
+def fgmres_solve(
+    A, b, x0=None, *, tol=1e-12, rtol=0.0, restart=32, maxiter=None, M=None
+):
+    """Flexible GMRES(m): right preconditioning with a preconditioner
+    that may CHANGE between Arnoldi steps — each preconditioned vector
+    ``z_j = M(v_j)`` is stored in a second (m, n) basis Z, and the
+    update is ``x += Z y`` (Saad '93), so M can be an inner iterative
+    solve (e.g. a fixed-iteration GMG-CG cycle via ``attach_solver`` /
+    a lambda) instead of a fixed linear operator.  With a fixed linear
+    M it reproduces :func:`gmres_solve` up to roundoff (tested).
+
+    ``M`` may be a LinearOperator (``matvec`` is used) or a plain
+    callable ``z = M(v)``; inner solves must be jit-compatible with a
+    STATIC iteration count (e.g. ``lambda v: cg_solve(Ain, v, tol=0.0,
+    maxiter=8)[0]``) — data-dependent inner stopping would change the
+    traced program.
+
+    This is the missing composition piece for nonsymmetric systems: the
+    reference's entire nonsymmetric story is plain BiCG-stab
+    (``/root/reference/src/solver/bicgstab_solvers.f90:36``); here the
+    library's strongest preconditioners (multigrid V-cycles wrapped in
+    inner Krylov smoothing) compose with a nonsymmetric outer method.
+    Arnoldi/CGS2/Givens machinery matches :func:`gmres_solve` (MXU
+    matmuls, early-exit inner while_loop).
+    """
+    n = b.shape[0]  # b's (possibly padded/sharded) length sizes the basis
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    m = min(restart, n)
+    maxiter = 10 * n if maxiter is None else int(maxiter)
+    apply_M = M if (callable(M) and not hasattr(M, "matvec")) else _apply(M)
+    matvec = A.matvec
+    tol_eff = jnp.maximum(jnp.asarray(tol, b.dtype), rtol * jnp.linalg.norm(b))
+    eps_break = jnp.asarray(jnp.finfo(b.dtype).eps, b.dtype)
+
+    def cycle(x, k_total):
+        r = b - matvec(x)
+        beta = jnp.linalg.norm(r)
+        V = jnp.zeros((m + 1, n), dtype=b.dtype).at[0].set(
+            r / jnp.where(beta > 0, beta, 1.0)
+        )
+        Z = jnp.zeros((m, n), dtype=b.dtype)
+        R = jnp.zeros((m, m), dtype=b.dtype)
+        cs = jnp.zeros((m,), dtype=b.dtype)
+        sn = jnp.zeros((m,), dtype=b.dtype)
+        g = jnp.zeros(m + 1, dtype=b.dtype).at[0].set(beta)
+
+        def icond(st):
+            V, Z, R, cs, sn, g, j, est = st
+            return (est > tol_eff) & (j < m) & (k_total + j < maxiter)
+
+        def ibody(st):
+            V, Z, R, cs, sn, g, j, _ = st
+            z = apply_M(V[j])
+            Z = Z.at[j].set(z)
+            w = matvec(z)
+            valid = jnp.arange(m + 1) <= j
+            h1 = jnp.where(valid, V @ w, 0.0)
+            w = w - V.T @ h1
+            h2 = jnp.where(valid, V @ w, 0.0)
+            w = w - V.T @ h2
+            h = h1 + h2
+            wn = jnp.linalg.norm(w)
+            ok = wn > eps_break * 10
+            V = V.at[j + 1].set(jnp.where(ok, w / jnp.where(ok, wn, 1.0), 0.0))
+            h = h.at[j + 1].set(jnp.where(ok, wn, 0.0))
+
+            def rot(i, h):
+                hi, hi1 = h[i], h[i + 1]
+                active = i < j
+                c, s = cs[i], sn[i]
+                h = h.at[i].set(jnp.where(active, c * hi + s * hi1, hi))
+                return h.at[i + 1].set(
+                    jnp.where(active, -s * hi + c * hi1, hi1)
+                )
+
+            h = lax.fori_loop(0, m, rot, h)
+            denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
+            safe = denom > 0
+            c_new = jnp.where(safe, h[j] / jnp.where(safe, denom, 1.0), 1.0)
+            s_new = jnp.where(safe, h[j + 1] / jnp.where(safe, denom, 1.0), 0.0)
+            cs = cs.at[j].set(c_new)
+            sn = sn.at[j].set(s_new)
+            gj = g[j]
+            g = g.at[j].set(c_new * gj).at[j + 1].set(-s_new * gj)
+            R = R.at[:, j].set(h.at[j].set(denom)[:m])
+            return (V, Z, R, cs, sn, g, j + 1, jnp.abs(g[j + 1]))
+
+        V, Z, R, cs, sn, g, j, est = lax.while_loop(
+            icond, ibody,
+            (V, Z, R, cs, sn, g, jnp.asarray(0, jnp.int32), beta),
+        )
+        used = jnp.arange(m) < j
+        Rp = jnp.where(
+            used[None, :] & used[:, None], R, jnp.eye(m, dtype=b.dtype)
+        )
+        y = jax.scipy.linalg.solve_triangular(
+            Rp, jnp.where(used, g[:m], 0.0), lower=False
+        )
+        # flexible update: the STORED preconditioned basis, not M(V y)
+        x = x + Z.T @ y
+        return x, k_total + j
+
+    def cond(state):
+        x, beta, k, prog = state
+        return (beta > tol_eff) & (k < maxiter) & prog
+
+    def body(state):
+        x, _, k, _ = state
+        x, k_new = cycle(x, k)
+        beta = jnp.linalg.norm(b - matvec(x))
+        return (x, beta, k_new, k_new > k)
+
+    beta0 = jnp.linalg.norm(b - matvec(x0))
+    x, beta, k, _ = lax.while_loop(
+        cond, body, (x0, beta0, jnp.asarray(0, jnp.int32), True)
+    )
+    return x, SolveInfo(k, beta, beta <= tol_eff)
+
+
 def cgls_solve(
     A, b, x0=None, *, tol=1e-12, rtol=0.0, maxiter=None, M=None, history=False
 ):

@@ -717,3 +717,131 @@ def test_cgls_preconditioned_and_solver_protocol(rng):
     solver = cgls(tolerance=1e-11, maxiter=2000)
     x2, info2 = solver.solve_info(A, b)
     np.testing.assert_allclose(np.asarray(x2), x_ref, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# FGMRES (flexible preconditioning) + skew routing
+# ---------------------------------------------------------------------------
+
+def _nonsym_banded(rng, n, beta=0.3, shift=0.6):
+    dense = np.zeros((n, n))
+    i = np.arange(n)
+    for o in (1, 3, 9):
+        v = -np.abs(rng.random(n - o)) * 0.3
+        dense[i[:-o], i[:-o] + o] = v * (1 + beta)
+        dense[i[:-o] + o, i[:-o]] = v * (1 - beta)
+    dense[i, i] = np.abs(dense).sum(1) + shift
+    rows, cols = np.nonzero(dense)
+    return dense, rows, cols, dense[rows, cols]
+
+
+def test_fgmres_fixed_m_matches_gmres(rng):
+    from sigma_tpu.matrix.formats import DIAMatrix
+    from sigma_tpu.operators import DiagonalOperator
+    from sigma_tpu.solvers import fgmres_solve, gmres_solve
+
+    n = 600
+    dense, rows, cols, vals = _nonsym_banded(rng, n)
+    A = DIAMatrix.from_coo(n, n, rows, cols, vals)
+    b = jnp.asarray(dense @ rng.standard_normal(n))
+    M = DiagonalOperator(1.0 / jnp.asarray(np.diag(dense)))
+    xg, ig = gmres_solve(A, b, tol=0.0, rtol=1e-12, restart=30, maxiter=300,
+                         M=M)
+    xf, if_ = fgmres_solve(A, b, tol=0.0, rtol=1e-12, restart=30,
+                           maxiter=300, M=M)
+    # fixed linear M: flexible and standard right-preconditioned GMRES
+    # build the same Krylov space
+    assert int(ig.iterations) == int(if_.iterations)
+    assert np.abs(np.asarray(xg) - np.asarray(xf)).max() < 1e-8
+    r = dense @ np.asarray(xf) - np.asarray(b)
+    assert np.linalg.norm(r) < 1e-9 * np.linalg.norm(np.asarray(b))
+
+
+def test_fgmres_inner_krylov_preconditioner(rng):
+    # the flexible case: an inner fixed-iteration Krylov solve as M —
+    # nonlinear in v, so standard GMRES's M(V y) update would be wrong
+    from sigma_tpu.matrix.formats import DIAMatrix
+    from sigma_tpu.solvers import bicgstab_solve, fgmres_solve
+
+    n = 600
+    dense, rows, cols, vals = _nonsym_banded(rng, n)
+    A = DIAMatrix.from_coo(n, n, rows, cols, vals)
+    b = jnp.asarray(dense @ rng.standard_normal(n))
+
+    def inner(v):
+        z, _ = bicgstab_solve(A, v, tol=0.0, rtol=0.0, maxiter=4)
+        return z
+
+    xp, ip = fgmres_solve(A, b, tol=0.0, rtol=1e-10, restart=30,
+                          maxiter=300)
+    xf, if_ = fgmres_solve(A, b, tol=0.0, rtol=1e-10, restart=30,
+                           maxiter=300, M=inner)
+    assert int(if_.iterations) < int(ip.iterations)
+    r = dense @ np.asarray(xf) - np.asarray(b)
+    assert np.linalg.norm(r) < 1e-8 * np.linalg.norm(np.asarray(b))
+    # jit-compatibility (inner solve has static maxiter)
+    xj, _ = jax.jit(
+        lambda A_, b_: fgmres_solve(
+            A_, b_, tol=0.0, rtol=1e-10, restart=30, maxiter=300,
+            M=lambda v: bicgstab_solve(A_, v, tol=0.0, rtol=0.0,
+                                       maxiter=4)[0],
+        )
+    )(A, b)
+    assert np.abs(np.asarray(xj) - np.asarray(xf)).max() < 1e-6
+
+
+def test_skew_dominance_and_auto_route(rng):
+    from sigma_tpu.solvers import (
+        auto_pruned_preconditioner,
+        bicgstab_solve,
+        skew_dominance,
+    )
+    from sigma_tpu.matrix.pruned import PrunedDIAMatrix
+
+    n = 3000
+    # symmetric: dominance 0 -> symmetric-storage GMG route
+    dense = np.zeros((n, n))
+    i = np.arange(n)
+    for o in (1, 4, 7):
+        v = -np.abs(rng.random(n - o)) * 0.3
+        dense[i[:-o], i[:-o] + o] = v
+        dense[i[:-o] + o, i[:-o]] = v
+    dense[i, i] = np.abs(dense).sum(1) + 0.05
+    rows, cols = np.nonzero(dense)
+    vals = dense[rows, cols]
+    s0 = skew_dominance(rows, cols, vals)
+    assert s0 < 1e-14
+    M, info = auto_pruned_preconditioner(
+        n, rows, cols, vals, coarse_size=512, tile_rows=1024, group=4
+    )
+    assert info["route"] == "pruned_gmg_sym" and M is not None
+
+    # mildly nonsymmetric: routed to (full-storage) pruned GMG
+    dense2, r2, c2, v2 = _nonsym_banded(rng, n, beta=0.1)
+    s_mild = skew_dominance(r2, c2, v2)
+    assert 1e-6 < s_mild < 0.2
+    M2, info2 = auto_pruned_preconditioner(
+        n, r2, c2, v2, coarse_size=512, tile_rows=1024, group=4,
+        smoother="jacobi",
+    )
+    assert info2["route"] == "pruned_gmg" and M2 is not None
+    A2 = PrunedDIAMatrix.from_coo(n, n, r2, c2, v2, tile_rows=1024, group=4)
+    b2 = jnp.asarray(dense2 @ rng.standard_normal(n))
+    xm, im = jax.jit(
+        lambda A_, M_, bb: bicgstab_solve(A_, bb, tol=0.0, rtol=1e-8,
+                                          maxiter=400, M=M_)
+    )(A2, M2, b2)
+    xp_, ipl = jax.jit(
+        lambda A_, bb: bicgstab_solve(A_, bb, tol=0.0, rtol=1e-8,
+                                      maxiter=400)
+    )(A2, b2)
+    assert int(im.iterations) < int(ipl.iterations)
+
+    # strongly skewed: routed to plain
+    dense3, r3, c3, v3 = _nonsym_banded(rng, n, beta=0.9)
+    s_hi = skew_dominance(r3, c3, v3)
+    assert s_hi > 0.2
+    M3, info3 = auto_pruned_preconditioner(
+        n, r3, c3, v3, coarse_size=512, tile_rows=1024, group=4
+    )
+    assert M3 is None and info3["route"] == "plain"
