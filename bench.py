@@ -483,6 +483,26 @@ def main():
                     f"unstructured pruned+bf16 {prb_rate/1e9:.2f} Gnnz/s "
                     f"true ({prb_rate/true_rate:.2f}x chunked)", t0
                 )
+                # SYMMETRIC pruned (round 5): upper-triangle packing +
+                # in-kernel mirror — half the packed value stream
+                # (benchmarks/pruned_sym_sweep.py)
+                from sigma_tpu.matrix.pruned import SymmetricPrunedDIAMatrix
+
+                Su = SymmetricPrunedDIAMatrix.from_coo(
+                    nu, nu, pu[ru], pu[cu], vu, dtype=jnp.float32,
+                    assume_unique=True, validate=False,
+                )
+                sp_rate = bench_spmv(Su, nnz_u, K1=100, K2=700)
+                unstructured["pruned_sym_true_gnnz_s"] = round(
+                    sp_rate / 1e9, 3
+                )
+                unstructured["pruned_sym_speedup_vs_pruned_full"] = round(
+                    sp_rate / pr_rate, 2
+                )
+                _progress(
+                    f"unstructured pruned-sym {sp_rate/1e9:.2f} Gnnz/s "
+                    f"true ({sp_rate/pr_rate:.2f}x full pruned)", t0
+                )
         except Exception as e:  # never let a detail row kill the artifact
             _progress(f"unstructured row failed: {e!r}", t0)
     else:

@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--m", type=int, default=8, help="eigenpairs")
     ap.add_argument("--maxiter", type=int, default=60)
     ap.add_argument("--shift", type=float, default=1e-3)
+    ap.add_argument("--refine", action="store_true",
+                    help="f64 Rayleigh-Ritz refinement of the lowest 3 "
+                         "Ritz pairs (VERDICT r04 item 4)")
     args = ap.parse_args()
 
     from sigma_tpu.utils.util import enable_transparent_hugepages, enable_warm_heap
@@ -39,6 +42,14 @@ def main():
     enable_warm_heap()
 
     import jax
+
+    # NOTE: --refine runs its f64 work on the HOST (numpy bincount
+    # matvecs) with f32 TPU inner solves — jax_enable_x64 on this axon
+    # stack FAULTS the TPU worker inside the jitted Lanczos/solver
+    # programs (i64 index arithmetic reaches Mosaic/XLA paths that the
+    # worker cannot execute; reproduced round 5, BENCHMARKS.md), and
+    # the host split is faster anyway (~1.5 s per 70M-nnz f64 matvec,
+    # a handful per refined column).
     import jax.numpy as jnp
 
     from sigma_tpu.apps.generators import irregular_mesh_laplacian
@@ -140,6 +151,116 @@ def main():
         "residual_norms": [f"{r:.3e}" for _, r in rq],
         "wall_s_warm": round(t_l, 2),
     }))
+
+    if args.refine:
+        # f64-grade eigenpairs over the PRUNED operator (VERDICT r04
+        # item 4): inverse-iteration refinement of the inverse-Lanczos
+        # Ritz block — each column solve is the classic mixed-precision
+        # ladder with the f64 residual/Rayleigh work in HOST numpy
+        # (bincount matvec over the COO triples) and every Krylov
+        # matvec on the f32 pruned kernels with GMG preconditioning;
+        # block QR per step keeps the columns from collapsing onto the
+        # dominant inverse mode; exact f64 Rayleigh-Ritz at the end.
+        import scipy.sparse as sp
+
+        vals64 = vals.astype(np.float64)
+        Asp = sp.csr_matrix((vals64, (pr, pc)), shape=(n, n))
+
+        def A64mv(x64):
+            return Asp @ x64
+
+        from sigma_tpu.solvers import cg_solve
+
+        inner = jax.jit(
+            lambda A_, M_, r_: cg_solve(
+                A_, r_, tol=0.0, rtol=1e-6, maxiter=400, M=M_
+            )[0]
+        )
+
+        # Shift-invert Lanczos design space (all MEASURED at 1M,
+        # BENCHMARKS.md round 5): the mesh's low spectrum is a
+        # near-continuum above lambda_1 = shift, so (a) inverse
+        # ITERATION floors at max_q c0*(l1/lq)^k*(lq-l1) ~
+        # 0.37*c0*l1/k (stuck at ~1e-5 after 6 steps); (b) plain
+        # B = A^{-1} Lanczos contracts at only ~0.81/step; (c) an
+        # AGGRESSIVE shift (sigma = 0.99*l1, gap ratio ~0.5) breaks
+        # the f32 INNER solves instead (kappa(M^-1(A-sigma)) ~ 100,
+        # ladder sweeps max out without converging).  The working
+        # point is sigma = 0.9*l1: the ladder still converges to
+        # 1e-13 in 3 sweeps and the Lanczos contracts at a measured
+        # ~0.83/step — ~80 f64-grade steps reach the 1e-8 residuals.
+        # (l1 here is the f32 Rayleigh estimate, accurate to
+        # res^2/gap ~ 1e-7 — 0.9x is a certain lower bound.)
+        sigma = 0.9 * float(mus[0])
+        vals_sig = vals64.copy()
+        diag_mask = pr == pc
+        vals_sig[diag_mask] -= sigma
+        Asp_sig = sp.csr_matrix((vals_sig, (pr, pc)), shape=(n, n))
+        P_sig = PrunedDIAMatrix.from_coo(
+            n, n, pr, pc, vals_sig.astype(np.float32),
+            dtype=np.float32, assume_unique=True,
+        )
+
+        def solve64_sig(b64, sweeps=3):
+            x64 = np.zeros(n)
+            bn = np.linalg.norm(b64)
+            for _ in range(sweeps):
+                r = b64 - Asp_sig @ x64
+                rn = np.linalg.norm(r)
+                if rn < 1e-13 * bn:
+                    break
+                d = np.asarray(
+                    inner(P_sig, Mg,
+                          jnp.asarray((r / rn).astype(np.float32))),
+                    dtype=np.float64,
+                )
+                x64 = x64 + rn * d
+            return x64
+
+        k2 = 84
+        t0 = time.time()
+        V64 = np.zeros((n, k2), dtype=np.float64)
+        al = np.zeros(k2)
+        be = np.zeros(k2)
+        v = rng.standard_normal(n)
+        v /= np.linalg.norm(v)
+        for i in range(k2):
+            V64[:, i] = v
+            w = solve64_sig(v, sweeps=3)
+            al[i] = v @ w
+            w -= al[i] * v
+            if i:
+                w -= be[i - 1] * V64[:, i - 1]
+            # two-pass full reorthogonalization (host f64 GEMMs)
+            Vi = V64[:, : i + 1]
+            w -= Vi @ (Vi.T @ w)
+            w -= Vi @ (Vi.T @ w)
+            be[i] = np.linalg.norm(w)
+            if be[i] < 1e-14 * abs(al[i]):
+                k2 = i + 1
+                break
+            v = w / be[i]
+        T2 = np.diag(al[:k2]) + np.diag(be[: k2 - 1], 1) \
+            + np.diag(be[: k2 - 1], -1)
+        th2, Q2 = np.linalg.eigh(T2)
+        idx = np.argsort(-th2)[:3]  # largest theta of (A-sigma)^{-1}
+        wr, resids = [], []
+        for j in idx:
+            y = V64[:, :k2] @ Q2[:, j]
+            y /= np.linalg.norm(y)
+            Ay = A64mv(y)
+            lam = float(y @ Ay)
+            wr.append(lam)
+            resids.append(float(np.linalg.norm(Ay - lam * y)))
+        t_ref = time.time() - t0
+        print(json.dumps({
+            "metric": "eigen_unstructured_refined",
+            "sigma": float(f"{sigma:.6e}"),
+            "lanczos_steps": int(k2),
+            "lowest3_refined": [float(f"{w_:.12e}") for w_ in wr],
+            "ritz_residuals": [f"{r_:.3e}" for r_ in resids],
+            "refine_s": round(t_ref, 1),
+        }))
 
 
 if __name__ == "__main__":

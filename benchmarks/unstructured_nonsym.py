@@ -81,7 +81,7 @@ def main():
     t_skew = time.time() - t0
     # the in-code route (auto_pruned_preconditioner re-derives it; here
     # we report the statistic + decision without paying a second setup)
-    route = "plain" if s_dom > 0.2 else "pruned_gmg"
+    route = "plain" if s_dom > 0.05 else "pruned_gmg"
     print(json.dumps({
         "metric": "unstructured_nonsym_route",
         "beta": args.beta,

@@ -13,6 +13,8 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <queue>
+#include <utility>
 #include <vector>
 
 using i64 = long long;
@@ -148,6 +150,88 @@ void rcm_order(i64 n, const i64* indptr, const i64* indices, i64* perm) {
         }
     }
     for (i64 v = 0; v < n; ++v) perm[v] = n - 1 - perm[v];  // reverse
+}
+
+// Sloan profile/wavefront-minimizing ordering (Sloan '86): the
+// classic two-phase scheme — (1) pseudo-peripheral start via repeated
+// BFS, distances to the end vertex, (2) a max-priority frontier walk
+// with priority = -W1*degree_current + W2*distance, promoting
+// preactive/active neighbors.  Wavefront ~ LOCAL bandwidth, which is
+// exactly the pruned layout's per-row-tile active-diagonal count
+// (VERDICT r04 item 2's occupancy lever).  Status: 0 inactive,
+// 1 preactive, 2 active, 3 numbered.
+void sloan_order(i64 n, const i64* indptr, const i64* indices, i64* perm) {
+    auto bfs_dist = [&](i64 start, std::vector<i64>& dist) -> i64 {
+        std::fill(dist.begin(), dist.end(), (i64)-1);
+        std::vector<i64> q;
+        q.reserve(static_cast<size_t>(n));
+        q.push_back(start);
+        dist[start] = 0;
+        i64 last = start;
+        for (size_t h = 0; h < q.size(); ++h) {
+            i64 v = q[h];
+            last = v;
+            for (i64 k = indptr[v]; k < indptr[v + 1]; ++k) {
+                i64 u = indices[k];
+                if (dist[u] < 0) {
+                    dist[u] = dist[v] + 1;
+                    q.push_back(u);
+                }
+            }
+        }
+        return last;
+    };
+    std::vector<i64> dist(static_cast<size_t>(n));
+    std::vector<char> status(static_cast<size_t>(n), 0);
+    std::vector<i64> pri(static_cast<size_t>(n));
+    const i64 W1 = 1, W2 = 2;
+    i64 rank = 0;
+    for (i64 s0 = 0; s0 < n; ++s0) {
+        if (status[s0] == 3) continue;
+        // pseudo-peripheral pair for this component
+        i64 s = s0;
+        i64 e = bfs_dist(s, dist);
+        for (int it = 0; it < 2; ++it) {
+            i64 e2 = bfs_dist(e, dist);
+            s = e;
+            e = e2;
+        }
+        bfs_dist(e, dist);  // distances to the END vertex
+        for (i64 v = 0; v < n; ++v)
+            if (dist[v] >= 0 && status[v] != 3)
+                pri[v] = W2 * dist[v] - W1 * (indptr[v + 1] - indptr[v]);
+        // lazy max-heap of (priority, vertex)
+        std::priority_queue<std::pair<i64, i64>> heap;
+        heap.push({pri[s], s});
+        status[s] = 1;
+        while (!heap.empty()) {
+            i64 v = heap.top().second;
+            i64 pv = heap.top().first;
+            heap.pop();
+            if (status[v] == 3 || pv != pri[v]) continue;  // stale
+            perm[v] = rank++;
+            status[v] = 3;
+            for (i64 k = indptr[v]; k < indptr[v + 1]; ++k) {
+                i64 u = indices[k];
+                if (status[u] == 3) continue;
+                if (status[u] == 0) {
+                    // becomes preactive: enters the frontier
+                    status[u] = 1;
+                    heap.push({pri[u], u});
+                }
+                if (status[u] == 1) {
+                    // activation bonus: u joins the wavefront when its
+                    // first neighbor is numbered
+                    status[u] = 2;
+                    pri[u] += W1;
+                    heap.push({pri[u], u});
+                }
+                // freeing v's edge to u shrinks u's current degree
+                pri[u] += W1;
+                heap.push({pri[u], u});
+            }
+        }
+    }
 }
 
 // Greedy first-fit coloring in vertex order; returns number of colors.

@@ -39,6 +39,7 @@ __all__ = [
     "csr_transpose",
     "iluk_symbolic",
     "rcm_order",
+    "sloan_order",
     "adjacency_from_coo",
     "pack_pruned",
     "coarsen_pair",
@@ -140,6 +141,8 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.iluk_symbolic.restype = i64
         lib.iluk_symbolic.argtypes = [i64, _i64p, _i64p, i64, i64, _i64p, _i64p]
         lib.rcm_order.restype = None
+        lib.sloan_order.restype = None
+        lib.sloan_order.argtypes = [i64, _i64p, _i64p, _i64p]
         lib.rcm_order.argtypes = [i64, _i64p, _i64p, _i64p]
         _f32p = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
         _i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
@@ -183,6 +186,20 @@ def csr_from_coo(
     indptr = np.empty(n + 1, dtype=np.int64)
     w = lib.csr_from_coo(n, m, ne, rows, cols, out_r, out_c, indptr)
     return out_r[:w], out_c[:w], indptr
+
+
+def sloan_order(indptr, indices) -> Optional[np.ndarray]:
+    """Sloan wavefront-minimizing permutation (scatter form), or None if
+    native is off.  Wavefront ~ local bandwidth ~ the pruned layout's
+    per-row-tile active-diagonal count (the occupancy lever)."""
+    lib = _load()
+    if lib is None:
+        return None
+    indptr, indices = _c64(indptr), _c64(indices)
+    n = indptr.size - 1
+    perm = np.empty(n, dtype=np.int64)
+    lib.sloan_order(n, indptr, indices, perm)
+    return perm
 
 
 def adjacency_from_coo(n: int, rows, cols):

@@ -52,6 +52,9 @@ __all__ = [
 ]
 
 _LANES = 128
+# int32 literal for BlockSpec index maps: a python 0 lowers to an i64
+# constant under jax_enable_x64 and Mosaic rejects the transform func
+_Z = np.int32(0)
 
 
 class PrunedPlan:
@@ -278,34 +281,34 @@ def dia_spmv_pallas_pruned(
         in_specs=[
             pl.BlockSpec(
                 (T, _LANES),
-                lambda s, tr, fr, rr, lr: (jnp.minimum(tr[s], TBx - 1), 0),
+                lambda s, tr, fr, rr, lr: (jnp.minimum(tr[s], TBx - 1), _Z),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (E, _LANES),
                 lambda s, tr, fr, rr, lr: (
                     jnp.minimum(F * tr[s] + F, EBx - 1),
-                    0,
+                    _Z,
                 ),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (E, _LANES),
                 lambda s, tr, fr, rr, lr: (
-                    jnp.maximum(jnp.minimum(F * tr[s] - 1, EBx - 1), 0),
-                    0,
+                    jnp.maximum(jnp.minimum(F * tr[s] - 1, EBx - 1), _Z),
+                    _Z,
                 ),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, C, T, _LANES),
-                lambda s, tr, fr, rr, lr: (s, 0, 0, 0),
+                lambda s, tr, fr, rr, lr: (s, _Z, _Z, _Z),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (T, _LANES),
-            lambda s, tr, fr, rr, lr: (tr[s], 0),
+            lambda s, tr, fr, rr, lr: (tr[s], _Z),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[pltpu.VMEM((T + 2 * E, _LANES), x.dtype)],
@@ -423,36 +426,36 @@ def dia_spmm_pruned_rhs_major(
         in_specs=[
             pl.BlockSpec(
                 (k, T, _LANES),
-                lambda s, tr, fr, rr, lr: (0, jnp.minimum(tr[s], TBx - 1), 0),
+                lambda s, tr, fr, rr, lr: (_Z, jnp.minimum(tr[s], TBx - 1), _Z),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (k, E, _LANES),
                 lambda s, tr, fr, rr, lr: (
-                    0,
+                    _Z,
                     jnp.minimum(F * tr[s] + F, EBx - 1),
-                    0,
+                    _Z,
                 ),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (k, E, _LANES),
                 lambda s, tr, fr, rr, lr: (
-                    0,
-                    jnp.maximum(jnp.minimum(F * tr[s] - 1, EBx - 1), 0),
-                    0,
+                    _Z,
+                    jnp.maximum(jnp.minimum(F * tr[s] - 1, EBx - 1), _Z),
+                    _Z,
                 ),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, C, T, _LANES),
-                lambda s, tr, fr, rr, lr: (s, 0, 0, 0),
+                lambda s, tr, fr, rr, lr: (s, _Z, _Z, _Z),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
             (k, T, _LANES),
-            lambda s, tr, fr, rr, lr: (0, tr[s], 0),
+            lambda s, tr, fr, rr, lr: (_Z, tr[s], _Z),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[pltpu.VMEM((k, T + 2 * E, _LANES), XT.dtype)],
@@ -636,40 +639,40 @@ def dia_sym_spmv_pallas_pruned(
         in_specs=[
             pl.BlockSpec(
                 (T, _LANES),
-                lambda s, tr, fr, rr, lr: (jnp.minimum(tr[s], TBx - 1), 0),
+                lambda s, tr, fr, rr, lr: (jnp.minimum(tr[s], TBx - 1), _Z),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (E, _LANES),
                 lambda s, tr, fr, rr, lr: (
                     jnp.minimum(F * tr[s] + F, EBx - 1),
-                    0,
+                    _Z,
                 ),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (E, _LANES),
                 lambda s, tr, fr, rr, lr: (
-                    jnp.maximum(jnp.minimum(F * tr[s] - 1, EBx - 1), 0),
-                    0,
+                    jnp.maximum(jnp.minimum(F * tr[s] - 1, EBx - 1), _Z),
+                    _Z,
                 ),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, C, T, _LANES),
-                lambda s, tr, fr, rr, lr: (s, 0, 0, 0),
+                lambda s, tr, fr, rr, lr: (s, _Z, _Z, _Z),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
                 (T, _LANES),
-                lambda s, tr, fr, rr, lr: (tr[s], 0),
+                lambda s, tr, fr, rr, lr: (tr[s], _Z),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, E, _LANES),
-                lambda s, tr, fr, rr, lr: (tr[s], 0, 0),
+                lambda s, tr, fr, rr, lr: (tr[s], _Z, _Z),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -832,42 +835,42 @@ def dia_sym_spmm_pruned_rhs_major(
         in_specs=[
             pl.BlockSpec(
                 (k, T, _LANES),
-                lambda s, tr, fr, rr, lr: (0, jnp.minimum(tr[s], TBx - 1), 0),
+                lambda s, tr, fr, rr, lr: (_Z, jnp.minimum(tr[s], TBx - 1), _Z),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (k, E, _LANES),
                 lambda s, tr, fr, rr, lr: (
-                    0,
+                    _Z,
                     jnp.minimum(F * tr[s] + F, EBx - 1),
-                    0,
+                    _Z,
                 ),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (k, E, _LANES),
                 lambda s, tr, fr, rr, lr: (
-                    0,
-                    jnp.maximum(jnp.minimum(F * tr[s] - 1, EBx - 1), 0),
-                    0,
+                    _Z,
+                    jnp.maximum(jnp.minimum(F * tr[s] - 1, EBx - 1), _Z),
+                    _Z,
                 ),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, C, T, _LANES),
-                lambda s, tr, fr, rr, lr: (s, 0, 0, 0),
+                lambda s, tr, fr, rr, lr: (s, _Z, _Z, _Z),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
             pl.BlockSpec(
                 (k, T, _LANES),
-                lambda s, tr, fr, rr, lr: (0, tr[s], 0),
+                lambda s, tr, fr, rr, lr: (_Z, tr[s], _Z),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
                 (1, k, E, _LANES),
-                lambda s, tr, fr, rr, lr: (tr[s], 0, 0, 0),
+                lambda s, tr, fr, rr, lr: (tr[s], _Z, _Z, _Z),
                 memory_space=pltpu.VMEM,
             ),
         ],

@@ -787,11 +787,17 @@ def _coo_dinv_lmax(nl, r, c, v, dtype, want_lmax):
 def skew_dominance(rows, cols, vals) -> float:
     """``||A - A^T||_F / ||A + A^T||_F`` from COO triples (host, one key
     sort): 0 for symmetric operators, -> 1 as the skew part dominates.
-    The routing statistic for :func:`auto_pruned_preconditioner` —
-    measured on the 1M-row meshes (BENCHMARKS.md round 5): pair-AMG
-    HELPS elliptic-dominant operators (advection-diffusion at dominance
-    ~0.1: 3x) but HURTS strongly skewed ones (the beta=0.3 edge-skewed
-    mesh at dominance ~0.3: 225 vs 156 BiCG-stab iterations)."""
+    The routing statistic for :func:`auto_pruned_preconditioner`,
+    calibrated on the 1M-row edge-skewed mesh family
+    (benchmarks/unstructured_nonsym.py --beta, BENCHMARKS.md round 5):
+    dominance 0.006 -> pruned-GMG WINS (27 vs 188 BiCG-stab
+    iterations, 1.3x wall); 0.019 -> wall parity (43 vs 215); 0.116 ->
+    pruned-GMG LOSES 6x wall (225 vs 156 iterations) — hence the 0.05
+    default threshold.  The statistic is family-specific, not
+    universal: the STRUCTURED upwinded advection-diffusion operator
+    measures 0.13 yet structured GMG still wins 3x there (its
+    coarsening follows the flow axis); this router serves the
+    unstructured pruned pipeline only."""
     rows = np.asarray(rows, dtype=np.int64).ravel()
     cols = np.asarray(cols, dtype=np.int64).ravel()
     vals = np.asarray(vals, dtype=np.float64).ravel()
@@ -812,7 +818,7 @@ def skew_dominance(rows, cols, vals) -> float:
 
 
 def auto_pruned_preconditioner(
-    n, rows, cols, vals, *, skew_threshold: float = 0.2, **amg_kwargs
+    n, rows, cols, vals, *, skew_threshold: float = 0.05, **amg_kwargs
 ):
     """Route an unstructured operator to its measured-best treatment:
     returns ``(M, info)`` where ``M`` is a :func:`pruned_pair_amg`

