@@ -161,14 +161,7 @@ def main():
         # matvec on the f32 pruned kernels with GMG preconditioning;
         # block QR per step keeps the columns from collapsing onto the
         # dominant inverse mode; exact f64 Rayleigh-Ritz at the end.
-        import scipy.sparse as sp
-
         vals64 = vals.astype(np.float64)
-        Asp = sp.csr_matrix((vals64, (pr, pc)), shape=(n, n))
-
-        def A64mv(x64):
-            return Asp @ x64
-
         from sigma_tpu.solvers import cg_solve
 
         inner = jax.jit(
@@ -191,74 +184,33 @@ def main():
         # ~0.83/step — ~80 f64-grade steps reach the 1e-8 residuals.
         # (l1 here is the f32 Rayleigh estimate, accurate to
         # res^2/gap ~ 1e-7 — 0.9x is a certain lower bound.)
+        from sigma_tpu.eigen import shift_invert_lanczos
+
         sigma = 0.9 * float(mus[0])
         vals_sig = vals64.copy()
-        diag_mask = pr == pc
-        vals_sig[diag_mask] -= sigma
-        Asp_sig = sp.csr_matrix((vals_sig, (pr, pc)), shape=(n, n))
+        vals_sig[pr == pc] -= sigma
         P_sig = PrunedDIAMatrix.from_coo(
             n, n, pr, pc, vals_sig.astype(np.float32),
             dtype=np.float32, assume_unique=True,
         )
-
-        def solve64_sig(b64, sweeps=3):
-            x64 = np.zeros(n)
-            bn = np.linalg.norm(b64)
-            for _ in range(sweeps):
-                r = b64 - Asp_sig @ x64
-                rn = np.linalg.norm(r)
-                if rn < 1e-13 * bn:
-                    break
-                d = np.asarray(
-                    inner(P_sig, Mg,
-                          jnp.asarray((r / rn).astype(np.float32))),
-                    dtype=np.float64,
-                )
-                x64 = x64 + rn * d
-            return x64
-
-        k2 = 84
         t0 = time.time()
-        V64 = np.zeros((n, k2), dtype=np.float64)
-        al = np.zeros(k2)
-        be = np.zeros(k2)
-        v = rng.standard_normal(n)
-        v /= np.linalg.norm(v)
-        for i in range(k2):
-            V64[:, i] = v
-            w = solve64_sig(v, sweeps=3)
-            al[i] = v @ w
-            w -= al[i] * v
-            if i:
-                w -= be[i - 1] * V64[:, i - 1]
-            # two-pass full reorthogonalization (host f64 GEMMs)
-            Vi = V64[:, : i + 1]
-            w -= Vi @ (Vi.T @ w)
-            w -= Vi @ (Vi.T @ w)
-            be[i] = np.linalg.norm(w)
-            if be[i] < 1e-14 * abs(al[i]):
-                k2 = i + 1
-                break
-            v = w / be[i]
-        T2 = np.diag(al[:k2]) + np.diag(be[: k2 - 1], 1) \
-            + np.diag(be[: k2 - 1], -1)
-        th2, Q2 = np.linalg.eigh(T2)
-        idx = np.argsort(-th2)[:3]  # largest theta of (A-sigma)^{-1}
-        wr, resids = [], []
-        for j in idx:
-            y = V64[:, :k2] @ Q2[:, j]
-            y /= np.linalg.norm(y)
-            Ay = A64mv(y)
-            lam = float(y @ Ay)
-            wr.append(lam)
-            resids.append(float(np.linalg.norm(Ay - lam * y)))
+        res_r = shift_invert_lanczos(
+            n, pr, pc, vals64, sigma=sigma, m=3, k=84, sweeps=3,
+            inner_solve=lambda r32: np.asarray(
+                inner(P_sig, Mg, jnp.asarray(r32))
+            ),
+        )
         t_ref = time.time() - t0
         print(json.dumps({
             "metric": "eigen_unstructured_refined",
             "sigma": float(f"{sigma:.6e}"),
-            "lanczos_steps": int(k2),
-            "lowest3_refined": [float(f"{w_:.12e}") for w_ in wr],
-            "ritz_residuals": [f"{r_:.3e}" for r_ in resids],
+            "lanczos_steps": int(res_r.steps),
+            "lowest3_refined": [
+                float(f"{w_:.12e}") for w_ in res_r.eigenvalues
+            ],
+            "ritz_residuals": [
+                f"{r_:.3e}" for r_ in res_r.residuals
+            ],
             "refine_s": round(t_ref, 1),
         }))
 

@@ -357,3 +357,46 @@ def test_refine_eigenpairs_over_pruned(rng):
         r0 = dense @ v0 - lam0 * v0
         assert np.linalg.norm(r) < 2e-7
         assert np.linalg.norm(r) < 1e-2 * np.linalg.norm(r0)
+
+
+def test_shift_invert_lanczos_vs_dense(rng):
+    # the at-scale f64-grade recipe (eigen/shift_invert.py) at small n:
+    # lowest 3 eigenpairs vs dense eigh, residuals at f64 grade
+    import jax
+
+    from sigma_tpu.eigen import shift_invert_lanczos
+    from sigma_tpu.matrix.pruned import PrunedDIAMatrix
+    from sigma_tpu.solvers import cg_solve, pruned_pair_amg
+
+    n = 2000
+    dense = np.zeros((n, n))
+    i = np.arange(n)
+    for o in (1, 2, 7):
+        v = -np.abs(rng.random(n - o)) * 0.4
+        dense[i[:-o], i[:-o] + o] = v
+        dense[i[:-o] + o, i[:-o]] = v
+    dense[i, i] = np.abs(dense).sum(1) + 1e-3
+    rows, cols = np.nonzero(dense)
+    vals = dense[rows, cols]
+    w_ref, _ = np.linalg.eigh(dense)
+    sigma = 0.9 * w_ref[0]
+    vs = vals.copy()
+    vs[rows == cols] -= sigma
+    Ps = PrunedDIAMatrix.from_coo(n, n, rows, cols,
+                                  vs.astype(np.float32),
+                                  dtype=np.float32, tile_rows=1024,
+                                  group=4)
+    Mg = pruned_pair_amg(n, rows, cols, vs.astype(np.float32),
+                         coarse_size=512, tile_rows=1024, group=4)
+    inner = jax.jit(
+        lambda A_, M_, r_: cg_solve(A_, r_, tol=0.0, rtol=1e-6,
+                                    maxiter=400, M=M_)[0]
+    )
+    res = shift_invert_lanczos(
+        n, rows, cols, vals, sigma=sigma, m=3, k=24,
+        inner_solve=lambda r32: np.asarray(
+            inner(Ps, Mg, jnp.asarray(r32))
+        ),
+    )
+    assert np.abs(res.eigenvalues - w_ref[:3]).max() < 1e-10
+    assert res.residuals.max() < 1e-9
