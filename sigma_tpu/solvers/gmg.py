@@ -833,6 +833,7 @@ def auto_pruned_preconditioner(
     only nonsymmetric answer is unpreconditioned BiCG-stab
     (``/root/reference/src/solver/bicgstab_solvers.f90:36``).
     """
+    amg_kwargs.pop("symmetric", None)  # the route decides storage
     s = skew_dominance(rows, cols, vals)
     if s > skew_threshold:
         return None, {"skew_dominance": s, "route": "plain"}
