@@ -42,6 +42,9 @@ def main():
     # multi-host plumbing (BASELINE.json's 2-host point): launch one
     # process per host with identical args plus --process-id; see
     # BENCHMARKS.md "Scaling harness" for the exact two-host commands
+    ap.add_argument("--sym", action="store_true",
+                    help="with --pruned: symmetric-storage shards "
+                         "(upper triangle + mirror-spill ppermute)")
     ap.add_argument("--pruned", action="store_true",
                     help="also scale the UNSTRUCTURED pruned path "
                     "(DistributedPrunedMatrix CG, same protocol)")
@@ -141,12 +144,25 @@ def main():
             rr, cc, vv = rr[offd], cc[offd], vv[offd]
             diag = np.zeros(n, np.float32)
             np.add.at(diag, rr, np.abs(vv))
+            if args.sym:
+                # symmetrize (upper + mirror) so the symmetric-storage
+                # shards are exercised with the same protocol
+                up = cc >= rr
+                ru, cu, vu = rr[up], cc[up], vv[up]
+                off = cu > ru
+                rr = np.concatenate([ru, cu[off]])
+                cc = np.concatenate([cu, ru[off]])
+                vv = np.concatenate([vu, vu[off]])
+                diag = np.zeros(n, np.float32)
+                np.add.at(diag, rr, np.abs(vv))
             rr = np.concatenate([rr, np.arange(n)])
             cc = np.concatenate([cc, np.arange(n)])
             vv = np.concatenate([vv, diag + 1.0])
             mesh = make_mesh(D)
             Ad = distribute_pruned(n, rr, cc, vv, mesh, tile_rows=16384,
-                                   group=8, assume_unique=True)
+                                   group=12 if args.sym else 8,
+                                   assume_unique=True,
+                                   symmetric=args.sym, validate=False)
             b = Ad.shard_vector(np.ones(n, dtype=np.float32))
             solve = jax.jit(
                 lambda Ad, b: cg_solve(Ad, b, tol=0.0,
@@ -165,7 +181,8 @@ def main():
                               "seconds": round(t, 4),
                               "efficiency": round(eff, 3)})
         print(json.dumps({
-            "metric": f"{args.mode}_scaling_pruned_cg",
+            "metric": f"{args.mode}_scaling_pruned_cg"
+                      + ("_sym" if args.sym else ""),
             "simulated": simulated,
             "points": results_p,
         }))

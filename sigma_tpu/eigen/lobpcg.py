@@ -92,6 +92,16 @@ def lobpcg(
     """Lowest-m eigenpairs of symmetric A; ``M`` is an (approximate)
     inverse preconditioner applied blockwise to the residuals.
 
+    ROUTING (measured, BENCHMARKS.md rounds 4-5): in f32 at north-star
+    scale LOBPCG stalls near 1e-2 residuals even GMG-preconditioned —
+    for accurate extreme eigenpairs of huge SPD operators use
+    :func:`sigma_tpu.eigen.shift_invert_lanczos` (host-f64 recurrence
+    + f32 ladder solves: 1e-12 residuals at 1M rows) or
+    :func:`sigma_tpu.eigen.refine_eigenpairs` on this function's
+    output when the spectrum is isolated.  LOBPCG stays the right tool
+    for moderate-accuracy blocks and as the matmat-throughput
+    eigensolver (its block matvecs ride the SpMM kernels).
+
     Check ``result.converged``: without soft locking, the basic iteration
     stagnates near residual ~1e-8 in float64 (converged columns make the
     [X, W, P] trial basis numerically rank-deficient), so tolerances much

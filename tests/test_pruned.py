@@ -826,3 +826,58 @@ def test_pruned_pair_amg_symmetric_levels(rng):
     )(A, Ms, jnp.asarray(b))
     assert int(infof.iterations) == int(infos.iterations)
     assert np.abs(np.asarray(xf) - np.asarray(xs)).max() < 1e-8
+
+
+def test_distributed_pruned_pair_amg_symmetric_parity(rng):
+    # distributed SYMMETRIC-storage multilevel: exact iteration parity
+    # with (a) the single-device symmetric hierarchy and (b) the
+    # full-storage distributed hierarchy (same numerics, half the
+    # per-shard value streams)
+    from sigma_tpu.matrix.pruned import SymmetricPrunedDIAMatrix
+    from sigma_tpu.parallel import (
+        distribute_pruned,
+        distributed_pruned_pair_amg,
+        make_mesh,
+    )
+    from sigma_tpu.solvers import cg_solve, pruned_pair_amg
+
+    n = 6000
+    dense, rows, cols, vals = _banded_spd(rng, n)
+    mesh = make_mesh(4)
+    Ads = distribute_pruned(n, rows, cols, vals, mesh, tile_rows=1024,
+                            group=4, symmetric=True)
+    n_pad = Ads.n_pad
+    Mg_ds = distributed_pruned_pair_amg(
+        n, rows, cols, vals, mesh, coarse_size=2048, tile_rows=1024,
+        group=4, fine_A=Ads, symmetric=True,
+    )
+    S1 = SymmetricPrunedDIAMatrix.from_coo(
+        n_pad, n_pad, rows, cols, vals, tile_rows=min(1024, Ads.block),
+        group=4, validate=False,
+    )
+    Mg_1s = pruned_pair_amg(
+        n, rows, cols, vals, coarse_size=2048,
+        tile_rows=min(1024, Ads.block), group=4, pad_to=n_pad,
+        fine_A=S1, symmetric=True,
+    )
+    Adf = distribute_pruned(n, rows, cols, vals, mesh, tile_rows=1024,
+                            group=4)
+    Mg_df = distributed_pruned_pair_amg(
+        n, rows, cols, vals, mesh, coarse_size=2048, tile_rows=1024,
+        group=4, fine_A=Adf,
+    )
+    b = dense @ rng.standard_normal(n)
+    bp = np.zeros(n_pad)
+    bp[:n] = b
+    solve = lambda A_, bb, M: cg_solve(
+        A_, bb, tol=0.0, rtol=1e-8, maxiter=60, M=M
+    )
+    xs, infos = jax.jit(solve)(Ads, Ads.shard_vector(b), Mg_ds)
+    x1, info1 = jax.jit(solve)(S1, jnp.asarray(bp), Mg_1s)
+    xf, infof = jax.jit(solve)(Adf, Adf.shard_vector(b), Mg_df)
+    assert int(infos.iterations) == int(info1.iterations)
+    assert int(infos.iterations) == int(infof.iterations)
+    err = np.abs(Ads.unshard_vector(xs) - np.asarray(x1)[:n]).max()
+    assert err < 1e-6 * max(1.0, np.abs(np.asarray(x1)).max())
+    err2 = np.abs(Ads.unshard_vector(xs) - Adf.unshard_vector(xf)).max()
+    assert err2 < 1e-6 * max(1.0, np.abs(np.asarray(x1)).max())
