@@ -68,7 +68,9 @@ def shift_invert_lanczos(
 
     Host cost: one scipy-CSR f64 matvec per ladder sweep (~0.05 s per
     70M nnz) + two-pass reorthogonalization GEMMs; host memory holds
-    the (n, k) f64 basis.
+    the (n, k) f64 basis.  Triples must be duplicate-free (scipy SUMS
+    duplicates, unlike the matrix classes' last-value-wins packing —
+    mixed semantics would silently change the operator).
     """
     import scipy.sparse as sp
 

@@ -349,7 +349,11 @@ def gmres_solve(
     (no wasted matvecs after the estimate drops below tol), and
     ``info.iterations`` is the true Arnoldi step count — not cycles*m.
     """
-    n = A.shape[0]
+    # b (possibly padded/sharded) sizes the Krylov basis: a distributed
+    # operator's shape is the UNPADDED n, and a basis sized by it fails
+    # on any mesh where n % n_devices != 0 (latent until round 5 — the
+    # dryrun's sizes happened to divide evenly)
+    n = b.shape[0]
     x0 = jnp.zeros_like(b) if x0 is None else x0
     m = min(restart, n)
     maxiter = 10 * n if maxiter is None else int(maxiter)

@@ -881,3 +881,63 @@ def test_distributed_pruned_pair_amg_symmetric_parity(rng):
     assert err < 1e-6 * max(1.0, np.abs(np.asarray(x1)).max())
     err2 = np.abs(Ads.unshard_vector(xs) - Adf.unshard_vector(xf)).max()
     assert err2 < 1e-6 * max(1.0, np.abs(np.asarray(x1)).max())
+
+
+def test_gmres_fgmres_on_padded_distributed(rng):
+    # regression (round 5): gmres/fgmres sized their Krylov basis by
+    # A.shape[0] (the UNPADDED n) — broken on any mesh where
+    # n % n_devices != 0; basis is now sized by b
+    from sigma_tpu.parallel import distribute_pruned, make_mesh
+    from sigma_tpu.solvers import fgmres_solve, gmres_solve
+
+    n = 5000  # 8 shards -> block 1024, n_pad 8192 != n
+    dense, rows, cols, vals = _banded_spd(rng, n, shift=0.5)
+    mesh = make_mesh(8)
+    Ad = distribute_pruned(n, rows, cols, vals, mesh, tile_rows=1024,
+                           group=4)
+    assert Ad.n_pad != n
+    b = dense @ rng.standard_normal(n)
+    for solver in (gmres_solve, fgmres_solve):
+        x, info = jax.jit(
+            lambda A_, bb: solver(A_, bb, tol=0.0, rtol=1e-8,
+                                  restart=20, maxiter=200)
+        )(Ad, Ad.shard_vector(b))
+        r = dense @ Ad.unshard_vector(x) - b
+        assert np.linalg.norm(r) < 1e-6 * np.linalg.norm(b)
+
+
+def test_block_matrix_with_sym_pruned_diagonal_blocks(rng):
+    # composite seam over the round-5 format: symmetric-storage pruned
+    # DIAGONAL blocks + full pruned off-diagonal coupling, matvec vs
+    # dense and CG solve
+    from sigma_tpu.matrix.composite import BlockMatrix
+    from sigma_tpu.matrix.pruned import SymmetricPrunedDIAMatrix
+    from sigma_tpu.solvers import cg_solve
+
+    n = 1200
+    dense = np.zeros((2 * n, 2 * n))
+    d0, r0, c0, v0 = _banded_spd(rng, n, shift=0.3)
+    d1, r1, c1, v1 = _banded_spd(rng, n, offs=(2, 4, 9), shift=0.3)
+    dc = 0.05 * _banded_spd(rng, n, offs=(1, 6), shift=0.0)[0]
+    dc = 0.5 * (dc + dc.T)
+    rc, cc_ = np.nonzero(dc)
+    dense[:n, :n] = d0
+    dense[n:, n:] = d1
+    dense[:n, n:] = dc
+    dense[n:, :n] = dc.T
+    S0 = SymmetricPrunedDIAMatrix.from_coo(n, n, r0, c0, v0,
+                                           tile_rows=1024, group=2)
+    S1 = SymmetricPrunedDIAMatrix.from_coo(n, n, r1, c1, v1,
+                                           tile_rows=1024, group=2)
+    C = PrunedDIAMatrix.from_coo(n, n, rc, cc_, dc[rc, cc_],
+                                 tile_rows=1024, group=2)
+    Ct = PrunedDIAMatrix.from_coo(n, n, cc_, rc, dc[rc, cc_],
+                                  tile_rows=1024, group=2)
+    A = BlockMatrix.from_blocks([[S0, C], [Ct, S1]])
+    x = rng.standard_normal(2 * n)
+    y = np.asarray(A.matvec(jnp.asarray(x)))
+    assert np.abs(y - dense @ x).max() < 1e-9 * np.abs(dense @ x).max()
+    xstar = rng.standard_normal(2 * n)
+    b = jnp.asarray(dense @ xstar)
+    xs, info = cg_solve(A, b, tol=0.0, rtol=1e-12, maxiter=600)
+    assert np.abs(np.asarray(xs) - xstar).max() < 1e-7
