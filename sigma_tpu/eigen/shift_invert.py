@@ -35,6 +35,8 @@ __all__ = ["shift_invert_lanczos", "ShiftInvertResult"]
 
 
 class ShiftInvertResult(NamedTuple):
+    # m may be smaller than requested if the Lanczos recurrence broke
+    # down (invariant subspace) before m steps — check `steps`
     eigenvalues: np.ndarray   # (m,) lowest, ascending, float64
     eigenvectors: np.ndarray  # (n, m) float64, orthonormal
     residuals: np.ndarray     # (m,) ||A v - lambda v|| per pair
@@ -79,9 +81,25 @@ def shift_invert_lanczos(
     vals64 = np.asarray(vals, dtype=np.float64).ravel()
     n = int(n)
     Asp = sp.csr_matrix((vals64, (rows, cols)), shape=(n, n))
+    # A - sigma*I on EVERY row: rows with no stored diagonal triple get
+    # an appended (i, i, -sigma) entry — subtracting only from stored
+    # diagonals would silently solve the wrong resolvent there
     shifted = vals64.copy()
-    shifted[rows == cols] -= sigma
-    Ssp = sp.csr_matrix((shifted, (rows, cols)), shape=(n, n))
+    dm = rows == cols
+    shifted[dm] -= sigma
+    present = np.zeros(n, dtype=bool)
+    present[rows[dm]] = True
+    missing = np.nonzero(~present)[0]
+    Ssp = sp.csr_matrix(
+        (
+            np.concatenate([shifted, np.full(missing.size, -sigma)]),
+            (
+                np.concatenate([rows, missing]),
+                np.concatenate([cols, missing]),
+            ),
+        ),
+        shape=(n, n),
+    )
 
     def solve64(b64):
         x64 = np.zeros(n)
@@ -131,6 +149,9 @@ def shift_invert_lanczos(
         + np.diag(be[: steps - 1], -1)
     )
     th, Q = np.linalg.eigh(T)
+    # breakdown before m steps: the Krylov space holds only `steps`
+    # Ritz pairs — return that many rather than uninitialized slots
+    m = min(m, steps)
     idx = np.argsort(-th)[:m]  # largest theta of (A - sigma)^{-1}
     lam = np.empty(m)
     res = np.empty(m)

@@ -49,19 +49,32 @@ def check_symmetric_triples(n, rows, cols, vals, rtol=1e-12):
     """Raise ValueError unless the COO triples are numerically symmetric
     (pattern AND values, entry-by-entry within ``rtol`` of the largest
     off-diagonal).  Shared by the single-device and distributed
-    symmetric-pruned constructors."""
+    symmetric-pruned constructors.
+
+    Duplicate keys are canonicalized LAST-VALUE-WINS first — the same
+    semantics the packing applies — so the check judges the matrix the
+    operator will actually hold (an unstable sort over raw duplicates
+    could pair mismatched values either way)."""
+
+    def _canon(k, v):
+        # stable sort + take the last entry of each equal-key run
+        o = np.argsort(k, kind="stable")
+        ks, vs = k[o], v[o]
+        last = np.ones(ks.size, dtype=bool)
+        last[:-1] = ks[1:] != ks[:-1]
+        return ks[last], vs[last]
+
+    vals = np.asarray(vals)
     up = cols > rows
     lo = cols < rows
-    ku = rows[up] * np.int64(n) + cols[up]
-    kl = cols[lo] * np.int64(n) + rows[lo]
-    su, sl = np.argsort(ku), np.argsort(kl)
-    if ku.size != kl.size or not np.array_equal(ku[su], kl[sl]):
+    ku, vu = _canon(rows[up] * np.int64(n) + cols[up], vals[up])
+    kl, vl = _canon(cols[lo] * np.int64(n) + rows[lo], vals[lo])
+    if ku.size != kl.size or not np.array_equal(ku, kl):
         raise ValueError(
             "matrix pattern is not symmetric (upper/lower mirrors "
             "differ); pass validate=False only for known-symmetric "
             "triples"
         )
-    vu, vl = np.asarray(vals)[up][su], np.asarray(vals)[lo][sl]
     scale = max(float(np.abs(vu).max(initial=0.0)), 1e-300)
     if float(np.abs(vu - vl).max(initial=0.0)) > rtol * scale:
         raise ValueError("matrix values are not symmetric")
@@ -503,11 +516,18 @@ class SymmetricPrunedDIAMatrix(PrunedDIAMatrix):
 
     @property
     def stored_upper(self) -> int:
-        """Stored-entry count (upper triangle incl. main diagonal)."""
-        return (self.nnz + self.n_diag_entries) // 2
+        """Stored upper-triangle entry count (incl. main diagonal),
+        reconstructed from the packed values — like :meth:`entries`
+        this DROPS explicitly-stored zeros, so it can undercount vs the
+        construction-time ``nnz`` (which keeps them); both are derived
+        from the same entries() view so they stay mutually consistent."""
+        r, _c, _v = super().entries()
+        return int(r.size)
 
     @property
     def n_diag_entries(self) -> int:
+        """Stored main-diagonal entry count (same explicit-zero-drop
+        caveat as :meth:`entries` / :attr:`stored_upper`)."""
         r, c, _ = super().entries()
         return int((r == c).sum())
 

@@ -557,6 +557,13 @@ def distribute_pruned(
     tr = min(tile_rows, block)
 
     if symmetric:
+        # the symmetric kernel's cross-shard mirror SPILL is emitted for
+        # rows past the last TILE, so tiles must align with the shard
+        # block exactly (G*T*128 == block) — otherwise mirror
+        # contributions landing between block and the tile end would be
+        # silently dropped.  block is 1024*2^k, so round tr down to the
+        # largest power-of-two multiple of 1024 (always divides block).
+        tr = 1024 * (1 << max(int(tr // 1024).bit_length() - 1, 0))
         if validate:
             from sigma_tpu.matrix.pruned import check_symmetric_triples
 
@@ -582,6 +589,16 @@ def distribute_pruned(
         )
     T, E, C = plans[0].T, plans[0].E, plans[0].C
     assert all((p.T, p.E, p.C) == (T, E, C) for p in plans)
+    if symmetric and (T * _LANES > block or block % (T * _LANES)):
+        # the plan widened T past the shard block (band reach needs a
+        # halo the requested tile cannot hold): the mirror spill would
+        # no longer align with the shard boundary — fail loudly instead
+        # of dropping cross-shard contributions
+        raise ValueError(
+            f"band reach {reach} forces {T * _LANES}-row tiles, which "
+            f"do not tile the shard block {block}: raise block (or "
+            "reduce bandwidth) for symmetric distributed storage"
+        )
     Lmax = max(p.L for p in plans)
     G = -(-(block // _LANES) // T)
     data = np.zeros((D * Lmax, C, T, _LANES), plan_dt)

@@ -801,17 +801,15 @@ def skew_dominance(rows, cols, vals) -> float:
     rows = np.asarray(rows, dtype=np.int64).ravel()
     cols = np.asarray(cols, dtype=np.int64).ravel()
     vals = np.asarray(vals, dtype=np.float64).ravel()
+    ne = vals.size
     m = int(max(rows.max(initial=0), cols.max(initial=0))) + 1
-    key_f = rows * m + cols
-    key_t = cols * m + rows
-    keys = np.concatenate([key_f, key_t])
-    sval = np.concatenate([vals, np.zeros_like(vals)])
-    tval = np.concatenate([np.zeros_like(vals), vals])
+    keys = np.concatenate([rows * m + cols, cols * m + rows])
     uk, inv = np.unique(keys, return_inverse=True)
-    a = np.zeros(uk.size)
-    at = np.zeros(uk.size)
-    np.add.at(a, inv, sval)
-    np.add.at(at, inv, tval)
+    # bincount(inv, weights=...) over the two index halves — the
+    # np.add.at form plus half-zero value copies was ~10x slower on
+    # this page-fault-bound host (the _coo_dinv_lmax lesson)
+    a = np.bincount(inv[:ne], weights=vals, minlength=uk.size)
+    at = np.bincount(inv[ne:], weights=vals, minlength=uk.size)
     skew = float(np.linalg.norm(a - at))
     sym = float(np.linalg.norm(a + at))
     return skew / max(sym, 1e-300)

@@ -400,3 +400,59 @@ def test_shift_invert_lanczos_vs_dense(rng):
     )
     assert np.abs(res.eigenvalues - w_ref[:3]).max() < 1e-10
     assert res.residuals.max() < 1e-9
+
+
+def test_shift_invert_lanczos_breakdown_and_missing_diag(rng):
+    # review regressions: (a) recurrence breakdown before m steps must
+    # return the available pairs, not uninitialized memory; (b) rows
+    # without a stored diagonal still get the full sigma*I shift
+    import jax
+
+    from sigma_tpu.eigen import shift_invert_lanczos
+    from sigma_tpu.operators import DiagonalOperator
+    from sigma_tpu.solvers import cg_solve
+
+    n = 300
+    # (a) scaled identity: one Lanczos step spans the invariant subspace
+    i = np.arange(n)
+    inner = jax.jit(
+        lambda A_, r_: cg_solve(A_, r_, tol=0.0, rtol=1e-7,
+                                maxiter=50)[0]
+    )
+    D = DiagonalOperator(jnp.full((n,), np.float32(2.0 - 0.9 * 2.0)))
+    res = shift_invert_lanczos(
+        n, i, i, np.full(n, 2.0), sigma=0.9 * 2.0, m=3, k=10,
+        inner_solve=lambda r32: np.asarray(inner(D, jnp.asarray(r32))),
+    )
+    assert res.steps < 3
+    assert res.eigenvalues.size == res.steps
+    assert np.allclose(res.eigenvalues, 2.0, atol=1e-10)
+
+    # (b) a 2x2-block matrix with NO stored diagonal on odd rows:
+    # [d, b; b, 0] blocks — lowest eigenvalues must match dense eigh
+    nb = 100
+    n2 = 2 * nb
+    even = 2 * np.arange(nb)
+    odd = even + 1
+    dvals = 2.0 + rng.random(nb)
+    bvals = 0.4 + 0.1 * rng.random(nb)
+    r = np.concatenate([even, even, odd])
+    c = np.concatenate([even, odd, even])
+    v = np.concatenate([dvals, bvals, bvals])
+    dense = np.zeros((n2, n2))
+    dense[r, c] = v
+    w_ref = np.linalg.eigvalsh(dense)
+    sigma = 1.1 * w_ref[0]  # negative lowest: sigma < lambda_1 < 0
+    vs = v.copy()
+    dm = r == c
+    vs[dm] -= sigma
+    # shifted dense operator for the inner solve (includes ALL rows)
+    dense_s = dense - sigma * np.eye(n2)
+    from sigma_tpu.operators import DenseOperator
+
+    Ds = DenseOperator(jnp.asarray(dense_s.astype(np.float32)))
+    res2 = shift_invert_lanczos(
+        n2, r, c, v, sigma=sigma, m=3, k=40,
+        inner_solve=lambda r32: np.asarray(inner(Ds, jnp.asarray(r32))),
+    )
+    assert np.abs(res2.eigenvalues - w_ref[:3]).max() < 1e-8

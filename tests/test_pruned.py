@@ -941,3 +941,47 @@ def test_block_matrix_with_sym_pruned_diagonal_blocks(rng):
     b = jnp.asarray(dense @ xstar)
     xs, info = cg_solve(A, b, tol=0.0, rtol=1e-12, maxiter=600)
     assert np.abs(np.asarray(xs) - xstar).max() < 1e-7
+
+
+def test_distributed_sym_tile_block_alignment(rng):
+    # review regression (round 5): with tile_rows not dividing the shard
+    # block, the last tile extended past the block and cross-shard
+    # mirror spill was silently dropped; tr now rounds to a pow2 divisor
+    from sigma_tpu.parallel import distribute_pruned, make_mesh
+
+    n = 14000
+    dense, rows, cols, vals = _banded_spd(rng, n, offs=(1, 7, 300),
+                                          shift=0.2)
+    mesh = make_mesh(4)
+    Ad = distribute_pruned(n, rows, cols, vals, mesh, tile_rows=3072,
+                           group=4, block=4096, symmetric=True,
+                           validate=False)
+    x = rng.standard_normal(n)
+    yd = Ad.unshard_vector(Ad.matvec(Ad.shard_vector(x)))
+    assert np.abs(yd - dense @ x).max() < 1e-10 * np.abs(dense @ x).max()
+    # band reach forcing tiles past the block must raise, not corrupt
+    r2 = np.concatenate([rows, [0, 3500]])
+    c2 = np.concatenate([cols, [3500, 0]])
+    v2 = np.concatenate([vals, [1.0, 1.0]])
+    with pytest.raises(ValueError, match="reach"):
+        distribute_pruned(n, r2, c2, v2, mesh, tile_rows=1024,
+                          group=4, block=4096, symmetric=True,
+                          validate=False)
+
+
+def test_check_symmetric_triples_duplicates(rng):
+    # review regression: duplicate keys are canonicalized last-wins
+    # BEFORE the mirror comparison (the packing's semantics)
+    from sigma_tpu.matrix.pruned import check_symmetric_triples
+
+    n = 10
+    # symmetric after last-wins (1.0 then 2.0 both sides)
+    r = np.array([0, 0, 1, 1, 0, 1])
+    c = np.array([1, 1, 0, 0, 0, 1])
+    v = np.array([1.0, 2.0, 1.0, 2.0, 1.0, 1.0])
+    check_symmetric_triples(n, r, c, v)  # must not raise
+    # asymmetric after last-wins (2.0 vs 1.0) even though the value
+    # multisets match
+    v2 = np.array([1.0, 2.0, 2.0, 1.0, 1.0, 1.0])
+    with pytest.raises(ValueError, match="not symmetric"):
+        check_symmetric_triples(n, r, c, v2)
