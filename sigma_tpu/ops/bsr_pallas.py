@@ -240,8 +240,11 @@ class GroupedBSR(LinearOperator):
             X3 = Xp.reshape(self.nb_cols, bw, k)
             gath = X3[self.gcols]  # (n_groups, B, bw, k)
             gath = gath.reshape(self.gdata.shape[0], self.group * bw, k)
+            # matrix values cast UP to the operand dtype (the DIA-kernel
+            # contract): a bf16-valued operator on f32 vectors must
+            # accumulate in f32, not silently downcast the RHS to bf16
             Yg = jnp.einsum(
-                "ghc,gck->ghk", self.gdata, gath.astype(self.gdata.dtype),
+                "ghc,gck->ghk", self.gdata.astype(Xp.dtype), gath,
                 precision=jax.lax.Precision.HIGHEST,
             )
             Y = jax.ops.segment_sum(

@@ -1,5 +1,13 @@
 """Pallas TPU SpMV/SpMM kernels for the DIA (diagonal/stencil) format.
 
+Re-designs the reference's hot SpMV loops — the any-pattern CSR kernel
+``/root/reference/src/matrix/formats/cs_matrices.f90:600-647`` and the
+SIMD-oriented ELLPACK kernel ``ellpack_matrices.f90:640-665`` — as
+gather-free diagonal-window kernels (per-element gather measures ~0.1
+Gnnz/s on TPU; these run 100-270), plus the multi-vector products the
+reference names as a missing critical optimization
+(``/root/reference/README.md:83``).
+
 Measured on a v5e chip, 7-point 3-D Laplacian, f32 (BENCHMARKS.md holds
 the full history):
 
@@ -104,11 +112,13 @@ _VMEM_LIMIT_BYTES = 64 * 1024 * 1024
 _SCOPED_LIMIT_BYTES = 62 * 1024 * 1024
 
 
-def pallas_supported(n: int, m: int | None = None) -> bool:
-    """True when a hardware-validated pallas path applies on this backend:
-    the VMEM-resident kernel for small x, the blocked overlapping-window
-    kernel (BlockSpec pipelining only — no manual DMA, which faults the
-    axon runtime stack) for larger x."""
+def pallas_supported() -> bool:
+    """True when the hardware-validated pallas paths apply on this
+    backend (TPU; BlockSpec pipelining only — no manual DMA, which
+    faults the axon runtime stack).  Size- and shape-specific routing
+    lives with each format's ``why_not_pallas`` probe — this is the
+    backend gate only (the former ``(n, m)`` parameters were dead API
+    surface that implied size routing this function never did)."""
     try:
         backend = jax.default_backend()
     except RuntimeError:
@@ -895,6 +905,12 @@ def dia_sym_spmm_rhs_major_chunked(
         # in-kernel, so its per-diagonal temporaries are LARGER relative
         # to the data tile — bisected to 12-wide at k=4, and its k=16
         # needs 4-wide where f32 compiles at 6.)
+        # NOTE (review, round 5): chunk_plan floors its max_chunk to a
+        # power of two, so these bisected caps EXECUTE as 16/8/4/4-wide
+        # slabs — that flooring was in place for every round-4
+        # measurement, so the recorded rates describe the pow2 widths;
+        # the caps are kept as the bisected compile ceilings (any wider
+        # pow2 would crash Mosaic's scoped allocation)
         if k <= 4:
             max_chunk = 24 if data.dtype.itemsize >= 4 else 12
         elif data.dtype.itemsize >= 4 or k <= 8:
@@ -1345,10 +1361,14 @@ def interleave_panels(XT, m=None):
     solve, not per product."""
     k, m_in = XT.shape
     m = m_in if m is None else m
+    if m < m_in:
+        raise ValueError(f"m={m} smaller than the panel width {m_in}")
     Sx = -(-m // _LANES)
-    if Sx * _LANES != m:
+    # pad from the INPUT width to the lane-rounded target (review fix:
+    # padding from m gated on m broke every m != XT.shape[1] call)
+    if Sx * _LANES != m_in:
         XT = jnp.concatenate(
-            [XT, jnp.zeros((k, Sx * _LANES - m), XT.dtype)], axis=1
+            [XT, jnp.zeros((k, Sx * _LANES - m_in), XT.dtype)], axis=1
         )
     return jnp.transpose(XT.reshape(k, Sx, _LANES), (1, 0, 2)).reshape(
         k * Sx, _LANES

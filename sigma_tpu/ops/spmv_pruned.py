@@ -521,6 +521,18 @@ def dia_sym_spmv_pallas_pruned(
     L = data.shape[0]
     assert data.shape[1:] == (C, T, _LANES)
     assert sym_shift % _LANES == 0
+    if n % (T * _LANES) and n != m:
+        # spill contract: last_spill carries mirror rows past the last
+        # TILE (G*T*128), while rectangular (m > n) callers need rows
+        # past n — misaligned tiles would silently drop cross-boundary
+        # contributions into the [n, G*T*128) trim (review finding).
+        # Square operators are safe: no column >= n exists, so no
+        # mirror row >= n exists either.
+        raise ValueError(
+            f"symmetric pruned kernel on a rectangular block needs n "
+            f"({n}) to be a multiple of the tile ({T * _LANES}) so the "
+            "spill aligns with the block boundary"
+        )
     SS = sym_shift // _LANES
     S = -(-n // _LANES)
     G = -(-S // T)
@@ -721,6 +733,12 @@ def dia_sym_spmm_pruned_rhs_major(
     k = XT.shape[0]
     assert data.shape[1:] == (C, T, _LANES)
     assert sym_shift % _LANES == 0
+    if n % (T * _LANES) and n != m:
+        raise ValueError(
+            f"symmetric pruned kernel on a rectangular block needs n "
+            f"({n}) to be a multiple of the tile ({T * _LANES}) so the "
+            "spill aligns with the block boundary"
+        )
     SS = sym_shift // _LANES
     S = -(-n // _LANES)
     G = -(-S // T)

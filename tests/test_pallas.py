@@ -53,10 +53,10 @@ def test_unaligned_n():
 
 
 def test_pallas_supported_gate():
-    # CPU test environment: not supported (falls back); size gate works
+    # CPU test environment: not supported (falls back).  Backend gate
+    # only — size/shape routing lives in each format's why_not_pallas
     if jax.default_backend() != "tpu":
-        assert not pallas_supported(1000)
-    assert not pallas_supported(10**8)
+        assert not pallas_supported()
 
 
 def test_large_x_dma_path_interpret(monkeypatch):
