@@ -138,7 +138,15 @@ class DistributedMatrix(LinearOperator):
 
     @property
     def nnz(self) -> int:
-        return sum(int(np.count_nonzero(np.asarray(v))) for v in self.vals)
+        # np.asarray on sharded buffers drags them through the TPU
+        # tunnel (CLAUDE.md); memoize so a repr/log line pays it once
+        cached = getattr(self, "_nnz_cache", None)
+        if cached is None:
+            cached = sum(
+                int(np.count_nonzero(np.asarray(v))) for v in self.vals
+            )
+            object.__setattr__(self, "_nnz_cache", cached)
+        return cached
 
     # -- matvec under shard_map -------------------------------------------------
     def _ring_shifts_first(self, x_local):
@@ -389,8 +397,7 @@ def distribute_matrix(
         r, c, v = rows[sel], cols[sel], vals[sel]
         c_local = c - (c // nc) * nc
         # ELL widths per offset: max entries of any row in this offset block
-        cnt = np.zeros(n_pad, dtype=np.int64)
-        np.add.at(cnt, r, 1)
+        cnt = np.bincount(r, minlength=n_pad)  # add.at is ~10x slower
         w = max(int(cnt.max()), 1)
         node = np.zeros((n_pad, w), dtype=np.int32)
         val = np.zeros((n_pad, w), dtype=np.asarray(A.data).dtype)
@@ -456,11 +463,19 @@ class DistributedDIAMatrix(LinearOperator):
 
     @property
     def dtype(self):
-        return self.vals[0].dtype
+        # empty matrices (no stored diagonals) still need a dtype for
+        # the kernel gates and zero returns (review regression)
+        return self.vals[0].dtype if self.vals else jnp.float64
 
     @property
     def nnz(self) -> int:
-        return sum(int(np.count_nonzero(np.asarray(v))) for v in self.vals)
+        cached = getattr(self, "_nnz_cache", None)
+        if cached is None:
+            cached = sum(
+                int(np.count_nonzero(np.asarray(v))) for v in self.vals
+            )
+            object.__setattr__(self, "_nnz_cache", cached)
+        return cached
 
     def astype(self, dtype) -> "DistributedDIAMatrix":
         """Cast the local diagonal VALUES only (iterate vectors keep the

@@ -152,7 +152,10 @@ def distributed_block_ildu(
     dinv = np.ones((D, nb), dtype=np.float64)
     dtype = np.asarray(A.data).dtype
     for s in range(D):
-        lo, hi = s * nb, min((s + 1) * nb, n)
+        # clamp lo too: trailing shards of a small n on a wide mesh have
+        # lo = s*nb past n, and hi - lo must not go negative (review
+        # regression); such shards factorize an empty block
+        lo, hi = min(s * nb, n), min((s + 1) * nb, n)
         sel = (rows >= lo) & (rows < hi) & (cols >= lo) & (cols < hi)
         blk = CSRMatrix.from_coo(
             hi - lo, hi - lo, rows[sel] - lo, cols[sel] - lo, vals[sel]

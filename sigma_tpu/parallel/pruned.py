@@ -561,9 +561,13 @@ def distribute_pruned(
         # rows past the last TILE, so tiles must align with the shard
         # block exactly (G*T*128 == block) — otherwise mirror
         # contributions landing between block and the tile end would be
-        # silently dropped.  block is 1024*2^k, so round tr down to the
-        # largest power-of-two multiple of 1024 (always divides block).
-        tr = 1024 * (1 << max(int(tr // 1024).bit_length() - 1, 0))
+        # silently dropped.  Round tr down to the largest multiple of
+        # 1024 that DIVIDES block (review fix: a pure power-of-two
+        # rounding spuriously rejected legal non-pow2 blocks like 3072).
+        for d in range(tr // 1024, 0, -1):
+            if block % (d * 1024) == 0:
+                tr = d * 1024
+                break
         if validate:
             from sigma_tpu.matrix.pruned import check_symmetric_triples
 
@@ -728,7 +732,10 @@ def distributed_pruned_pair_amg(
     if fine_A is not None:
         block = fine_A.block
     else:
-        block = 128 * _next_pow2(-(-n // (D * 128)))
+        # same 1024 floor as distribute_pruned: a sub-1024 block is
+        # below the pruned plan's minimum tile and would silently skip
+        # every smoothing level (review regression)
+        block = max(128 * _next_pow2(-(-n // (D * 128))), 1024)
     if block & (block - 1) or block % 128:
         raise ValueError("shard block must be a power-of-two multiple of 128")
     n_pad = D * block
@@ -777,17 +784,21 @@ def distributed_pruned_pair_amg(
         r, c, v = _pair_coarsen_coo(r, c, v, nc, dtype)
         nl, blk = nc, blk // 2
 
-    if nl > 8192:
-        # the shard-block floor (1024 rows) stopped coarsening before the
-        # requested coarse size: at n_shards*512 rows the replicated
-        # dense inversion would be the very trap the coarse_size guard
-        # exists to prevent (16K^2 f64 at 32 shards) — fail loudly.
+    if nl > coarse_size:
+        # the shard-block floor (1024 rows) stopped coarsening BEFORE
+        # the requested coarse size: the hierarchy would silently
+        # differ from the single-device twin (breaking the parity
+        # contract) and, past ~8K, dense-invert an intractable coarse
+        # matrix.  Fail loudly with the achievable floor (review fix:
+        # the old `nl > 8192` guard let nl == 8192 through silently at
+        # 16+ shards).
         raise ValueError(
-            f"coarsest level has {nl} rows (> 8192): with "
-            f"{D} shards the 1024-row shard-block floor stops pairing at "
-            f"n_shards*512 rows; use fewer shards for this n, or a "
-            f"larger coarse_size is not the issue — replicated-tail "
-            f"levels below the block floor are not implemented yet"
+            f"the {D}-shard 1024-row block floor stops pair-coarsening "
+            f"at {nl} rows, above the requested coarse_size "
+            f"{coarse_size}: pass coarse_size >= {min(nl, 8192)} "
+            f"(<= 8192 — the dense coarse solve's limit) or use fewer "
+            f"shards; replicated-tail levels below the block floor are "
+            f"not implemented"
         )
     coarse = np.zeros((nl, nl), np.float64)
     coarse[r, c] = v.astype(np.float64)
