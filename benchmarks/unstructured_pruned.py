@@ -191,7 +191,11 @@ def main():
                  args.group)
             )
         if S is not None:
-            gmg_cfgs.append(("_sym", dict(symmetric=True), S, 12))
+            # validate=False: the Laplacian triples are symmetric by
+            # construction; the check is an O(nnz log nnz) host sort
+            gmg_cfgs.append(
+                ("_sym", dict(symmetric=True, validate=False), S, 12)
+            )
         for tag, kw, fineA, grp in gmg_cfgs:
             t0 = time.time()
             Mg = pruned_pair_amg(

@@ -770,6 +770,14 @@ def _coo_dinv_lmax(nl, r, c, v, dtype, want_lmax):
     # the 70M-entry fine level of the 10M setup (add.at is the slow
     # ufunc scatter API)
     dm = r == c
+    r = np.asarray(r)
+    if r.size and int(r.max()) >= nl:
+        # bincount would silently GROW past nl (np.add.at used to raise
+        # IndexError here) — keep the loud failure at the cause
+        raise ValueError(
+            f"row index {int(r.max())} out of range for level size {nl} "
+            "(padded-index mismatch? pass pad_to / check the triples)"
+        )
     diag = np.bincount(r[dm], weights=v[dm].astype(np.float64),
                        minlength=nl)
     dinv = np.where(diag != 0, 1.0, 0.0) / np.where(diag != 0, diag, 1.0)
@@ -801,17 +809,23 @@ def skew_dominance(rows, cols, vals) -> float:
     rows = np.asarray(rows, dtype=np.int64).ravel()
     cols = np.asarray(cols, dtype=np.int64).ravel()
     vals = np.asarray(vals, dtype=np.float64).ravel()
-    ne = vals.size
     m = int(max(rows.max(initial=0), cols.max(initial=0))) + 1
-    keys = np.concatenate([rows * m + cols, cols * m + rows])
-    uk, inv = np.unique(keys, return_inverse=True)
-    # bincount(inv, weights=...) over the two index halves — the
-    # np.add.at form plus half-zero value copies was ~10x slower on
-    # this page-fault-bound host (the _coo_dinv_lmax lesson)
-    a = np.bincount(inv[:ne], weights=vals, minlength=uk.size)
-    at = np.bincount(inv[ne:], weights=vals, minlength=uk.size)
-    skew = float(np.linalg.norm(a - at))
-    sym = float(np.linalg.norm(a + at))
+    # one argsort of nnz keys + one searchsorted for the mirror lookup
+    # (the 2*nnz np.unique form cost tens of seconds of page-fault wall
+    # at the 10M routing scale).  Iterating stored entries covers every
+    # pair of the pattern union: a one-sided entry contributes at its
+    # own position with mirror 0.  Assumes duplicate-free triples (the
+    # canonical `entries()` form — duplicates would double-count).
+    ks = rows * m + cols
+    order = np.argsort(ks)
+    ks_s, vs_s = ks[order], vals[order]
+    kt = cols * m + rows
+    pos = np.searchsorted(ks_s, kt)
+    pos_c = np.minimum(pos, ks_s.size - 1)
+    match = ks_s[pos_c] == kt
+    vt = np.where(match, vs_s[pos_c], 0.0)
+    skew = float(np.linalg.norm(vals - vt))
+    sym = float(np.linalg.norm(vals + vt))
     return skew / max(sym, 1e-300)
 
 
@@ -831,13 +845,17 @@ def auto_pruned_preconditioner(
     only nonsymmetric answer is unpreconditioned BiCG-stab
     (``/root/reference/src/solver/bicgstab_solvers.f90:36``).
     """
-    amg_kwargs.pop("symmetric", None)  # the route decides storage
+    # an EXPLICIT symmetric=True is the caller asserting symmetry the
+    # 1e-12 gate cannot detect (fp-roundoff-asymmetric SPD assemblies
+    # measure ~1e-8); honor it instead of silently downgrading to full
+    # storage (review regression)
+    sym_requested = bool(amg_kwargs.pop("symmetric", False))
     s = skew_dominance(rows, cols, vals)
     if s > skew_threshold:
         return None, {"skew_dominance": s, "route": "plain"}
-    if s < 1e-12:  # numerically symmetric
+    if sym_requested or s < 1e-12:
         M = pruned_pair_amg(n, rows, cols, vals, symmetric=True,
-                            **amg_kwargs)
+                            validate=False, **amg_kwargs)
         return M, {"skew_dominance": s, "route": "pruned_gmg_sym"}
     M = pruned_pair_amg(n, rows, cols, vals, **amg_kwargs)
     return M, {"skew_dominance": s, "route": "pruned_gmg"}
@@ -860,6 +878,7 @@ def pruned_pair_amg(
     fine_A=None,
     pad_to: int | None = None,
     symmetric: bool = False,
+    validate: bool = True,
 ) -> StructuredAMGPreconditioner:
     """1-D pair-aggregation AMG over COO input, every level stored in
     the PRUNED block-DIA layout (:class:`~sigma_tpu.matrix.pruned.
@@ -905,8 +924,10 @@ def pruned_pair_amg(
         SymmetricPrunedDIAMatrix,
     )
 
-    if group is None:
-        group = 12 if symmetric else 8
+    # group=None passes through to from_coo, whose defaults encode the
+    # measured optima per (storage, dtype): sym 12, bf16 16, f32 8 —
+    # resolving here dtype-blind broke the bf16 distributed-twin
+    # group parity (review regression)
 
     if coarse_size > 8192:
         raise ValueError(
@@ -949,14 +970,20 @@ def pruned_pair_amg(
             if lvl_np != np.dtype(fine_A.data.dtype):
                 Alvl = fine_A.astype(lvl_np)
         elif symmetric:
-            # validate=False: the caller asserts fine-level symmetry by
-            # passing symmetric=True, and pair Galerkin preserves it.
+            # validate (default on) checks numeric symmetry ONCE at the
+            # fine level — upper-only or skewed input would otherwise
+            # build a silently wrong hierarchy (and an underestimated
+            # Gershgorin lmax, the diverging-Chebyshev trap); pass
+            # validate=False for known-symmetric large assemblies (the
+            # check is an O(nnz log nnz) host sort).  Coarser levels
+            # skip it: pair Galerkin preserves symmetry.
             # assume_unique on levels > 0: _pair_coarsen_coo output is
             # canonical (post radix/unique), so the per-level O(nnz log
             # nnz) dedup sort the round-4 setup wall paid is skipped
             Alvl = SymmetricPrunedDIAMatrix.from_coo(
                 nl, nl, r, c, v, dtype=lvl_np,
-                tile_rows=tile_rows, group=group, validate=False,
+                tile_rows=tile_rows, group=group,
+                validate=validate and li == 0,
                 assume_unique=li > 0,
             )
         else:

@@ -334,6 +334,64 @@ def minres_solve(
     return x, SolveInfo(k, phibar, phibar <= tol_eff, hist)
 
 
+def _cgs2_column(V, w, j, m, eps_break):
+    """One CGS2 Arnoldi column: project ``w`` against the first ``j+1``
+    basis vectors twice (two (m+1, n) matmuls per pass — the
+    MXU-friendly form with MGS-grade orthogonality), append the
+    normalized vector, and return ``(V, h)`` with the Hessenberg column
+    ``h`` (breakdown -> zero column).  Shared by GMRES and FGMRES — a
+    fix here serves both (review dedup)."""
+    valid = jnp.arange(V.shape[0]) <= j
+    h1 = jnp.where(valid, V @ w, 0.0)
+    w = w - V.T @ h1
+    h2 = jnp.where(valid, V @ w, 0.0)
+    w = w - V.T @ h2
+    h = h1 + h2
+    wn = jnp.linalg.norm(w)
+    ok = wn > eps_break * 10
+    V = V.at[j + 1].set(jnp.where(ok, w / jnp.where(ok, wn, 1.0), 0.0))
+    h = h.at[j + 1].set(jnp.where(ok, wn, 0.0))
+    return V, h
+
+
+def _givens_update(h, R, cs, sn, g, j, m):
+    """Apply the j previous Givens rotations to the new Hessenberg
+    column, generate the rotation annihilating ``h[j+1]``, and fold it
+    into (R, cs, sn, g).  Returns the updated quadruple; ``|g[j+1]|``
+    is the running residual estimate."""
+
+    def rot(i, h):
+        hi, hi1 = h[i], h[i + 1]
+        active = i < j
+        c, s_ = cs[i], sn[i]
+        h = h.at[i].set(jnp.where(active, c * hi + s_ * hi1, hi))
+        return h.at[i + 1].set(jnp.where(active, -s_ * hi + c * hi1, hi1))
+
+    h = lax.fori_loop(0, m, rot, h)
+    denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
+    safe = denom > 0
+    c_new = jnp.where(safe, h[j] / jnp.where(safe, denom, 1.0), 1.0)
+    s_new = jnp.where(safe, h[j + 1] / jnp.where(safe, denom, 1.0), 0.0)
+    cs = cs.at[j].set(c_new)
+    sn = sn.at[j].set(s_new)
+    gj = g[j]
+    g = g.at[j].set(c_new * gj).at[j + 1].set(-s_new * gj)
+    R = R.at[:, j].set(h.at[j].set(denom)[: R.shape[0]])
+    return R, cs, sn, g
+
+
+def _solve_hessenberg(R, g, j, m, dtype):
+    """Back-substitute on the first ``j`` triangularized columns; unused
+    columns padded with a unit diagonal and zero rhs so their y entries
+    are exactly 0."""
+    used = jnp.arange(m) < j
+    Rp = jnp.where(used[None, :] & used[:, None], R, jnp.eye(m, dtype=dtype))
+    return jax.scipy.linalg.solve_triangular(
+        Rp, jnp.where(used, g[:m], 0.0), lower=False
+    )
+
+
+
 def gmres_solve(
     A, b, x0=None, *, tol=1e-12, rtol=0.0, restart=32, maxiter=None, M=None
 ):
@@ -380,53 +438,14 @@ def gmres_solve(
         def ibody(st):
             V, R, cs, sn, g, j, _ = st
             w = matvec(apply_M(V[j]))
-            # CGS2: project out all current basis vectors twice
-            valid = jnp.arange(m + 1) <= j
-            h1 = jnp.where(valid, V @ w, 0.0)
-            w = w - V.T @ h1
-            h2 = jnp.where(valid, V @ w, 0.0)
-            w = w - V.T @ h2
-            h = h1 + h2
-            wn = jnp.linalg.norm(w)
-            ok = wn > eps_break * 10
-            V = V.at[j + 1].set(jnp.where(ok, w / jnp.where(ok, wn, 1.0), 0.0))
-            h = h.at[j + 1].set(jnp.where(ok, wn, 0.0))
-
-            # apply the j previous rotations to the new column
-            def rot(i, h):
-                hi, hi1 = h[i], h[i + 1]
-                active = i < j
-                c, s = cs[i], sn[i]
-                h = h.at[i].set(jnp.where(active, c * hi + s * hi1, hi))
-                return h.at[i + 1].set(
-                    jnp.where(active, -s * hi + c * hi1, hi1)
-                )
-
-            h = lax.fori_loop(0, m, rot, h)
-            # new rotation zeroing h[j+1]; denom=0 → identity rotation
-            denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
-            safe = denom > 0
-            c_new = jnp.where(safe, h[j] / jnp.where(safe, denom, 1.0), 1.0)
-            s_new = jnp.where(safe, h[j + 1] / jnp.where(safe, denom, 1.0), 0.0)
-            cs = cs.at[j].set(c_new)
-            sn = sn.at[j].set(s_new)
-            gj = g[j]
-            g = g.at[j].set(c_new * gj).at[j + 1].set(-s_new * gj)
-            R = R.at[:, j].set(h.at[j].set(denom)[:m])
+            V, h = _cgs2_column(V, w, j, m, eps_break)
+            R, cs, sn, g = _givens_update(h, R, cs, sn, g, j, m)
             return (V, R, cs, sn, g, j + 1, jnp.abs(g[j + 1]))
 
         V, R, cs, sn, g, j, est = lax.while_loop(
             icond, ibody, (V, R, cs, sn, g, jnp.asarray(0, jnp.int32), beta)
         )
-        # back-substitute on the first j columns: pad unused columns with a
-        # unit diagonal and zero rhs so their y entries are exactly 0
-        used = jnp.arange(m) < j
-        Rp = jnp.where(
-            used[None, :] & used[:, None], R, jnp.eye(m, dtype=b.dtype)
-        )
-        y = jax.scipy.linalg.solve_triangular(
-            Rp, jnp.where(used, g[:m], 0.0), lower=False
-        )
+        y = _solve_hessenberg(R, g, j, m, b.dtype)
         x = x + apply_M(V[:m].T @ y)
         return x, k_total + j
 
@@ -458,11 +477,24 @@ def fgmres_solve(
     a lambda) instead of a fixed linear operator.  With a fixed linear
     M it reproduces :func:`gmres_solve` up to roundoff (tested).
 
-    ``M`` may be a LinearOperator (``matvec`` is used) or a plain
-    callable ``z = M(v)``; inner solves must be jit-compatible with a
-    STATIC iteration count (e.g. ``lambda v: cg_solve(Ain, v, tol=0.0,
-    maxiter=8)[0]``) — data-dependent inner stopping would change the
-    traced program.
+    ``M`` may be (dispatch in this order):
+
+    - an :class:`~sigma_tpu.operators.linear_operator.OperatorWithSolver`
+      (``attach_solver(A_inner, cg(...), preconditioner=...)``) — its
+      ``solve`` is the preconditioner application (NOT ``matvec``,
+      which would apply the bare inner operator);
+    - a plain callable ``z = M(v)``;
+    - any LinearOperator (``matvec`` is used — a fixed linear M).
+
+    Inner solves must be jit-compatible with a STATIC iteration count —
+    data-dependent inner stopping would change the traced program.
+    Pass big inner operators as jit ARGUMENTS, not closures (the
+    CLAUDE.md HTTP-413 rule)::
+
+        step = jax.jit(lambda A_, Ms_, b_: fgmres_solve(
+            A_, b_, rtol=1e-8, M=Ms_))
+        x, info = step(A, attach_solver(A, cg(rtol=1e-6),
+                                        preconditioner=Mg), b)
 
     This is the missing composition piece for nonsymmetric systems: the
     reference's entire nonsymmetric story is plain BiCG-stab
@@ -476,7 +508,20 @@ def fgmres_solve(
     x0 = jnp.zeros_like(b) if x0 is None else x0
     m = min(restart, n)
     maxiter = 10 * n if maxiter is None else int(maxiter)
-    apply_M = M if (callable(M) and not hasattr(M, "matvec")) else _apply(M)
+    if M is not None and hasattr(M, "solve") and hasattr(M, "solver"):
+        # attach_solver facade: the preconditioner application IS the
+        # attached solve (matvec would apply the bare inner operator —
+        # a silent no-op preconditioner, review regression)
+        _M = M
+
+        def apply_M(v):
+            out = _M.solve(v)
+            return out[0] if isinstance(out, tuple) else out
+
+    elif callable(M) and not hasattr(M, "matvec"):
+        apply_M = M
+    else:
+        apply_M = _apply(M)
     matvec = A.matvec
     tol_eff = jnp.maximum(jnp.asarray(tol, b.dtype), rtol * jnp.linalg.norm(b))
     eps_break = jnp.asarray(jnp.finfo(b.dtype).eps, b.dtype)
@@ -502,49 +547,15 @@ def fgmres_solve(
             z = apply_M(V[j])
             Z = Z.at[j].set(z)
             w = matvec(z)
-            valid = jnp.arange(m + 1) <= j
-            h1 = jnp.where(valid, V @ w, 0.0)
-            w = w - V.T @ h1
-            h2 = jnp.where(valid, V @ w, 0.0)
-            w = w - V.T @ h2
-            h = h1 + h2
-            wn = jnp.linalg.norm(w)
-            ok = wn > eps_break * 10
-            V = V.at[j + 1].set(jnp.where(ok, w / jnp.where(ok, wn, 1.0), 0.0))
-            h = h.at[j + 1].set(jnp.where(ok, wn, 0.0))
-
-            def rot(i, h):
-                hi, hi1 = h[i], h[i + 1]
-                active = i < j
-                c, s = cs[i], sn[i]
-                h = h.at[i].set(jnp.where(active, c * hi + s * hi1, hi))
-                return h.at[i + 1].set(
-                    jnp.where(active, -s * hi + c * hi1, hi1)
-                )
-
-            h = lax.fori_loop(0, m, rot, h)
-            denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
-            safe = denom > 0
-            c_new = jnp.where(safe, h[j] / jnp.where(safe, denom, 1.0), 1.0)
-            s_new = jnp.where(safe, h[j + 1] / jnp.where(safe, denom, 1.0), 0.0)
-            cs = cs.at[j].set(c_new)
-            sn = sn.at[j].set(s_new)
-            gj = g[j]
-            g = g.at[j].set(c_new * gj).at[j + 1].set(-s_new * gj)
-            R = R.at[:, j].set(h.at[j].set(denom)[:m])
+            V, h = _cgs2_column(V, w, j, m, eps_break)
+            R, cs, sn, g = _givens_update(h, R, cs, sn, g, j, m)
             return (V, Z, R, cs, sn, g, j + 1, jnp.abs(g[j + 1]))
 
         V, Z, R, cs, sn, g, j, est = lax.while_loop(
             icond, ibody,
             (V, Z, R, cs, sn, g, jnp.asarray(0, jnp.int32), beta),
         )
-        used = jnp.arange(m) < j
-        Rp = jnp.where(
-            used[None, :] & used[:, None], R, jnp.eye(m, dtype=b.dtype)
-        )
-        y = jax.scipy.linalg.solve_triangular(
-            Rp, jnp.where(used, g[:m], 0.0), lower=False
-        )
+        y = _solve_hessenberg(R, g, j, m, b.dtype)
         # flexible update: the STORED preconditioned basis, not M(V y)
         x = x + Z.T @ y
         return x, k_total + j

@@ -845,3 +845,43 @@ def test_skew_dominance_and_auto_route(rng):
         n, r3, c3, v3, coarse_size=512, tile_rows=1024, group=4
     )
     assert M3 is None and info3["route"] == "plain"
+
+
+def test_fgmres_attach_solver_preconditioner(rng):
+    # review regression: M = attach_solver(...) must dispatch to the
+    # attached SOLVE (matvec would silently apply the bare operator)
+    from sigma_tpu.matrix.formats import DIAMatrix
+    from sigma_tpu import attach_solver
+    from sigma_tpu.solvers import bicgstab, fgmres_solve
+
+    n = 600
+    dense, rows, cols, vals = _nonsym_banded(rng, n)
+    A = DIAMatrix.from_coo(n, n, rows, cols, vals)
+    b = jnp.asarray(dense @ rng.standard_normal(n))
+    Ms = attach_solver(A, bicgstab(tolerance=0.0, maxiter=4))
+    xp, ip = fgmres_solve(A, b, tol=0.0, rtol=1e-10, restart=30,
+                          maxiter=300)
+    xf, if_ = fgmres_solve(A, b, tol=0.0, rtol=1e-10, restart=30,
+                           maxiter=300, M=Ms)
+    # a real inner solve must beat unpreconditioned outer counts; the
+    # broken dispatch (apply A as "preconditioner") was far WORSE
+    assert int(if_.iterations) < int(ip.iterations)
+    r = dense @ np.asarray(xf) - np.asarray(b)
+    assert np.linalg.norm(r) < 1e-8 * np.linalg.norm(np.asarray(b))
+
+
+def test_pruned_pair_amg_symmetric_validates(rng):
+    # review regression: symmetric=True validates the FINE level by
+    # default (upper-only input built a silently wrong hierarchy)
+    from sigma_tpu.solvers.gmg import pruned_pair_amg
+
+    n = 2000
+    dense, rows, cols, vals = _nonsym_banded(rng, n, beta=0.0)
+    up = cols >= rows
+    with pytest.raises(ValueError, match="not symmetric"):
+        pruned_pair_amg(n, rows[up], cols[up], vals[up],
+                        coarse_size=512, tile_rows=1024, group=4,
+                        symmetric=True)
+    # full symmetric triples pass
+    pruned_pair_amg(n, rows, cols, vals, coarse_size=512,
+                    tile_rows=1024, group=4, symmetric=True)
