@@ -47,6 +47,22 @@ def band_occupancy(A: SparseMatrix) -> float:
     return true_nnz / (A.shape[0] * max(n_diag, 1))
 
 
+def _keep_better_order(rows, cols, vals, p):
+    """THE keep-better-order rule (one implementation for both the
+    SparseMatrix and raw-triples pipelines, per the contract below):
+    compare the input vs reordered order lexicographically on
+    (distinct-diagonal count, band reach), ties to the reordering;
+    return ``(rows, cols, vals, p)`` with ``p`` the identity when the
+    input order wins."""
+    d_new = (p[cols] - p[rows]).astype(np.int32)
+    d_in = (cols - rows).astype(np.int32)
+    key_new = (_n_distinct(d_new), int(np.abs(d_new).max(initial=0)))
+    key_in = (_n_distinct(d_in), int(np.abs(d_in).max(initial=0)))
+    if key_new <= key_in:
+        return p[rows], p[cols], vals, p
+    return rows, cols, vals, np.arange(p.size, dtype=p.dtype)
+
+
 def _reordered_triples(A: SparseMatrix, reorder: bool, method: str):
     """Shared reorder + keep-better-order rule for the banded/pruned
     conversions: returns ``(rows, cols, vals, p)`` with ``p`` in scatter
@@ -68,14 +84,7 @@ def _reordered_triples(A: SparseMatrix, reorder: bool, method: str):
             p = breadth_first_search(A.graph)
         else:
             raise ValueError(f"unknown reorder method {method!r}")
-        d_new = p[cols] - p[rows]
-        d_in = cols - rows
-        key_new = (np.unique(d_new).size, int(np.abs(d_new).max(initial=0)))
-        key_in = (np.unique(d_in).size, int(np.abs(d_in).max(initial=0)))
-        if key_new <= key_in:
-            rows, cols = p[rows], p[cols]
-        else:
-            p = np.arange(A.shape[0], dtype=p.dtype)
+        rows, cols, vals, p = _keep_better_order(rows, cols, vals, p)
     return rows, cols, vals, p
 
 
@@ -102,6 +111,18 @@ def reorder_triples_rcm(n, rows, cols, vals, method: str = "rcm"):
     cols = np.asarray(cols, dtype=np.int64).ravel()
     vals = np.asarray(vals).ravel()
     n = int(n)
+    # bounds check BEFORE the C++ counting sort: adjacency_from_coo
+    # scatters through indptr[rows[e]+1] with no guard, so an
+    # out-of-range index would corrupt the heap rather than raise
+    # (the numpy fallback fails loudly — behavior must not diverge by
+    # build)
+    if rows.size:
+        lo = min(int(rows.min()), int(cols.min()))
+        hi = max(int(rows.max()), int(cols.max()))
+        if lo < 0 or hi >= n:
+            raise ValueError(
+                f"COO index out of range for n={n}: min {lo}, max {hi}"
+            )
     # adjacency only (counting sort by row, no dedup/column sort): the
     # orderings' quality is within-row-order independent, so the radix
     # CSR build's extra passes are wasted here.  Triples MUST be
@@ -130,13 +151,7 @@ def reorder_triples_rcm(n, rows, cols, vals, method: str = "rcm"):
     else:
         raise ValueError(f"unknown reorder method {method!r}")
     p = np.asarray(p, dtype=np.int64)
-    d_new = (p[cols] - p[rows]).astype(np.int32)
-    d_in = (cols - rows).astype(np.int32)
-    key_new = (_n_distinct(d_new), int(np.abs(d_new).max(initial=0)))
-    key_in = (_n_distinct(d_in), int(np.abs(d_in).max(initial=0)))
-    if key_new <= key_in:
-        return p[rows], p[cols], vals, p
-    return rows, cols, vals, np.arange(n, dtype=np.int64)
+    return _keep_better_order(rows, cols, vals, p)
 
 
 def _n_distinct(d: np.ndarray) -> int:
@@ -191,6 +206,8 @@ def to_pruned_dia(
     tile_rows: int = 16384,
     group: int | None = None,
     symmetric: bool = False,
+    validate: bool = True,
+    rtol: float = 1e-12,
 ):
     """RCM-reorder and pack directly into the PRUNED block-DIA layout
     (:class:`sigma_tpu.matrix.pruned.PrunedDIAMatrix`) — the full DIA
@@ -221,9 +238,12 @@ def to_pruned_dia(
 
     rows, cols, vals, p = _reordered_triples(A, reorder, method)
     if symmetric:
+        # validate/rtol forwarded: the check is an O(nnz log nnz) host
+        # sort — skippable for known-SPD assemblies at the 10M scale
         P = SymmetricPrunedDIAMatrix.from_coo(
             A.shape[0], A.shape[1], rows, cols, vals, dtype=A.dtype,
             tile_rows=tile_rows, group=group, assume_unique=True,
+            validate=validate, rtol=rtol,
         )
     else:
         P = PrunedDIAMatrix.from_coo(

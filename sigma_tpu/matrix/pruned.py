@@ -64,7 +64,9 @@ def check_symmetric_triples(n, rows, cols, vals, rtol=1e-12):
         last[:-1] = ks[1:] != ks[:-1]
         return ks[last], vs[last]
 
-    vals = np.asarray(vals)
+    rows = np.asarray(rows, dtype=np.int64).ravel()
+    cols = np.asarray(cols, dtype=np.int64).ravel()
+    vals = np.asarray(vals).ravel()
     up = cols > rows
     lo = cols < rows
     ku, vu = _canon(rows[up] * np.int64(n) + cols[up], vals[up])
@@ -492,14 +494,21 @@ class SymmetricPrunedDIAMatrix(PrunedDIAMatrix):
         )
 
     @classmethod
-    def from_pruned(cls, A: PrunedDIAMatrix, **kw):
-        """Fold a full-storage pruned matrix into symmetric storage."""
+    def from_pruned(cls, A: PrunedDIAMatrix, *, tile_rows=None,
+                    group=None, validate: bool = True,
+                    rtol: float = 1e-12):
+        """Fold a full-storage pruned matrix into symmetric storage.
+        ``group`` defaults to the symmetric optimum (12), NOT the source
+        matrix's full-storage group — inheriting group 8 would quietly
+        forfeit the measured symmetric speedup (review fix; overrides
+        no longer collide with the forwarded kwargs either)."""
         rows, cols, vals = A.entries()
         return cls.from_coo(
             A.shape[0], A.shape[1], rows, cols, vals,
             dtype=np.asarray(A.data).dtype,
-            tile_rows=A.tile_rows, group=A.group, assume_unique=True,
-            **kw,
+            tile_rows=A.tile_rows if tile_rows is None else tile_rows,
+            group=group, assume_unique=True, validate=validate,
+            rtol=rtol,
         )
 
     # -- introspection -----------------------------------------------------
@@ -514,22 +523,32 @@ class SymmetricPrunedDIAMatrix(PrunedDIAMatrix):
             np.concatenate([v, v[off]]),
         )
 
+    def _upper_counts(self):
+        # entries() pulls the FULL packed buffer through the TPU tunnel
+        # (~GBs at the north star) — memoize so both count properties
+        # cost one pull total (review fix)
+        cached = getattr(self, "_upper_counts_cache", None)
+        if cached is None:
+            r, c, _ = super().entries()
+            cached = (int(r.size), int((r == c).sum()))
+            object.__setattr__(self, "_upper_counts_cache", cached)
+        return cached
+
     @property
     def stored_upper(self) -> int:
         """Stored upper-triangle entry count (incl. main diagonal),
         reconstructed from the packed values — like :meth:`entries`
         this DROPS explicitly-stored zeros, so it can undercount vs the
-        construction-time ``nnz`` (which keeps them); both are derived
-        from the same entries() view so they stay mutually consistent."""
-        r, _c, _v = super().entries()
-        return int(r.size)
+        construction-time ``nnz`` (which keeps them); both count
+        properties are derived from one memoized entries() pull so they
+        stay mutually consistent."""
+        return self._upper_counts()[0]
 
     @property
     def n_diag_entries(self) -> int:
         """Stored main-diagonal entry count (same explicit-zero-drop
         caveat as :meth:`entries` / :attr:`stored_upper`)."""
-        r, c, _ = super().entries()
-        return int((r == c).sum())
+        return self._upper_counts()[1]
 
     def transpose(self) -> "SymmetricPrunedDIAMatrix":
         return self
