@@ -1,6 +1,8 @@
 from sigma_tpu.apps.generators import (
     barabasi_albert,
     erdos_renyi,
+    irregular_mesh_laplacian,
+    irregular_mesh_laplacian_coo,
     flower_snark,
     hypercube,
     named_graph,
@@ -19,6 +21,8 @@ __all__ = [
     "erdos_renyi",
     "watts_strogatz",
     "barabasi_albert",
+    "irregular_mesh_laplacian",
+    "irregular_mesh_laplacian_coo",
     "named_graph",
     "ising_metropolis",
     "self_avoiding_walks",

@@ -22,6 +22,7 @@ __all__ = [
     "barabasi_albert",
     "named_graph",
     "irregular_mesh_laplacian",
+    "irregular_mesh_laplacian_coo",
 ]
 
 
@@ -81,11 +82,35 @@ def hypercube(k: int, frmt="csr"):
 
 
 def erdos_renyi(n: int, p: float, rng=None, frmt="csr"):
-    """G(n, p): each unordered pair independently with probability p."""
+    """G(n, p): each unordered pair independently with probability p.
+
+    O(E) construction: the edge count is Binomial(C(n,2), p) and the
+    edges a uniform sample of distinct pairs — the same distribution as
+    the dense triu mask without the O(n^2) random matrix (20 GB at
+    n=50K on this page-fault-bound host; review fix).  Small n keeps
+    the dense form so existing seeded graphs are reproducible."""
     rng = rng or np.random.default_rng()
-    mask = np.triu(rng.random((n, n)) < p, 1)
-    rows, cols = np.nonzero(mask)
-    return _freeze(n, rows, cols, frmt)
+    if n <= 4096:
+        mask = np.triu(rng.random((n, n)) < p, 1)
+        rows, cols = np.nonzero(mask)
+        return _freeze(n, rows, cols, frmt)
+    n_pairs = n * (n - 1) // 2
+    e = int(rng.binomial(n_pairs, min(max(p, 0.0), 1.0)))
+    picked = np.empty(0, dtype=np.int64)
+    while picked.size < e:
+        extra = rng.integers(0, n_pairs, int((e - picked.size) * 1.2) + 8)
+        picked = np.unique(np.concatenate([picked, extra]))[: ]
+        if picked.size > e:
+            picked = rng.permutation(picked)[:e]
+            picked.sort()
+    # pair index -> (i, j), i < j, via the triangular-number inverse
+    i = ((np.sqrt(8.0 * picked + 1.0) - 1.0) / 2.0).astype(np.int64)
+    # float inverse can be off by one at the boundaries — correct it
+    i = np.where(i * (i + 1) // 2 > picked, i - 1, i)
+    i = np.where((i + 1) * (i + 2) // 2 <= picked, i + 1, i)
+    j = picked - i * (i + 1) // 2
+    # (j, i+1) with j <= i < n: map to (row=j, col=i+1)
+    return _freeze(n, j, i + 1, frmt)
 
 
 def watts_strogatz(n: int, k: int, p: float, rng=None, frmt="csr"):

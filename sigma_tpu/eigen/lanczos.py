@@ -103,14 +103,6 @@ def _lanczos_loop(matvec_operand, k, v_start, reorth_passes):
         for _ in range(reorth_passes):
             w = w - Vb @ (Vb.T @ w)
         b = jnp.linalg.norm(w)
-        # breakdown (invariant subspace found): beta stays ~0 but the basis
-        # RESTARTS with a fresh orthogonalized random direction instead of
-        # zero-filling — zero columns would surface as spurious eigenvalue-0
-        # Ritz pairs sorted to the front
-        fresh = jax.random.normal(jax.random.fold_in(restart_key, j), (n,), dtype)
-        for _ in range(reorth_passes):
-            fresh = fresh - Vb @ (Vb.T @ fresh)
-        fresh = fresh / jnp.maximum(jnp.linalg.norm(fresh), _BREAKDOWN)
         # breakdown threshold scaled by the RUNNING recurrence magnitude
         # |a| + beta_prev, NOT max(|a|, 1): an O(1) floor mistakes every
         # step of a small-scaled operator (e.g. an h^3-scaled FEM mass
@@ -122,7 +114,27 @@ def _lanczos_loop(matvec_operand, k, v_start, reorth_passes):
             * (jnp.abs(a) + beta_prev)
             * n
         )
-        v_next = jnp.where(b > tol_b, _safe_normalize(w, b), fresh)
+
+        # breakdown (invariant subspace found): beta stays ~0 but the
+        # basis RESTARTS with a fresh orthogonalized random direction
+        # instead of zero-filling — zero columns would surface as
+        # spurious eigenvalue-0 Ritz pairs sorted to the front.  The
+        # fresh vector lives inside lax.cond: building it
+        # unconditionally doubled the dominant reorthogonalization
+        # work of every NORMAL step (review fix)
+        def _restart(_):
+            fresh = jax.random.normal(
+                jax.random.fold_in(restart_key, j), (n,), dtype
+            )
+            for _ in range(reorth_passes):
+                fresh = fresh - Vb @ (Vb.T @ fresh)
+            return fresh / jnp.maximum(
+                jnp.linalg.norm(fresh), _BREAKDOWN
+            )
+
+        v_next = lax.cond(
+            b > tol_b, lambda _: _safe_normalize(w, b), _restart, None
+        )
         b_eff = jnp.where(b > tol_b, b, jnp.zeros_like(b))
         Vb = Vb.at[:, j + 1].set(v_next)
         return Vb, alpha.at[j].set(a), beta.at[j].set(b_eff)
@@ -185,13 +197,6 @@ def _generalized_lanczos_loop(A, B, k, v_start, reorth_passes):
             w = w - Vb @ (Vb.T @ B.matvec(w))
         Bw = B.matvec(w)
         b = jnp.sqrt(jnp.maximum(b_norm_sq(w, Bw), 0.0))
-        # breakdown: restart with a fresh B-orthogonalized direction (see
-        # the standard loop for why zero-filling is wrong)
-        fresh = jax.random.normal(jax.random.fold_in(restart_key, j), (n,), dtype)
-        for _ in range(reorth_passes):
-            fresh = fresh - Vb @ (Vb.T @ B.matvec(fresh))
-        fb = jnp.sqrt(jnp.maximum(b_norm_sq(fresh, B.matvec(fresh)), 0.0))
-        fresh = _safe_normalize(fresh, fb)
         # scale-free breakdown threshold (see the standard loop): the
         # pencil's recurrence runs at |a| ~ 1/mu, which for an h^3-scaled
         # mass matrix is FAR below 1 — an O(1) floor zeroed every beta in
@@ -202,8 +207,25 @@ def _generalized_lanczos_loop(A, B, k, v_start, reorth_passes):
             * (jnp.abs(a) + beta_prev)
             * n
         )
+
+        # breakdown restart inside lax.cond: the fresh direction costs
+        # reorth_passes + 2 extra B applications, paid only on actual
+        # breakdown now (review fix — see the standard loop)
+        def _restart(_):
+            fresh = jax.random.normal(
+                jax.random.fold_in(restart_key, j), (n,), dtype
+            )
+            for _ in range(reorth_passes):
+                fresh = fresh - Vb @ (Vb.T @ B.matvec(fresh))
+            fb = jnp.sqrt(
+                jnp.maximum(b_norm_sq(fresh, B.matvec(fresh)), 0.0)
+            )
+            return _safe_normalize(fresh, fb)
+
         Vb = Vb.at[:, j + 1].set(
-            jnp.where(b > tol_b, _safe_normalize(w, b), fresh)
+            lax.cond(
+                b > tol_b, lambda _: _safe_normalize(w, b), _restart, None
+            )
         )
         b_eff = jnp.where(b > tol_b, b, jnp.zeros_like(b))
         return Vb, alpha.at[j].set(a), beta.at[j].set(b_eff)

@@ -118,10 +118,15 @@ def refine_eigenpairs(
         # each sweep contracts the residual by ~inner_tol, so the sweep
         # count follows from the tolerance ratio (+1 margin), capped at
         # the host loop's max_outer
-        sweeps = min(
-            max_outer,
-            int(np.ceil(np.log(rtol) / np.log(min(inner_tol, 0.5)))) + 1,
-        )
+        if rtol <= 0.0:
+            # rtol=0 is the solver layer's "absolute tol only" sentinel:
+            # run the full sweep budget (log(0) would overflow below)
+            sweeps = max_outer
+        else:
+            sweeps = min(
+                max_outer,
+                int(np.ceil(np.log(rtol) / np.log(min(inner_tol, 0.5)))) + 1,
+            )
         # one cached trace serves all columns, steps, AND calls; the
         # operator, low operator, and preconditioner are pytree ARGUMENTS
         solve_fx = _fixed_col_jit(sweeps, inner_tol, inner_maxiter,
@@ -134,7 +139,7 @@ def refine_eigenpairs(
     # per-sweep f64 residuals)
     rq_before = np.sort(np.asarray(_rq_jit(A, V)))
 
-    for _ in range(max(steps, 1)):
+    for step in range(max(steps, 1)):
         cols = []
         for j in range(m):
             if solve_fx is not None:
@@ -146,6 +151,8 @@ def refine_eigenpairs(
                 tol=0.0,
                 rtol=rtol,
                 M_lo=M_lo,
+                A_lo=A_lo,
+                inner_dtype=inner_dtype,
                 inner_solve=inner_solve,
                 max_outer=max_outer,
                 inner_tol=inner_tol,
@@ -153,6 +160,12 @@ def refine_eigenpairs(
             )
             cols.append(y / jnp.linalg.norm(y))
         V = jnp.stack(cols, axis=1)
+        if steps > 1:
+            # re-orthogonalize between sweeps: per-column inverse
+            # iteration collapses the block toward the lowest mode,
+            # and a singular V^T V breaks the final generalized
+            # Rayleigh-Ritz (review regression)
+            V, _ = jnp.linalg.qr(V)
 
     # working-precision Rayleigh-Ritz on the refined block (same jit
     # reasoning as the RQ above; only the m x m Gram matrices come home)

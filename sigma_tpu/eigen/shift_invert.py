@@ -139,7 +139,13 @@ def shift_invert_lanczos(
         w -= Vi @ (Vi.T @ w)
         w -= Vi @ (Vi.T @ w)
         be[i] = np.linalg.norm(w)
-        if be[i] < 1e-14 * max(abs(al[i]), 1.0):
+        # scale-FREE breakdown guard: eps*n*(|a| + beta_prev), the
+        # lanczos.py round-3 form — an O(1) floor falsely fires on
+        # every step of a small-scaled resolvent (||B'|| ~ 1e-14 for
+        # an unscaled elasticity-magnitude operator) and truncates the
+        # basis to garbage
+        beta_prev = be[i - 1] if i else 0.0
+        if be[i] < np.finfo(np.float64).eps * n * (abs(al[i]) + beta_prev):
             steps = i + 1
             break
         v = w / be[i]
