@@ -317,8 +317,9 @@ def main():
         from sigma_tpu.matrix.symmetric import SymmetricDIAMatrix
 
         keep = [d for d, o in enumerate(offsets) if o >= 0]
+        data_up = data[keep]  # reused by the sym+bf16 row (one slice)
         A_sym = SymmetricDIAMatrix(
-            data=jnp.asarray(data[keep].reshape(len(keep), -1, 128)),
+            data=jnp.asarray(data_up.reshape(len(keep), -1, 128)),
             offsets=tuple(offsets[d] for d in keep),
             n=n,
         )
@@ -348,11 +349,10 @@ def main():
     # Detail row, self-bounding.
     symbf_samples = []
     symbf_nnz_s = None
-    if _time.time() - t0 < 330 and sym_nnz_s is not None:
-        keep = [d for d, o in enumerate(offsets) if o >= 0]
-        data_symbf = data[keep].astype(jnp.bfloat16)
+    if _time.time() - t0 < 380 and sym_nnz_s is not None:
+        data_symbf = data_up.astype(jnp.bfloat16)
         assert np.array_equal(
-            data_symbf.astype(np.float32), data[keep]
+            data_symbf.astype(np.float32), data_up
         )
         from sigma_tpu.matrix.symmetric import SymmetricDIAMatrix
 
@@ -370,11 +370,14 @@ def main():
     # solvers' layout.  Detail row, self-bounding like the rows above.
     spmm_samples = []
     spmm_eff = None
-    if _time.time() - t0 < 390 and A_dia.interleaved_profitable(8):
+    if _time.time() - t0 < 400 and A_dia.interleaved_profitable(8):
         spmm_eff = bench_spmm_interleaved(
             A_dia, nnz, k=8, samples=spmm_samples
         )
         _progress(f"spmm interleaved k=8 {spmm_eff/1e9:.1f} G-eff", t0)
+    elif not A_dia.interleaved_profitable(8):
+        _progress("skipping spmm row (interleaved kernel gate: "
+                  f"{A_dia.why_not_pallas('interleaved', 8)})", t0)
     else:
         _progress("skipping spmm row (session too slow)", t0)
 
@@ -400,7 +403,7 @@ def main():
             nnz_u = Au.graph.nnz
             occ_u = nnz_u / (nu * Du.graph.n_diags)
             unst_samples = []
-            true_rate = bench_spmv(Du, nnz_u, K1=10, K2=50, samples=unst_samples)
+            true_rate = bench_spmv(Du, nnz_u, K1=30, K2=200, samples=unst_samples)
             unstructured = {
                 "n": nu,
                 "nnz": int(nnz_u),
@@ -431,7 +434,7 @@ def main():
                     offsets=Dsu.offsets,
                     n=nu,
                 )
-                symbf_rate = bench_spmv(Dsb, nnz_u, K1=10, K2=50)
+                symbf_rate = bench_spmv(Dsb, nnz_u, K1=60, K2=420)
                 unstructured["sym_bf16_true_gnnz_s"] = round(
                     symbf_rate / 1e9, 3
                 )
@@ -471,7 +474,13 @@ def main():
                     f"unstructured pruned {pr_rate/1e9:.2f} Gnnz/s true "
                     f"({pr_rate/true_rate:.2f}x chunked)", t0
                 )
-                Pb = Pu.astype(jnp.bfloat16)
+                # pack at the bf16-native group (16): bf16 scales with
+                # group (37/41/46 Gnnz/s at g8/16/24) — measuring the
+                # f32 packing under-reports the format by ~20%
+                Pb = PrunedDIAMatrix.from_coo(
+                    nu, nu, pu[ru], pu[cu], vu, dtype=jnp.bfloat16,
+                    assume_unique=True,
+                )
                 prb_rate = bench_spmv(Pb, nnz_u, K1=100, K2=700)
                 unstructured["pruned_bf16_true_gnnz_s"] = round(
                     prb_rate / 1e9, 3
@@ -538,7 +547,7 @@ def main():
             )
             slots = int(gdata_b.size)
             bsr_samples = []
-            bsr_rate = bench_spmv(G, slots, K1=10, K2=50, samples=bsr_samples)
+            bsr_rate = bench_spmv(G, slots, K1=50, K2=350, samples=bsr_samples)
             bsr = {
                 "n": nb_rows * bh,
                 "slots": slots,
@@ -583,11 +592,13 @@ def main():
     sol = bw * 1e9 / bytes_per_nnz
     target = 0.8 * sol
     vs_baseline = value / target
-    if degraded:
+    if degraded or spec_bw is None:
         # scoring against the SpMV's own achieved bandwidth is circular
         # (it pins at 1/0.8 = 1.25 whenever the kernel beats the triad);
-        # a degraded session may claim at most "met the target" — beating
-        # it requires a healthy session scored against spec
+        # a degraded session — or an unknown device kind with no spec
+        # entry, which takes the same session-bandwidth branch — may
+        # claim at most "met the target"; beating it requires a healthy
+        # session scored against a known spec
         vs_baseline = min(vs_baseline, 1.0)
 
     def _spread(s):
