@@ -41,8 +41,13 @@ __all__ = [
 
 
 def _write_triples(f, rows, cols, vals) -> None:
+    # f64 cast: column_stack cannot promote bf16 against the int64
+    # index columns (DTypePromotionError), and f64 is value-exact for
+    # every stored dtype here
     np.savetxt(
-        f, np.column_stack([rows, cols, vals]), fmt="%d %d %.17g"
+        f,
+        np.column_stack([rows, cols, np.asarray(vals, np.float64)]),
+        fmt="%d %d %.17g",
     )
 
 
@@ -137,8 +142,19 @@ def read_matrix_market(path, frmt: Union[str, int] = "csr", dtype=None) -> Spars
 
 
 def save_matrix_npz(A: SparseMatrix, path) -> None:
-    """Binary save: COO triples + format tag + dtype; exact round-trip."""
+    """Binary save: COO triples + format tag + dtype; exact round-trip.
+
+    The value DTYPE is stored as a tag and restored by
+    :func:`load_matrix_npz` (review fixes: np.savez writes bfloat16 as
+    raw void bytes — values are widened to float32, an exact superset —
+    and a load without the tag used to fall back to the platform
+    default dtype, resuming checkpointed operators at the wrong
+    precision)."""
     rows, cols, vals = A.entries()
+    vals = np.asarray(vals)
+    tag = str(jnp.dtype(vals.dtype))
+    if vals.dtype not in (np.float32, np.float64):
+        vals = vals.astype(np.float32 if tag == "bfloat16" else np.float64)
     np.savez_compressed(
         path,
         format=np.array(A.format),
@@ -147,13 +163,19 @@ def save_matrix_npz(A: SparseMatrix, path) -> None:
         rows=rows,
         cols=cols,
         vals=vals,
+        vals_dtype=np.array(tag),
     )
 
 
 def load_matrix_npz(path, frmt: Optional[str] = None, dtype=None) -> SparseMatrix:
+    """Load a :func:`save_matrix_npz` file; the saved value dtype is
+    restored unless ``dtype`` overrides it (files from before the
+    dtype tag load at the values' storage dtype)."""
     z = np.load(path, allow_pickle=False)
     name = frmt or str(z["format"])
     cls = MATRIX_FORMATS[name]
+    if dtype is None:
+        dtype = str(z["vals_dtype"]) if "vals_dtype" in z else z["vals"].dtype
     return cls.from_coo(
         int(z["nrow"]), int(z["ncol"]), z["rows"], z["cols"], z["vals"], dtype=dtype
     )

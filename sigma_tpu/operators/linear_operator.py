@@ -114,11 +114,20 @@ class LinearOperator:
     def solve(self, b: jax.Array, solver=None, preconditioner=None, **kw):
         """Solve A x = b.  Uses the given solver object (anything with a
         ``solve(A, b, M=...)`` method, see :mod:`sigma_tpu.solvers`) or
-        defaults to CG."""
+        defaults to CG; ``**kw`` configures the DEFAULT solver only —
+        combining it with an explicit ``solver`` raises (silently
+        dropping tol=/maxiter= would return under-converged results
+        with no error, the OperatorWithSolver.solve contract)."""
         if solver is None:
             from sigma_tpu.solvers import cg as _cg
 
             solver = _cg(**kw)
+        elif kw:
+            raise TypeError(
+                f"solver parameters {sorted(kw)} must be set on the "
+                "passed solver object (they configure the default CG "
+                "only; dropping them silently would under-converge)"
+            )
         return solver.solve(self, b, M=preconditioner)
 
     def __repr__(self) -> str:
@@ -176,6 +185,12 @@ class SumOperator(LinearOperator):
             Y = Y + op.matmat(X)
         return Y
 
+    def rmatmat(self, X):
+        Y = self.terms[0].rmatmat(X)
+        for op in self.terms[1:]:
+            Y = Y + op.rmatmat(X)
+        return Y
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True, repr=False)
@@ -221,6 +236,11 @@ class ProductOperator(LinearOperator):
             X = op.matmat(X)
         return X
 
+    def rmatmat(self, X):
+        for op in self.factors:
+            X = op.rmatmat(X)
+        return X
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True, repr=False)
@@ -242,6 +262,11 @@ class AdjointOperator(LinearOperator):
 
     def matmat(self, X):
         return self.op.rmatmat(X)
+
+    def rmatmat(self, X):
+        # delegate to the wrapped operator's FAST multi-RHS path (the
+        # base-class fallback is a per-column vmap — review fix)
+        return self.op.matmat(X)
 
     @property
     def T(self):
@@ -268,6 +293,9 @@ class ScaledOperator(LinearOperator):
 
     def matmat(self, X):
         return self.alpha * self.op.matmat(X)
+
+    def rmatmat(self, X):
+        return self.alpha * self.op.rmatmat(X)
 
 
 @jax.tree_util.register_dataclass
@@ -378,12 +406,22 @@ class OperatorWithSolver(LinearOperator):
     def matmat(self, X):
         return self.op.matmat(X)
 
-    def solve(self, b, solver=None, preconditioner=None):
+    # explicit-disable sentinel: preconditioner=None must mean "solve
+    # UNPRECONDITIONED", not "fall back to the attached one" (and a
+    # truthiness test crashes on raw-array preconditioners)
+    _UNSET = object()
+
+    def solve(self, b, solver=None, preconditioner=_UNSET):
         # no **kw: solver parameters live on the attached solver config —
         # silently dropping tol=/maxiter= overrides here would return
         # under-converged results with no error
-        return (solver or self.solver).solve(
-            self.op, b, M=preconditioner or self.preconditioner
+        M = (
+            self.preconditioner
+            if preconditioner is OperatorWithSolver._UNSET
+            else preconditioner
+        )
+        return (self.solver if solver is None else solver).solve(
+            self.op, b, M=M
         )
 
 

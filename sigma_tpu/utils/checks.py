@@ -86,11 +86,13 @@ def validate_matrix(A) -> None:
     if not np.all(np.isfinite(data)):
         bad = int(np.count_nonzero(~np.isfinite(data)))
         raise ValueError(f"matrix holds {bad} non-finite value slot(s)")
-    # padding invariant: total stored magnitude equals the magnitude of
-    # the true entries (padded slots must carry exact zeros)
-    if not np.isclose(
-        np.abs(data).sum(), np.abs(np.asarray(vals, np.float64)).sum()
-    ):
+    # padding invariant: padded slots must carry EXACT zeros — compare
+    # the stored-nonzero COUNT against the true-entry nonzero count
+    # (review fix: the old abs-sum isclose at rtol=1e-5 let a padded
+    # slot hide ~1e-5 x the total magnitude — precisely the corruption
+    # this validator exists to catch)
+    true_nonzeros = int(np.count_nonzero(np.asarray(vals, np.float64)))
+    if int(np.count_nonzero(data)) > true_nonzeros:
         raise ValueError(
             "padded slots carry nonzero values (padding invariant broken)"
         )

@@ -33,12 +33,27 @@ def time_fn(make_loop: Callable[[int], Callable], *args, k1=10, k2=50, reps=3):
 
     ``make_loop(K)`` must return a jitted callable running K iterations;
     the two-point fit (t(k2)-t(k1))/(k2-k1) cancels launch + readback
-    overhead.
+    overhead.  Estimator hardening ported from ``bench.timeit_loop``
+    (review fix — the old best-of-reps form could return 1e-12 on a
+    noisy short chain and report ~1e16 nnz/s): MEDIAN of per-rep slopes
+    (best-of systematically selects jitter-corrupted-low reps), capped
+    by the absolute floor ``t(k2)/k2`` (the chain provably sustained
+    that).  If the k2 chain is shorter than ~4x the ~25 ms launch
+    overhead, AUTO-LENGTHEN k2 (CLAUDE.md: short chains read
+    impossibly high).
     """
     f1, f2 = make_loop(k1), make_loop(k2)
     sync(f1(*args))
+    t0 = time.perf_counter()
     sync(f2(*args))
-    best = float("inf")
+    t2_warm = time.perf_counter() - t0
+    if t2_warm < 0.1:
+        # lengthen the chain to >= ~100 ms of real work
+        k2 = max(k2 * int(np.ceil(0.1 / max(t2_warm, 1e-3))), k2 * 2)
+        f2 = make_loop(k2)
+        sync(f2(*args))
+    slopes = []
+    floor = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         sync(f1(*args))
@@ -46,8 +61,10 @@ def time_fn(make_loop: Callable[[int], Callable], *args, k1=10, k2=50, reps=3):
         t0 = time.perf_counter()
         sync(f2(*args))
         t2 = time.perf_counter() - t0
-        best = min(best, (t2 - t1) / (k2 - k1))
-    return max(best, 1e-12)
+        slopes.append(max((t2 - t1) / (k2 - k1), 1e-12))
+        floor = min(floor, t2 / k2)
+    med = sorted(slopes)[len(slopes) // 2]
+    return max(min(med, floor), 1e-12)
 
 
 def spmv_throughput(A, k1=10, k2=50) -> float:

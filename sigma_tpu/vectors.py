@@ -97,12 +97,27 @@ class BlockVector:
             return float(self.values[index])
         return float(self.field(field)[index])
 
+    def _flat_index(self, index, field):
+        if field is None:
+            return index
+        # normalize negative indices WITHIN the field: offsets[field] +
+        # (-1) used to wrap to the flat array end and silently write the
+        # previous/next field's element (review regression)
+        sl = self._slice(field)
+        size = sl.stop - sl.start
+        if not -size <= index < size:
+            raise IndexError(
+                f"index {index} out of range for field {field} "
+                f"(size {size})"
+            )
+        return sl.start + (index % size)
+
     def set(self, index, value, field: int = None) -> "BlockVector":
-        flat = index if field is None else int(self.offsets[field]) + index
+        flat = self._flat_index(index, field)
         return dataclasses.replace(self, values=self.values.at[flat].set(value))
 
     def add(self, index, value, field: int = None) -> "BlockVector":
-        flat = index if field is None else int(self.offsets[field]) + index
+        flat = self._flat_index(index, field)
         return dataclasses.replace(self, values=self.values.at[flat].add(value))
 
     def with_field(self, field: int, values) -> "BlockVector":
