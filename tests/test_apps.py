@@ -149,3 +149,23 @@ def test_watts_strogatz_saturated_terminates(rng):
     assert g.shape == (5, 5)
     r, c = g.edges_numpy()
     assert (r != c).all()  # still simple
+
+
+def test_erdos_renyi_large_n_sparse_path(rng):
+    # review regression: large n used a dense O(n^2) random matrix;
+    # the sparse sampler must match the G(n, p) distribution shape
+    from sigma_tpu.apps import erdos_renyi
+
+    n, p = 10000, 2e-4
+    G = erdos_renyi(n, p, rng=rng)
+    rows, cols = G.edges_numpy()
+    assert (rows != cols).all()
+    assert rows.max() < n and cols.max() < n and rows.min() >= 0
+    # symmetric
+    k1 = rows * n + cols
+    k2 = cols * n + rows
+    assert np.array_equal(np.sort(k1), np.sort(k2))
+    # edge count within 5 sigma of Binomial(C(n,2), p)
+    mean = p * n * (n - 1) / 2
+    sd = np.sqrt(mean * (1 - p))
+    assert abs(G.nnz / 2 - mean) < 5 * sd + 1

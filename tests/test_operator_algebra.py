@@ -97,3 +97,27 @@ def test_shape_mismatch_raises(rng):
         _ = A + B
     with pytest.raises(ValueError):
         _ = A @ A
+
+
+def test_composite_rmatmat_delegation(rng):
+    # review regression: adjoint/sum/product/scaled fell back to the
+    # per-column vmap instead of delegating multi-RHS applies
+    from sigma_tpu import CSRMatrix
+    from sigma_tpu.operators import ScaledOperator
+
+    n = 40
+    dA = rng.standard_normal((n, n))
+    dB = rng.standard_normal((n, n))
+    A = CSRMatrix.from_dense(dA)
+    B = CSRMatrix.from_dense(dB)
+    X = jnp.asarray(rng.standard_normal((n, 3)))
+    assert np.allclose(np.asarray(A.T.rmatmat(X)), dA @ np.asarray(X))
+    assert np.allclose(
+        np.asarray((A + B).rmatmat(X)), (dA + dB).T @ np.asarray(X)
+    )
+    assert np.allclose(
+        np.asarray((A @ B).rmatmat(X)), (dA @ dB).T @ np.asarray(X),
+        atol=1e-10,
+    )
+    S = ScaledOperator(jnp.asarray(2.0), A)
+    assert np.allclose(np.asarray(S.rmatmat(X)), 2.0 * dA.T @ np.asarray(X))

@@ -235,3 +235,51 @@ def test_matrix_market_skew_symmetric(tmp_path):
     A = read_matrix_market(p)
     assert A.get_value(1, 0) == 1.5
     assert A.get_value(0, 1) == -1.5
+
+
+def test_npz_bf16_and_dtype_roundtrip(rng, tmp_path):
+    # review regressions: savez stored bf16 as raw void bytes; loads
+    # without the dtype tag resumed at the platform default precision
+    import jax.numpy as jnp
+
+    from sigma_tpu import CSRMatrix, io
+
+    n = 60
+    dense = np.zeros((n, n))
+    i = np.arange(n)
+    dense[i, i] = 2.0
+    dense[i[:-1], i[1:]] = -0.5
+    dense[i[1:], i[:-1]] = -0.5
+    A16 = CSRMatrix.from_dense(dense).astype(jnp.bfloat16)
+    p = tmp_path / "m16.npz"
+    io.save_matrix_npz(A16, p)
+    B16 = io.load_matrix_npz(p)
+    assert B16.dtype == jnp.bfloat16
+    assert np.array_equal(
+        B16.to_dense().astype(np.float32), A16.to_dense().astype(np.float32)
+    )
+    # MatrixMarket text write must accept bf16 too
+    io.write_matrix_market(A16, tmp_path / "m16.mtx")
+    # f32 stays f32 under the x64 test env
+    A32 = CSRMatrix.from_coo(n, n, *np.nonzero(dense),
+                             dense[np.nonzero(dense)], dtype=np.float32)
+    p2 = tmp_path / "m32.npz"
+    io.save_matrix_npz(A32, p2)
+    assert io.load_matrix_npz(p2).dtype == jnp.float32
+
+
+def test_block_vector_negative_field_index(rng):
+    # review regression: set/add(-1, field=f) wrapped to the FLAT end
+    # and silently wrote the wrong field's element
+    from sigma_tpu.vectors import BlockVector
+
+    v = BlockVector.from_fields([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+    assert v.get(-1, field=0) == 3.0
+    v2 = v.set(-1, 99.0, field=0)
+    assert np.asarray(v2.values).tolist() == [1.0, 2.0, 99.0, 4.0, 5.0, 6.0]
+    v3 = v.add(-1, 1.0, field=1)
+    assert np.asarray(v3.values).tolist() == [1.0, 2.0, 3.0, 4.0, 5.0, 7.0]
+    with pytest.raises(IndexError):
+        v.set(3, 0.0, field=0)
+    with pytest.raises(IndexError):
+        v.add(-4, 0.0, field=1)
