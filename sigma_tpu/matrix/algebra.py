@@ -59,9 +59,36 @@ __all__ = [
 # host-side symbolic helpers
 # ---------------------------------------------------------------------------
 
+def _pos_array(pos):
+    """Device index array for a plan gather.  Without jax_enable_x64,
+    jnp.asarray silently WRAPS int64 -> int32, so flat positions past
+    2^31 (a wide-DIA operand at 10M rows spans billions of slots) would
+    gather garbage — fail loudly instead (review fix)."""
+    pos = np.asarray(pos)
+    if pos.size and int(pos.max()) > np.iinfo(np.int32).max and not (
+        jax.config.read("jax_enable_x64")
+    ):
+        raise ValueError(
+            f"plan position {int(pos.max())} exceeds int32 and "
+            "jax_enable_x64 is off: this operand's flat data space is "
+            "too large for a device-side plan gather — use the native "
+            "host algebra (sparse_matmul/sparse_add/ptap) or a packed "
+            "format instead"
+        )
+    return jnp.asarray(pos)
+
+
 def _coo_of(A: SparseMatrix) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """(rows, cols, flat data positions) of the true (unpadded) entries."""
+    from sigma_tpu.graph.graph import CSRGraph
+
     rows, cols = A.graph.edges_numpy()
+    if type(A.graph) is CSRGraph:
+        # the CSR layout IS row-major sorted COO: flat position p holds
+        # edge p — skip edge_positions' keys-build + searchsorted pass
+        # (the CSRMatrix.entries() lesson: ~45 s at 1M-row AMG setup on
+        # this page-fault-bound host; review fix)
+        return rows, cols, np.arange(rows.size, dtype=np.int64)
     pos = A.graph.edge_positions(rows, cols)
     return rows, cols, pos
 
@@ -225,9 +252,9 @@ def plan_sparse_add(
     b_seg = template.graph.edge_positions(br, bc)
     return SparseSumPlan(
         template=template,
-        a_pos=jnp.asarray(apos),
+        a_pos=_pos_array(apos),
         a_seg=jnp.asarray(a_seg),
-        b_pos=jnp.asarray(bpos),
+        b_pos=_pos_array(bpos),
         b_seg=jnp.asarray(b_seg),
     )
 
@@ -306,8 +333,8 @@ def plan_sparse_matmul(
     seg = template.graph.edge_positions(out_rows, out_cols)
     return SpGEMMPlan(
         template=template,
-        a_pos=jnp.asarray(a_contrib),
-        b_pos=jnp.asarray(b_contrib),
+        a_pos=_pos_array(a_contrib),
+        b_pos=_pos_array(b_contrib),
         seg=jnp.asarray(seg),
     )
 
@@ -458,8 +485,8 @@ def _plan_triple(
     seg = template.graph.edge_positions(out_rows, out_cols)
     return PtAPPlan(
         template=template,
-        left_pos=jnp.asarray(left),
-        a_pos=jnp.asarray(a_contrib),
-        right_pos=jnp.asarray(right),
+        left_pos=_pos_array(left),
+        a_pos=_pos_array(a_contrib),
+        right_pos=_pos_array(right),
         seg=jnp.asarray(seg),
     )

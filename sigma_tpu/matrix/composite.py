@@ -149,11 +149,15 @@ class BlockMatrix(LinearOperator):
 
     @property
     def nnz(self) -> int:
+        # duck-typed: PrunedDIAMatrix / SymmetricDIAMatrix / nested
+        # BlockMatrix leaves are LinearOperators with .nnz, not
+        # SparseMatrix (review fix — the isinstance filter reported 0
+        # for exactly the composites the repo advertises)
         return sum(
-            blk.nnz
+            getattr(blk, "nnz", 0)
             for row in self.blocks
             for blk in row
-            if isinstance(blk, SparseMatrix)
+            if blk is not None
         )
 
     @property
@@ -219,6 +223,26 @@ class BlockMatrix(LinearOperator):
                 acc = t if acc is None else acc + t
             if acc is None:
                 acc = jnp.zeros((self.col_sizes[j],), dtype=x.dtype)
+            ys.append(acc)
+        return jnp.concatenate(ys)
+
+    def rmatmat(self, X: jax.Array) -> jax.Array:
+        # blockwise transpose multi-RHS (review fix: the base-class
+        # fallback vmaps rmatvec per column, bypassing leaf fast paths)
+        rows_off = self.row_offsets
+        ys = []
+        for j in range(len(self.col_sizes)):
+            acc = None
+            for i, row in enumerate(self.blocks):
+                blk = row[j]
+                if blk is None:
+                    continue
+                t = blk.rmatmat(X[rows_off[i] : rows_off[i + 1]])
+                acc = t if acc is None else acc + t
+            if acc is None:
+                acc = jnp.zeros(
+                    (self.col_sizes[j], X.shape[1]), dtype=X.dtype
+                )
             ys.append(acc)
         return jnp.concatenate(ys)
 
@@ -304,7 +328,10 @@ class BlockMatrix(LinearOperator):
             for j, blk in enumerate(row):
                 if blk is None:
                     continue
-                if isinstance(blk, (SparseMatrix, BlockMatrix)):
+                if hasattr(blk, "entries"):
+                    # duck-typed (review fix): pruned/symmetric leaves
+                    # have cheap triple extraction; the dense fallback
+                    # would materialize an (n, n) array per block
                     r, c, v = blk.entries()
                 else:
                     d = blk.to_dense()

@@ -419,7 +419,22 @@ class DIAMatrix(SparseMatrix):
     multiply-add per diagonal — no index array is even stored, so the
     HBM traffic per nonzero is value + x-read only, below what any
     indexed format can reach.  Out-of-range slots hold value 0.
-    """
+    Diagonal-format matrix: ``data[d, i]`` = A[i, i + offset_d].
+
+    The TPU-native stencil format (no reference analogue; see
+    :class:`sigma_tpu.graph.graph.DIAGraph`).  SpMV is **gather-free**:
+    pad x once, then one statically-shifted contiguous window
+    multiply-add per diagonal — no index array is even stored, so the
+    HBM traffic per nonzero is value + x-read only, below what any
+    indexed format can reach.  Out-of-range slots hold value 0.
+    
+
+    DTYPE CONVENTION: every DIA apply computes in the OPERAND's
+    dtype (matrix values cast to x.dtype, in-VMEM on the pallas
+    paths) — the mixed-precision contract the bf16-value /
+    f32-vector kernels are built on.  This differs from the
+    gather formats (CSR/ELL promote by numpy rules); apply an
+    f64 operand if f64 accumulation is wanted."""
 
     graph: "DIAGraph"
     data: jax.Array  # (n_diags, stride/128, 128) — the kernel-native tile
@@ -779,6 +794,8 @@ class DIAMatrix(SparseMatrix):
             )
 
             offs = self.graph.offsets
+            if not offs:  # zero-diagonal matrix: A @ X = 0 (the guard
+                return jnp.zeros((k, n), XT.dtype)  # every sibling has)
             reach = max(max(max(offs), 0), -min(min(offs), 0))
             S = self.graph.stride // _LANES
             pick = _spmm_tile_pick(

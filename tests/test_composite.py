@@ -204,3 +204,34 @@ def test_blockmatrix_bounds(block_2x2):
         A.get_values([-1], [0])
     with pytest.raises(IndexError):
         A.get_values([dense.shape[0]], [0])
+
+
+def test_block_matrix_ducktyped_nnz_entries_rmatmat(rng):
+    # review regressions: nnz counted only SparseMatrix leaves (0 for
+    # pruned/nested blocks), entries() densified pruned leaves, and
+    # rmatmat fell back to the per-column vmap
+    from sigma_tpu.matrix.composite import BlockMatrix
+    from sigma_tpu.matrix.pruned import PrunedDIAMatrix
+
+    n = 600
+    dense = np.zeros((n, n))
+    i = np.arange(n)
+    dense[i, i] = 3.0
+    dense[i[:-1], i[1:]] = -1.0
+    rows, cols = np.nonzero(dense)
+    P = PrunedDIAMatrix.from_coo(n, n, rows, cols, dense[rows, cols],
+                                 tile_rows=1024, group=2)
+    A = BlockMatrix.from_blocks([[P, None], [None, P]])
+    assert A.nnz == 2 * P.nnz
+    nested = BlockMatrix.from_blocks([[A]])
+    assert nested.nnz == A.nnz
+    r, c, v = A.entries()
+    d2 = np.zeros((2 * n, 2 * n))
+    d2[r, c] = v
+    big = np.zeros((2 * n, 2 * n))
+    big[:n, :n] = dense
+    big[n:, n:] = dense
+    assert np.abs(d2 - big).max() == 0.0
+    X = jnp.asarray(rng.standard_normal((2 * n, 3)))
+    Y = np.asarray(A.rmatmat(X))
+    assert np.abs(Y - big.T @ np.asarray(X)).max() < 1e-10
