@@ -195,6 +195,13 @@ def fem3d_stiffness_mass_dia(nx: int, dtype=np.float64):
     Returns ``(n, offsets, Kdata, Mdata)`` with data shaped
     ``(27, stride)`` ready for ``DIAMatrix`` (reshape to (27, -1, 128)).
     """
+    if nx < 3:
+        # nx <= 2: distinct (dx, dy, dz) displacements flatten to the
+        # SAME diagonal offset (e.g. (0,-1,1) and (0,0,-1) at nx=2),
+        # breaking the unique-sorted-offsets DIA invariant (review fix)
+        raise ValueError("fem3d_stiffness_mass_dia requires nx >= 3 "
+                         "(smaller grids alias distinct stencil offsets "
+                         "onto the same flat diagonal)")
     n = nx * nx * nx
     h = 1.0 / (nx + 1)
     stride = -(-n // 128) * 128

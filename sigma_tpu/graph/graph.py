@@ -68,6 +68,21 @@ def compress_coo(
     """
     rows = np.asarray(rows, dtype=np.int64).ravel()
     cols = np.asarray(cols, dtype=np.int64).ravel()
+    # range validation (review fix): the linearized key rows*m + cols
+    # would silently ALIAS an out-of-range column into the next row —
+    # an off-by-one assembly bug became a numerically wrong matrix with
+    # no error
+    if rows.size:
+        if int(rows.min()) < 0 or int(rows.max()) >= n:
+            raise ValueError(
+                f"row index out of range [0, {n}): "
+                f"[{int(rows.min())}, {int(rows.max())}]"
+            )
+        if int(cols.min()) < 0 or int(cols.max()) >= m:
+            raise ValueError(
+                f"column index out of range [0, {m}): "
+                f"[{int(cols.min())}, {int(cols.max())}]"
+            )
     # note: the native radix sort (native.csr_from_coo) loses to numpy's
     # SIMD introsort on this machine class, so the hot freeze path stays
     # numpy; the native core earns its keep on the *sequential* algorithms
@@ -296,6 +311,11 @@ class CSRGraph(Graph):
     def neighbors(self, i: int) -> np.ndarray:
         ptr = np.asarray(self.indptr)
         return np.asarray(self.indices)[ptr[i] : ptr[i + 1]].astype(np.int64)
+
+    def has_edge(self, i: int, j: int) -> bool:
+        # O(deg) row slice instead of the base path's full-device
+        # readback + O(nnz) key build per query (review fix)
+        return bool(np.isin(j, self.neighbors(i)).item())
 
     def edge_positions(self, rows, cols) -> np.ndarray:
         rows = np.asarray(rows, dtype=np.int64)

@@ -57,14 +57,17 @@ def breadth_first_search(g, start: int = 0) -> np.ndarray:
     indptr, indices = _adjacency(g)
     from sigma_tpu import native
 
-    if start == 0:
-        res = native.bfs_order(indptr, indices, start)
-        if res is not None:
-            return res
+    res = native.bfs_order(indptr, indices, start)
+    if res is not None:
+        return res
     p = np.full(n, -1, dtype=np.int64)
     rank = 0
     q: deque[int] = deque()
-    for s in list(range(start, n)) + list(range(start)):
+    # first component from `start`, then the LOWEST unvisited vertex —
+    # the documented (and native-path) restart order (review fix: the
+    # fallback used a rotated order for start > 0, and the native fast
+    # path was gated to start == 0 although the C++ accepts any start)
+    for s in [start] + list(range(n)):
         if p[s] >= 0:
             continue
         p[s] = rank

@@ -263,15 +263,12 @@ def _scale_rows_data(A: SparseMatrix, scale: np.ndarray) -> jax.Array:
     return jnp.asarray(flat.reshape(A.data.shape))
 
 
-def amg_solve(A, b, M: AMGPreconditioner = None, *, tol=1e-10, maxiter=100):
-    """Standalone AMG solver: stationary V-cycle iteration x += M(b - A x)
-    until the residual norm meets ``tol`` (jit-compiled while_loop).  Builds
-    the hierarchy if ``M`` is not supplied."""
-    from sigma_tpu.solvers.krylov import SolveInfo
+@jax.jit
+def _amg_iterate(A, M, b, tol, maxiter):
+    # A, M, b as PYTREE ARGUMENTS (review fix): a while_loop closing
+    # over the operator + hierarchy embeds them as jaxpr constants —
+    # the remote-compile HTTP-413 failure CLAUDE.md documents
     from jax import lax
-
-    if M is None:
-        M = smoothed_aggregation_amg(A)
 
     def cond(state):
         _, r, k = state
@@ -284,5 +281,20 @@ def amg_solve(A, b, M: AMGPreconditioner = None, *, tol=1e-10, maxiter=100):
 
     x0 = jnp.zeros_like(b)
     x, r, k = lax.while_loop(cond, body, (x0, b, jnp.asarray(0, jnp.int32)))
-    resn = jnp.linalg.norm(r)
+    return x, k, jnp.linalg.norm(r)
+
+
+def amg_solve(A, b, M: AMGPreconditioner = None, *, tol=1e-10, maxiter=100):
+    """Standalone AMG solver: stationary V-cycle iteration x += M(b - A x)
+    until the residual norm meets ``tol`` (jit-compiled while_loop; the
+    operator/hierarchy/rhs are jit arguments, never closures).  Builds
+    the hierarchy if ``M`` is not supplied."""
+    from sigma_tpu.solvers.krylov import SolveInfo
+
+    if M is None:
+        M = smoothed_aggregation_amg(A)
+    x, k, resn = _amg_iterate(
+        A, M, b, jnp.asarray(tol, b.dtype),
+        jnp.asarray(int(maxiter), jnp.int32),
+    )
     return x, SolveInfo(k, resn, resn <= tol)

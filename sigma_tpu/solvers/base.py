@@ -34,6 +34,8 @@ from sigma_tpu.solvers.krylov import (
 )
 
 __all__ = [
+    "CGLSSolver",
+    "cgls",
     "LinearSolver",
     "CGSolver",
     "BiCGStabSolver",
@@ -107,7 +109,17 @@ class _SolverApply(LinearOperator):
         z = self.config.solve(self.op, r / safe)
         return jnp.where(nrm > 0, z * safe, jnp.zeros_like(r))
 
-    rmatvec = matvec
+    def rmatvec(self, r):
+        # the adjoint preconditioner solves against A^T (review fix:
+        # aliasing rmatvec = matvec applied M^{-1} where M^{-T} was
+        # required on nonsymmetric inner operators; for symmetric ones
+        # A^T is A and this reduces to the same solve)
+        from sigma_tpu.operators.linear_operator import AdjointOperator
+
+        nrm = jnp.linalg.norm(r)
+        safe = jnp.maximum(nrm, jnp.asarray(jnp.finfo(r.dtype).tiny, r.dtype))
+        z = self.config.solve(AdjointOperator(self.op), r / safe)
+        return jnp.where(nrm > 0, z * safe, jnp.zeros_like(r))
 
 
 @dataclasses.dataclass(frozen=True)

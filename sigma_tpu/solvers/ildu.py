@@ -127,20 +127,7 @@ def ildu0_factorize(A):
     else:
         lu, diag = _ilu0_numpy(indptr, indices, data, n)
 
-    # split into strict L (unit) and strict unit-U (u_ij / d_i)
-    rows_all = np.repeat(np.arange(n), np.diff(indptr))
-    lower = indices < rows_all
-    upper = indices > rows_all
-    Lp = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(np.bincount(rows_all[lower], minlength=n), out=Lp[1:])
-    Up = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(np.bincount(rows_all[upper], minlength=n), out=Up[1:])
-    Uvals = lu[upper] / diag[rows_all[upper]]
-    return (
-        (Lp, indices[lower], lu[lower]),
-        diag,
-        (Up, indices[upper], Uvals),
-    )
+    return _split_ldu(indptr, indices, lu, diag, n)
 
 
 def _iluk_symbolic_numpy(indptr, indices, n, k):
