@@ -144,8 +144,14 @@ class GraphBuilder:
         return int(self._rows.size)
 
     def degree(self, i: int) -> int:
+        # O(log E) row-range lookup on the sorted rows (review fix: the
+        # boolean-mask form scanned and allocated O(E) per call — a
+        # per-vertex host loop over a 1M-row graph cost minutes on this
+        # page-fault-bound VM); same pattern as has_edge below
         self._consolidate()
-        return int(np.count_nonzero(self._rows == i))
+        lo = np.searchsorted(self._rows, i, "left")
+        hi = np.searchsorted(self._rows, i, "right")
+        return int(hi - lo)
 
     def degrees(self) -> np.ndarray:
         self._consolidate()
@@ -158,7 +164,9 @@ class GraphBuilder:
 
     def neighbors(self, i: int) -> np.ndarray:
         self._consolidate()
-        return self._cols[self._rows == i].copy()
+        lo = np.searchsorted(self._rows, i, "left")
+        hi = np.searchsorted(self._rows, i, "right")
+        return self._cols[lo:hi].copy()
 
     def has_edge(self, i: int, j: int) -> bool:
         self._check(i, j)

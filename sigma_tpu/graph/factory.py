@@ -43,6 +43,11 @@ GRAPH_FORMATS: dict[str, Type[Graph]] = {
     "dia": DIAGraph,
 }
 
+# dia is deliberately NAME-ONLY (not in the int-code sweep): DIAGraph is
+# a dense-DIAGONAL topology — freezing an arbitrary edge set stores the
+# WHOLE band diagonals, so it cannot pattern-round-trip random graphs
+# the way the five pattern-exact formats can (verified: adding it to the
+# sweep fails every round-trip test by design, not by bug)
 num_graph_types = 5  # coo, csr, csc, ell, bsr (test sweeps iterate this)
 _BY_INT = ["coo", "csr", "csc", "ell", "bsr"]
 
@@ -54,7 +59,13 @@ def choose_graph_type(frmt: Union[str, int]) -> Type[Graph]:
         frmt = _BY_INT[frmt - 1]
     cls = GRAPH_FORMATS.get(str(frmt).lower())
     if cls is None:
-        raise ValueError(f"unknown graph format {frmt!r}; choose from {_BY_INT}")
+        # list EVERY accepted name, not just the int-code subset —
+        # steering users away from valid aliases ('dia' is the
+        # flagship format) was a review finding
+        raise ValueError(
+            f"unknown graph format {frmt!r}; choose from "
+            f"{sorted(GRAPH_FORMATS)}"
+        )
     return cls
 
 

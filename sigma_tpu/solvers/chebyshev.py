@@ -1,8 +1,8 @@
 """Chebyshev polynomial smoother / preconditioner.
 
 No reference analogue (named extension).  Why it earns a place in a
-TPU/distributed framework: one application is ``degree`` SpMVs and axpys
-with **zero inner products** — so on a sharded operator it runs with zero
+TPU/distributed framework: one application is ``degree - 1`` SpMVs and
+axpys with **zero inner products** — so on a sharded operator it runs with zero
 ``psum`` collectives, unlike a nested CG preconditioner.  That makes it the
 standard smoother choice for distributed multigrid and a latency-free
 alternative to Jacobi-preconditioned inner solves.
@@ -39,7 +39,11 @@ def estimate_lmax(A: LinearOperator, iters: int = 20, key=None, safety: float = 
         v, lam = carry
         w = A.matvec(v)
         lam = jnp.linalg.norm(w)
-        return w / jnp.maximum(lam, 1e-300), lam
+        # finfo.tiny, NOT a 1e-300 literal: the literal underflows to
+        # 0.0 in f32 and a zero matvec then yields 0/0 = NaN
+        return w / jnp.maximum(
+            lam, jnp.asarray(jnp.finfo(v.dtype).tiny, v.dtype)
+        ), lam
 
     _, lam = lax.fori_loop(0, iters, body, (v / jnp.linalg.norm(v), jnp.asarray(0.0, v.dtype)))
     return lam * safety
@@ -84,7 +88,15 @@ class ChebyshevSmoother(LinearOperator):
         z, _, _ = lax.fori_loop(0, self.degree - 1, body, (z, prev_z, rho))
         return z
 
-    rmatvec = matvec
+    def rmatvec(self, r):
+        # p(A^T) r — for a nonsymmetric wrapped operator the adjoint
+        # smoother must use the TRANSPOSED matvecs (review fix: the
+        # alias silently applied p(A) in adjoint contexts; for
+        # symmetric ops this is identical)
+        return ChebyshevSmoother(
+            op=self.op.T, lmin=self.lmin, lmax=self.lmax,
+            degree=self.degree,
+        ).matvec(r)
 
 
 def chebyshev(
@@ -97,13 +109,27 @@ def chebyshev(
 ) -> ChebyshevSmoother:
     """Build a Chebyshev smoother for A.
 
-    Defaults estimate ``lmax`` by power iteration and set
-    ``lmin = smoothing_fraction * lmax`` (the multigrid smoothing
-    convention); pass explicit bounds to target the full spectrum as a
-    solver-grade polynomial preconditioner.
+    Defaults: ``lmax`` is the GERSHGORIN bound when the operator
+    exposes its triples (``entries()``) — the project's measured law
+    (CLAUDE.md round 2: a power-iteration UNDERESTIMATE diverges the
+    smoother, since modes above the interval are amplified) — with
+    power iteration at a widened 1.25 safety margin only as the
+    fallback for matvec-only operators; ``lmin = smoothing_fraction *
+    lmax`` (the multigrid smoothing convention).  Pass explicit bounds
+    to target the full spectrum as a solver-grade polynomial
+    preconditioner.
     """
     if lmax is None:
-        lmax = estimate_lmax(A, key=key)
+        if hasattr(A, "entries"):
+            r, _c, v = A.entries()
+            rs = np.bincount(
+                np.asarray(r),
+                weights=np.abs(np.asarray(v, np.float64)),
+                minlength=A.shape[0],
+            )
+            lmax = float(rs.max()) if rs.size else 1.0
+        else:
+            lmax = estimate_lmax(A, key=key, safety=1.25)
     lmax = jnp.asarray(lmax)
     lmin = jnp.asarray(lmin) if lmin is not None else smoothing_fraction * lmax
     return ChebyshevSmoother(op=A, lmin=lmin, lmax=lmax, degree=int(degree))

@@ -55,6 +55,36 @@ def _inner_jit(inner_tol, inner_maxiter, with_M, solver):
     )
 
 
+class _DtypePinned:
+    """Preconditioner adapter pinning the APPLICATION output dtype: a
+    working-precision M inside a low-precision inner solve would
+    otherwise promote every downstream Krylov vector (numpy promotion
+    rules) and silently run the inner loop at emulated working
+    precision."""
+
+    def __init__(self, inner, dtype_name):
+        self.inner = inner
+        self.dtype_name = dtype_name
+
+    def matvec(self, r):
+        return self.inner.matvec(r).astype(jnp.dtype(self.dtype_name))
+
+
+def _dtype_pinned_flatten(m):
+    return (m.inner,), m.dtype_name
+
+
+def _dtype_pinned_unflatten(aux, children):
+    return _DtypePinned(inner=children[0], dtype_name=aux)
+
+
+import jax as _jax  # noqa: E402  (local alias for the registration)
+
+_jax.tree_util.register_pytree_node(
+    _DtypePinned, _dtype_pinned_flatten, _dtype_pinned_unflatten
+)
+
+
 def refined_solve_fixed(
     A,
     b,
@@ -108,9 +138,15 @@ def refined_solve_fixed(
     f64 working precision with an f32 inner — the f64-grade-at-f32-speed
     ladder of :func:`refined_solve`, but as one device program); without
     it the inner vectors follow ``b``'s dtype and only the operator
-    values are low-precision."""
+    values are low-precision.  ``M`` is the INNER preconditioner and is
+    dtype-pinned when ``inner_dtype`` is set: its output is cast back
+    to the inner dtype, so a working-precision M cannot silently
+    promote the whole inner Krylov loop back to (slow, emulated)
+    working precision (review fix)."""
     if A_lo is None:
         A_lo = A if inner_dtype is None else A.astype(inner_dtype)
+    if M is not None and inner_dtype is not None:
+        M = _DtypePinned(inner=M, dtype_name=jnp.dtype(inner_dtype).name)
     x = jnp.zeros_like(b)
     one = jnp.asarray(1.0, b.dtype)
     for _ in range(sweeps):  # static unroll — sweeps is small
