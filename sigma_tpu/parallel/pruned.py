@@ -50,6 +50,36 @@ __all__ = [
 _LANES = 128
 
 
+def _exchange_halos(x_local, Hw, D, axis, *, forward_only=False):
+    """(left, right) neighbor halo blocks of a row-sharded local block
+    (vector or matrix — leading-axis slices).  Ring wrap at the edge
+    shards delivers finite garbage that only ever multiplies
+    structurally-zero packed slots; ``forward_only`` (symmetric
+    storage: upper windows never read backward x) replaces the left
+    hop with zeros.  ONE implementation for all four apply paths
+    (review dedup — a halo fix must not need four edits)."""
+    zshape = (Hw,) + x_local.shape[1:]
+    if D == 1:
+        z = jnp.zeros(zshape, x_local.dtype)
+        return z, z
+    right = lax.ppermute(
+        x_local[:Hw], axis, [(sh, (sh - 1) % D) for sh in range(D)]
+    )
+    if forward_only:
+        left = jnp.zeros(zshape, x_local.dtype)
+    else:
+        left = lax.ppermute(
+            x_local[-Hw:], axis, [(sh, (sh + 1) % D) for sh in range(D)]
+        )
+    return left, right
+
+
+def _ship_forward(blk, D, axis):
+    """Send a block to the NEXT shard on the ring (the mirror-spill
+    hop; edge wrap carries exact zeros — no columns exist past n)."""
+    return lax.ppermute(blk, axis, [(sh, (sh + 1) % D) for sh in range(D)])
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True, repr=False)
 class DistributedPrunedMatrix(LinearOperator):
@@ -148,15 +178,9 @@ class DistributedPrunedMatrix(LinearOperator):
         use_kernel = self._use_kernel(x.dtype)
 
         def local(x_local, data, tile, first, ro, lo_):
-            if D > 1:
-                right = lax.ppermute(
-                    x_local[:Hw], self.axis,
-                    [(s, (s - 1) % D) for s in range(D)],
-                )
-            else:
-                right = jnp.zeros((Hw,), x_local.dtype)
-            # upper-triangle windows never read backward x: zeros left
-            left = jnp.zeros((Hw,), x_local.dtype)
+            left, right = _exchange_halos(
+                x_local, Hw, D, self.axis, forward_only=True
+            )
             x_ext = jnp.concatenate([left, x_local, right])
             if use_kernel:
                 from sigma_tpu.ops.spmv_pruned import (
@@ -176,13 +200,8 @@ class DistributedPrunedMatrix(LinearOperator):
                 )
             if D > 1:
                 # mirror contributions to the NEXT shard's head rows
-                # (EL <= T*128 <= block always; the wrap to shard 0
-                # carries exact zeros — no columns exist past n)
-                from_prev = lax.ppermute(
-                    spill, self.axis,
-                    [(s, (s + 1) % D) for s in range(D)],
-                )
-                y = y.at[:EL].add(from_prev)
+                # (EL <= T*128 <= block always)
+                y = y.at[:EL].add(_ship_forward(spill, D, self.axis))
             return y
 
         f = shard_map(
@@ -213,14 +232,9 @@ class DistributedPrunedMatrix(LinearOperator):
         use_kernel = self._use_kernel(X.dtype)
 
         def local(X_local, data, tile, first, ro, lo_):
-            if D > 1:
-                right = lax.ppermute(
-                    X_local[:Hw, :], self.axis,
-                    [(s, (s - 1) % D) for s in range(D)],
-                )
-            else:
-                right = jnp.zeros((Hw, k), X_local.dtype)
-            left = jnp.zeros((Hw, k), X_local.dtype)
+            left, right = _exchange_halos(
+                X_local, Hw, D, self.axis, forward_only=True
+            )
             XT = jnp.concatenate([left, X_local, right], axis=0).T
             if use_kernel:
                 from sigma_tpu.ops.spmv_pruned import (
@@ -244,11 +258,7 @@ class DistributedPrunedMatrix(LinearOperator):
                 Y = jnp.stack([o[0] for o in outs], axis=0)
                 spill = jnp.stack([o[1] for o in outs], axis=0)
             if D > 1:
-                from_prev = lax.ppermute(
-                    spill, self.axis,
-                    [(s, (s + 1) % D) for s in range(D)],
-                )
-                Y = Y.at[:, :EL].add(from_prev)
+                Y = Y.at[:, :EL].add(_ship_forward(spill, D, self.axis))
             return Y.T
 
         f = shard_map(
@@ -279,21 +289,8 @@ class DistributedPrunedMatrix(LinearOperator):
 
         def local(x_local, data, tile, first, ro, lo_):
             # nearest-neighbor halos FIRST (no dependency on the local
-            # FMA work -> XLA overlaps the ICI hop with ring-0 compute).
-            # Ring wrap at the edge shards delivers finite garbage that
-            # only ever multiplies structurally-zero packed slots.
-            if D > 1:
-                left = lax.ppermute(
-                    x_local[-Hw:], self.axis,
-                    [(s, (s + 1) % D) for s in range(D)],
-                )
-                right = lax.ppermute(
-                    x_local[:Hw], self.axis,
-                    [(s, (s - 1) % D) for s in range(D)],
-                )
-            else:
-                left = jnp.zeros((Hw,), x_local.dtype)
-                right = jnp.zeros((Hw,), x_local.dtype)
+            # FMA work -> XLA overlaps the ICI hop with ring-0 compute)
+            left, right = _exchange_halos(x_local, Hw, D, self.axis)
             x_ext = jnp.concatenate([left, x_local, right])
             if use_kernel:
                 from sigma_tpu.ops.spmv_pruned import dia_spmv_pallas_pruned
@@ -338,18 +335,7 @@ class DistributedPrunedMatrix(LinearOperator):
         use_kernel = self._use_kernel(X.dtype)
 
         def local(X_local, data, tile, first, ro, lo_):
-            if D > 1:
-                left = lax.ppermute(
-                    X_local[-Hw:, :], self.axis,
-                    [(s, (s + 1) % D) for s in range(D)],
-                )
-                right = lax.ppermute(
-                    X_local[:Hw, :], self.axis,
-                    [(s, (s - 1) % D) for s in range(D)],
-                )
-            else:
-                left = jnp.zeros((Hw, k), X_local.dtype)
-                right = jnp.zeros((Hw, k), X_local.dtype)
+            left, right = _exchange_halos(X_local, Hw, D, self.axis)
             XT = jnp.concatenate([left, X_local, right], axis=0).T
             if use_kernel:
                 from sigma_tpu.ops.spmv_pruned import (
