@@ -408,6 +408,15 @@ class BSRMatrix(SparseMatrix):
         return Y.reshape(-1, k)[: g.shape[1]]
 
 
+def _band_reach(offs) -> int:
+    """One-sided band reach max(|offset|) of a non-empty offset tuple —
+    THE shared expression of every pallas halo-fit gate (review dedup;
+    an inline copy once dropped the empty-offsets guard).  Callers must
+    handle ``offs == ()`` before calling (the zero-diagonal matrix is a
+    routing decision, not a reach)."""
+    return max(max(max(offs), 0), -min(min(offs), 0))
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True, repr=False)
 class DIAMatrix(SparseMatrix):
@@ -511,7 +520,7 @@ class DIAMatrix(SparseMatrix):
         )
 
         offs = self.graph.offsets
-        reach = max(max(max(offs), 0), -min(min(offs), 0))
+        reach = _band_reach(offs)
         pick = _full_tile_pick(
             self.graph.stride // _LANES,
             reach // _LANES + 2,
@@ -643,7 +652,7 @@ class DIAMatrix(SparseMatrix):
         )
 
         offs = self.graph.offsets
-        reach = max(max(max(offs), 0), -min(min(offs), 0))
+        reach = _band_reach(offs)
         pick = _full_tile_pick(
             self.graph.stride // _LANES,
             reach // _LANES + 2,
@@ -751,7 +760,7 @@ class DIAMatrix(SparseMatrix):
         )
 
         offs = self.graph.offsets
-        reach = max(max(max(offs), 0), -min(min(offs), 0))
+        reach = _band_reach(offs)
         S = self.graph.stride // _LANES
         pick = _spmm_tile_pick(
             S,
@@ -796,7 +805,7 @@ class DIAMatrix(SparseMatrix):
             offs = self.graph.offsets
             if not offs:  # zero-diagonal matrix: A @ X = 0 (the guard
                 return jnp.zeros((k, n), XT.dtype)  # every sibling has)
-            reach = max(max(max(offs), 0), -min(min(offs), 0))
+            reach = _band_reach(offs)
             S = self.graph.stride // _LANES
             pick = _spmm_tile_pick(
                 S,
@@ -863,7 +872,7 @@ class DIAMatrix(SparseMatrix):
             interleave_panels_grouped,
         )
 
-        reach = max(max(max(offs), 0), -min(min(offs), 0))
+        reach = _band_reach(offs)
         S = self.graph.stride // _LANES
         hrows = reach // _LANES + 2
         for kb in (16, 8, 4):
@@ -896,7 +905,7 @@ class DIAMatrix(SparseMatrix):
             return False
         from sigma_tpu.ops.spmv_pallas import _LANES, _spmm_tile_pick
 
-        reach = max(max(max(offs), 0), -min(min(offs), 0))
+        reach = _band_reach(offs)
         return (
             _spmm_tile_pick(
                 self.graph.stride // _LANES,
@@ -989,7 +998,7 @@ class DIAMatrix(SparseMatrix):
         )
 
         offs = self.graph.offsets
-        reach = max(max(max(offs), 0), -min(min(offs), 0))
+        reach = _band_reach(offs)
         S = self.graph.stride // _LANES
         hrows = reach // _LANES + 2
         isz = self.data.dtype.itemsize
@@ -1055,7 +1064,7 @@ class DIAMatrix(SparseMatrix):
                 dia_spmm_interleaved,
             )
 
-            reach = max(max(max(offs), 0), -min(min(offs), 0))
+            reach = _band_reach(offs)
             pick = _spmm_tile_pick(
                 self.graph.stride // _LANES,
                 reach // _LANES + 2,
